@@ -1,0 +1,65 @@
+"""Deterministic hashing for fact-graph IRIs and dedup keys.
+
+The reference names each fact graph with a murmur3 hash of the tagged
+(s, p, o) strings (pikes-rdf/.../RDFGenerator.java:1993-2015
+``hashFactIRI``) and a whitespace-normalized murmur3 text hash
+(``ks:textHash``, RDFGenerator.java:748-765).  We implement murmur3-32
+from the public algorithm (Austin Appleby, public domain) so fact IRIs
+are stable across runs/processes (Python's builtin ``hash`` is salted).
+"""
+
+from __future__ import annotations
+
+import re
+
+_MASK = 0xFFFFFFFF
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Public-domain MurmurHash3 x86 32-bit."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & _MASK
+    length = len(data)
+    n_blocks = length // 4
+    for i in range(n_blocks):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * c1) & _MASK
+        k = ((k << 15) | (k >> 17)) & _MASK
+        k = (k * c2) & _MASK
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _MASK
+        h = (h * 5 + 0xE6546B64) & _MASK
+    tail = data[4 * n_blocks :]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & _MASK
+        k = ((k << 15) | (k >> 17)) & _MASK
+        k = (k * c2) & _MASK
+        h ^= k
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _MASK
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _MASK
+    h ^= h >> 16
+    return h
+
+
+def fact_graph_iri(subj: str, pred: str, obj: str) -> str:
+    """``fact:<hash>`` named graph per fact (RDFGenerator.java:1993-2015)."""
+    tagged = f"s:{subj}|p:{pred}|o:{obj}"
+    return f"fact:{murmur3_32(tagged.encode('utf-8')):08x}"
+
+
+_WS = re.compile(r"\s+")
+
+
+def text_hash(text: str) -> str:
+    """Whitespace-normalized text hash (≙ ks:textHash semantics)."""
+    norm = _WS.sub(" ", text.strip())
+    return f"{murmur3_32(norm.encode('utf-8')):08x}"

@@ -1,0 +1,301 @@
+"""E1/E2 — the wide (shuffling) stages: owl:sameAs smushing and exact
+triple dedup (≙ RDFGenerator.java:1859-1964 ``merge`` +
+ProcessorASNorm fact-graph canonicalization + QuadModel set semantics).
+
+Scale design (SURVEY §2.7, §7 "hard parts"):
+
+* **Doc-local smushing first, no shuffle.**  sameAs components that
+  involve doc-scoped IRIs (coref chains) can never span documents —
+  they connect a doc-local instance to corpus-level ``entity:`` /
+  ``dbr:`` IRIs or to other locals of the same doc.  So the transitive
+  closure for those runs per-row (a tiny union-find per document)
+  inside ``map_batches``: zero shuffle for the unbounded part of the
+  problem.
+* **Corpus-level smushing over a vocabulary-bounded map.**  After local
+  smushing, the only remaining sameAs edges connect corpus-level IRIs
+  (``entity:`` ↔ ``dbr:``), whose count is bounded by the entity
+  vocabulary — ≪ data size even at 10^12 turns.  We distinct those
+  edges with a distributed groupby, then union-find the (small) edge
+  set and broadcast the alias→canonical dict via ``ray.put``; the
+  rewrite is a stateless ``map_batches`` — a broadcast join, not an
+  all-to-all shuffle.  Canonical preference: dbpedia IRIs first
+  (RDFProcessors.smush(..., "http://dbpedia.org/resource/") —
+  RDFGenerator.java:1865-1866), then lexicographic min.
+* **Skew-aware dedup.**  Hot entities (one org in ~20% of turns) make
+  ``(subj,pred,obj)`` keys like ``(entity:acme_corp, rdf:type, …)``
+  massively hot.  Dedup therefore runs two-phase: a per-batch local
+  dedup (combiner — collapses each hot key to ≤1 row per block before
+  the exchange) and then a global groupby on a uniform 64-bit content
+  hash (hash keys are unskewed by construction).  ``salted_group_agg``
+  provides the generic salt-then-merge two-phase pattern for non-hash
+  group keys.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from pikes_ray.functions.hashing import fact_graph_iri
+
+_SAMEAS = "owl:sameAs"
+
+
+def _is_corpus_iri(x: str) -> bool:
+    return x.startswith(("entity:", "dbr:", "time:"))
+
+
+def _canon_rank(x: str) -> tuple[int, str]:
+    """Lower = preferred canonical (dbpedia first, then entity:)."""
+    if x.startswith("dbr:"):
+        return (0, x)
+    if x.startswith("entity:"):
+        return (1, x)
+    if x.startswith("time:"):
+        return (2, x)
+    return (3, x)
+
+
+class _UnionFind:
+    def __init__(self) -> None:
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = p = self.parent.setdefault(p, p)
+            x, p = p, self.parent[p]
+        return p
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[ra] = rb
+
+    def mapping(self) -> dict[str, str]:
+        groups: dict[str, list[str]] = {}
+        for node in list(self.parent):
+            groups.setdefault(self.find(node), []).append(node)
+        out: dict[str, str] = {}
+        for members in groups.values():
+            canon = min(members, key=_canon_rank)
+            for m in members:
+                if m != canon:
+                    out[m] = canon
+        return out
+
+
+def _rewrite_table(batch: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    """Rewrite subj/obj via mapping; drop self-sameAs; rehash fact graphs."""
+    if not mapping:
+        return batch
+    cols = batch.to_pydict()
+    subj, pred, obj, graph = cols["subj"], cols["pred"], cols["obj"], cols["graph"]
+    keep = []
+    for i in range(len(subj)):
+        s = mapping.get(subj[i], subj[i])
+        o = mapping.get(obj[i], obj[i])
+        if pred[i] == _SAMEAS and s == o:
+            continue
+        if s is not subj[i] or o is not obj[i]:
+            subj[i], obj[i] = s, o
+            if graph[i]:
+                graph[i] = fact_graph_iri(s, pred[i], o)
+        keep.append(i)
+    if len(keep) != len(subj):
+        for k in cols:
+            cols[k] = [cols[k][i] for i in keep]
+    else:
+        cols["subj"], cols["obj"], cols["graph"] = subj, obj, graph
+    return pa.Table.from_pydict(cols, schema=batch.schema)
+
+
+def smush_local_batch(batch: pa.Table) -> pa.Table:
+    """Doc-local sameAs closure (per-document union-find, no shuffle).
+
+    Assumes a document's triples are within one batch (true directly
+    after extraction — the extractor emits them contiguously).
+    """
+    pred = batch["pred"]
+    mask = pc.equal(pred, _SAMEAS)
+    if not pc.any(mask).as_py():
+        return batch
+    # union-find per doc key
+    ufs: dict[tuple, _UnionFind] = {}
+    conv = batch["conv_id"].to_pylist()
+    turn = batch["turn_idx"].to_pylist()
+    subj = batch["subj"].to_pylist()
+    obj = batch["obj"].to_pylist()
+    preds = pred.to_pylist()
+    for i in range(len(preds)):
+        if preds[i] == _SAMEAS and (subj[i].startswith("conv:") or obj[i].startswith("conv:")):
+            ufs.setdefault((conv[i], turn[i]), _UnionFind()).union(subj[i], obj[i])
+    if not ufs:
+        return batch
+    # per-doc rewrite (mapping keys are doc-scoped so a merged dict is safe
+    # only per doc; apply row-wise by doc key)
+    maps = {k: uf.mapping() for k, uf in ufs.items()}
+    graph = batch["graph"].to_pylist()
+    conf = batch["conf"].to_pylist()
+    keep_rows = []
+    for i in range(len(preds)):
+        m = maps.get((conv[i], turn[i]))
+        if m:
+            s = m.get(subj[i], subj[i])
+            o = m.get(obj[i], obj[i])
+            if preds[i] == _SAMEAS and s == o:
+                continue
+            if s != subj[i] or o != obj[i]:
+                subj[i], obj[i] = s, o
+                if graph[i]:
+                    graph[i] = fact_graph_iri(s, preds[i], o)
+        keep_rows.append(i)
+    data = {
+        "conv_id": [conv[i] for i in keep_rows],
+        "turn_idx": [turn[i] for i in keep_rows],
+        "subj": [subj[i] for i in keep_rows],
+        "pred": [preds[i] for i in keep_rows],
+        "obj": [obj[i] for i in keep_rows],
+        "graph": [graph[i] for i in keep_rows],
+        "conf": [conf[i] for i in keep_rows],
+    }
+    return pa.Table.from_pydict(data, schema=batch.schema)
+
+
+def corpus_sameas_mapping(triples) -> dict[str, str]:
+    """Distinct corpus-level sameAs edges → alias→canonical dict.
+
+    The distinct runs distributed (local combiner + groupby on the edge
+    hash); only the vocabulary-bounded edge set reaches the driver.
+    """
+
+    def edges_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], _SAMEAS))
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.large_string()),
+                             "b": pa.array([], pa.large_string())})
+        a, b = t["subj"].to_pylist(), t["obj"].to_pylist()
+        pairs = sorted({(x, y) for x, y in zip(a, b)
+                        if _is_corpus_iri(x) and _is_corpus_iri(y)})
+        return pa.table({"a": pa.array([p[0] for p in pairs], pa.large_string()),
+                         "b": pa.array([p[1] for p in pairs], pa.large_string())})
+
+    edges = triples.map_batches(edges_only, batch_format="pyarrow")
+    uf = _UnionFind()
+    for batch in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            uf.union(a, b)
+    return uf.mapping()
+
+
+def smush_global(triples, mapping: dict[str, str] | None = None):
+    """Corpus-level canonicalization: broadcast alias→canon map, rewrite.
+
+    ``ray.put`` once; each task reads the shared object (zero-copy from
+    the object store) — a broadcast join instead of an all-to-all
+    shuffle (SURVEY §2.6).
+    """
+    if mapping is None:
+        mapping = corpus_sameas_mapping(triples)
+    if not mapping:
+        return triples
+    ref = ray.put(mapping)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        return _rewrite_table(batch, ray.get(ref))
+
+    out = triples.map_batches(rewrite, batch_format="pyarrow")
+    # rdfpro-smush semantics: keep alias→canonical owl:sameAs links
+    import ray.data as rd
+
+    alias_rows = [
+        {"conv_id": "", "turn_idx": -1, "subj": alias, "pred": _SAMEAS,
+         "obj": canon, "graph": fact_graph_iri(alias, _SAMEAS, canon),
+         "conf": 0.0}
+        for alias, canon in sorted(mapping.items())
+    ]
+    if alias_rows:
+        links = rd.from_arrow(
+            pa.Table.from_pylist(alias_rows, schema=triples.schema().base_schema))
+        out = out.union(links)
+    return out
+
+
+# --------------------------------------------------------------------------
+# E1 exact dedup — two-phase (combiner + uniform-hash groupby)
+# --------------------------------------------------------------------------
+
+_KEY_COLS = ["subj", "pred", "obj", "graph"]
+
+
+def _local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+    # keep the min (conv_id, turn_idx) provenance, max conf — deterministic
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    agg = df.groupby(_KEY_COLS, sort=False, as_index=False).agg(
+        conv_id=("conv_id", "first"), turn_idx=("turn_idx", "first"),
+        conf=("conf", "max"))
+    return agg[["conv_id", "turn_idx", "subj", "pred", "obj", "graph", "conf"]]
+
+
+def _add_key_hash(df: pd.DataFrame) -> pd.DataFrame:
+    key = df["subj"] + "\x1f" + df["pred"] + "\x1f" + df["obj"] + "\x1f" + df["graph"]
+    df = df.copy()
+    df["_h"] = pd.util.hash_pandas_object(key, index=False)
+    return df
+
+
+def dedup_exact(triples):
+    """Distributed exact dedup of (subj, pred, obj, graph).
+
+    Phase 1 (combiner, no shuffle): per-batch dedup — collapses hot
+    repeated facts to ≤1 row per block, so no reducer group exceeds the
+    block count regardless of key skew.
+    Phase 2: groupby on a 64-bit content hash (uniform ⇒ unskewed) with
+    a deterministic first-provenance / max-conf merge.
+    """
+    local = triples.map_batches(
+        lambda df: _add_key_hash(_local_dedup(df)), batch_format="pandas")
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        return _local_dedup(g)
+
+    return local.groupby("_h").map_groups(merge_group, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Generic salted two-phase aggregation (SURVEY §2.7 E2 salting pattern)
+# --------------------------------------------------------------------------
+
+def salted_group_agg(
+    ds,
+    key_cols: list[str],
+    agg_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    salt_buckets: int = 16,
+):
+    """Two-phase groupby for skewed keys: group on (key, salt) first,
+    then merge the ≤``salt_buckets`` partials per key.  ``agg_fn`` must
+    be an algebraic combiner (associative per-group reduce returning one
+    row per group), e.g. first/min/max/sum — the classic salting recipe
+    for hot keys (SURVEY §4 skew row).
+    """
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_salt"] = pd.util.hash_pandas_object(df.reset_index(drop=True).index.to_series(),
+                                                 index=False) % salt_buckets
+        return df
+
+    def phase1(g: pd.DataFrame) -> pd.DataFrame:
+        return agg_fn(g.drop(columns=["_salt"]))
+
+    def phase2(g: pd.DataFrame) -> pd.DataFrame:
+        return agg_fn(g)
+
+    salted = ds.map_batches(add_salt, batch_format="pandas")
+    partial = salted.groupby(key_cols + ["_salt"]).map_groups(phase1, batch_format="pandas")
+    return partial.groupby(key_cols).map_groups(phase2, batch_format="pandas")

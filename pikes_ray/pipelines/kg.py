@@ -1,0 +1,115 @@
+"""The flagship pipeline: transcripts → knowledge graph (SURVEY §3.4).
+
+    ds = read_parquet(transcripts)                   # S1
+    ds = map_batches(normalize)                      # M1 stateless
+    ds = map_batches(AnnotatorStage, concurrency=N)  # A1-A5 actor pool
+    ds = map_batches(FilterStage)                    # F1-F17 fused
+    tr = map_batches(extract_batch)                  # T0-T8 explode
+    tr = map_batches(smush_local)                    # E2 doc-local closure
+    tr = smush_global(tr)                            # E2 broadcast rewrite
+    tr = dedup_exact(tr)                             # E1 two-phase
+    write / materialize                               # resumable shards
+
+All stages stream with backpressure; nothing materializes the full
+dataset except small driver-side results (the sameAs edge vocabulary).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import ray.data as rd
+
+from pikes_ray.stages.annotate import AnnotatorStage
+from pikes_ray.stages.extract import extract_batch
+from pikes_ray.stages.filter import FilterConfig, FilterStage
+from pikes_ray.pipelines.canonicalize import (
+    dedup_exact,
+    smush_global,
+    smush_local_batch,
+)
+from pikes_ray.state.checkpoint import run_checkpointed
+
+
+def annotate_transcripts(
+    ds,
+    cfg: FilterConfig | None = None,
+    concurrency: int | tuple[int, int] = (2, 8),
+    batch_size: int = 256,
+):
+    """read → normalize+annotate (actor pool) → filter.  ``batch_size``
+    stays small so one long turn never dominates a batch (SURVEY §4
+    skew row)."""
+    ds = ds.map_batches(
+        AnnotatorStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return ds.map_batches(FilterStage(cfg), batch_format="pyarrow", batch_size=batch_size)
+
+
+def extract_graph(ds, canonicalize: bool = True, dedup: bool = True):
+    """Annotated turns → canonical deduplicated triples Dataset."""
+    tr = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    tr = tr.map_batches(smush_local_batch, batch_format="pyarrow", batch_size=8192)
+    if canonicalize:
+        # the sameAs-vocabulary pass and the rewrite both consume `tr`;
+        # pin it so the annotator stages don't recompute.  (The
+        # checkpointed build avoids this by writing shard parquet
+        # intermediates instead — build_graph_checkpointed.)
+        tr = tr.materialize()
+        tr = smush_global(tr)
+    if dedup:
+        tr = dedup_exact(tr)   # merge phase already drops the _h key column
+    return tr
+
+
+def transcripts_to_graph(
+    source,
+    cfg: FilterConfig | None = None,
+    canonicalize: bool = True,
+    dedup: bool = True,
+    concurrency: int | tuple[int, int] = (2, 8),
+):
+    """Full in-memory pipeline. ``source`` = Dataset or parquet dir."""
+    ds = rd.read_parquet(source) if isinstance(source, str) else source
+    ds = annotate_transcripts(ds, cfg, concurrency=concurrency)
+    return extract_graph(ds, canonicalize=canonicalize, dedup=dedup)
+
+
+def build_graph_checkpointed(
+    input_dir: str,
+    out_dir: str,
+    n_shards: int = 8,
+    cfg: FilterConfig | None = None,
+) -> dict:
+    """Resumable build: per-shard annotate+extract+local-smush+local-dedup
+    written to ``<out>/shard-k`` with lineage manifests (the expensive,
+    restartable part — ≙ per-file .tql.gz intermediates,
+    RDFGenerator.java:384-416), then one global finalize pass (corpus
+    smush + exact dedup) into ``<out>/graph``.
+    """
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+
+    def per_shard(shard_files):
+        ds = rd.read_parquet(shard_files)
+        ds = annotate_transcripts(ds, cfg)
+        return extract_graph(ds, canonicalize=False, dedup=False)
+
+    summary = run_checkpointed(files, out_dir, per_shard, n_shards=n_shards)
+
+    shard_files = sorted(glob.glob(os.path.join(out_dir, "shard-*", "*.parquet")))
+    tr = rd.read_parquet(shard_files)
+    tr = smush_global(tr)
+    tr = dedup_exact(tr)
+    graph_dir = os.path.join(out_dir, "graph")
+    import shutil
+
+    if os.path.isdir(graph_dir):
+        shutil.rmtree(graph_dir)
+    tr.write_parquet(graph_dir)
+    summary["graph_dir"] = graph_dir
+    return summary

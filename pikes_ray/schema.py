@@ -1,0 +1,121 @@
+"""Fixed pyarrow schemas for every pipeline stage (SURVEY.md §1.4).
+
+The reference keeps one row-oriented NAF document per text
+(ixa/kaflib/KAFDocument.java); we keep one *row of an Arrow table* per
+conversation turn and stack the stand-off annotation layers as nested
+Arrow columns added by successive ``map_batches`` stages. Schemas are
+declared up front — no inference.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Input: the transcripts table (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("tool", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Annotation layers (NAF layers → nested Arrow columns; SURVEY §1.1 / §1.4)
+# ---------------------------------------------------------------------------
+
+# token ≙ WF+Term merged (ixa/kaflib/WF.java + Term.java:25-74): surface
+# form, char offset/len, sentence index, POS (coarse + Penn), lemma.
+TOKEN_T = pa.struct(
+    [
+        ("form", pa.string()),
+        ("offset", pa.int32()),
+        ("length", pa.int32()),
+        ("sent", pa.int32()),
+        ("pos", pa.string()),        # coarse: N V G A R Q P D O C (Term.java pos codes)
+        ("morphofeat", pa.string()),  # Penn tag
+        ("lemma", pa.string()),
+    ]
+)
+
+# dependency edge ≙ Dep (ixa/kaflib/Dep.java): token indices + label.
+DEP_T = pa.struct([("frm", pa.int32()), ("to", pa.int32()), ("rfunc", pa.string())])
+
+# entity ≙ Entity (ixa/kaflib/Entity.java): token-index span + type +
+# external refs folded to (link IRI, confidence) + normalized value.
+ENTITY_T = pa.struct(
+    [
+        ("etype", pa.string()),      # PERSON ORG LOC DATE DURATION MONEY PERCENT ORDINAL CARDINAL
+        ("start", pa.int32()),       # token index, inclusive
+        ("end", pa.int32()),         # token index, exclusive
+        ("named", pa.bool_()),
+        ("link", pa.string()),       # dbpedia-style IRI or ""
+        ("link_conf", pa.float64()),
+        ("norm", pa.string()),       # normalized value (TimeML-ish / numeric) or ""
+    ]
+)
+
+ROLE_T = pa.struct(
+    [
+        ("sem_role", pa.string()),   # A0 A1 A2 AM-TMP AM-LOC
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("head", pa.int32()),        # head token index
+    ]
+)
+
+# predicate ≙ Predicate+Roles (ixa/kaflib/Predicate.java:274): head term,
+# roleset sense (PropBank/NomBank id), source tool, roles.
+PRED_T = pa.struct(
+    [
+        ("head", pa.int32()),
+        ("sense", pa.string()),      # e.g. "acquire.01"
+        ("source", pa.string()),     # "verbal" | "nominal"  (≙ mate/semafor provenance)
+        ("copular", pa.bool_()),
+        ("roles", pa.list_(ROLE_T)),
+    ]
+)
+
+# coref cluster ≙ Coref (ixa/kaflib/Coref.java): list of token spans.
+COREF_SPAN_T = pa.struct([("start", pa.int32()), ("end", pa.int32())])
+COREF_T = pa.list_(COREF_SPAN_T)
+
+ANNOTATED_SCHEMA = pa.schema(
+    list(TRANSCRIPT_SCHEMA)
+    + [
+        pa.field("quarantined", pa.bool_()),
+        pa.field("tokens", pa.large_list(TOKEN_T)),
+        pa.field("deps", pa.large_list(DEP_T)),
+        pa.field("entities", pa.large_list(ENTITY_T)),
+        pa.field("predicates", pa.large_list(PRED_T)),
+        pa.field("corefs", pa.large_list(COREF_T)),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Output: the triples table (SURVEY §1.2 / FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+TRIPLES_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("subj", pa.large_string()),
+        pa.field("pred", pa.large_string()),
+        pa.field("obj", pa.large_string()),
+        pa.field("graph", pa.large_string()),
+        pa.field("conf", pa.float64()),
+    ]
+)
+
+TRIPLE_COLS = ["subj", "pred", "obj"]
+
+
+def empty_triples_table() -> pa.Table:
+    return TRIPLES_SCHEMA.empty_table()

@@ -1,0 +1,320 @@
+"""T0-T8 — deterministic triple extraction (≙ RDFGenerator.Extractor.run,
+pikes-rdf/.../RDFGenerator.java:497-719).
+
+Per-row rewrite of the annotation columns into exploded
+``(conv_id, turn_idx, subj, pred, obj, graph, conf)`` triple rows.
+All state is document-scoped (the mint table and the head→instance
+``annotations`` map, RDFGenerator.java:1780-1786) ⇒ embarrassingly
+parallel: one stateless ``map_batches`` task stage.
+
+Step order mirrors the reference: T0 metadata (:721-798), T1 timexes
+(:800-873), T2 entities (:875-973), T3 predicates incl. the copular
+``be.01`` skip (:531-567, 975-1078), T5 modifiers (:1101-1149),
+T6 coreference + coordination (:1151-1259), T7 roles (:1261-1391).
+Instance-layer facts go into ``fact:<murmur3(s,p,o)>`` named graphs
+(:1993-2015); metadata/mention triples into the default graph ("").
+Mentions are NIF offset IRIs ``<doc>#char=B,E`` (:1585-1670) linked via
+``ks:expressedBy`` (:1834-1857).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pikes_ray.functions import lexicon as lx
+from pikes_ray.functions.hashing import fact_graph_iri, text_hash
+from pikes_ray.functions.iri import MintTable, doc_iri, entity_iri, mention_iri
+from pikes_ray.schema import TRIPLES_SCHEMA
+
+# NER type → class IRI (≙ DEFAULT_TYPE_MAP, RDFGenerator.java:112-126)
+TYPE_MAP = {
+    "PERSON": "foaf:Person",
+    "ORGANIZATION": "foaf:Organization",
+    "LOCATION": "sem:Place",
+}
+_VALUE_TYPES = {"MONEY", "PERCENT", "ORDINAL", "CARDINAL"}
+# value-entity type → attribute property (≙ emitEntityAttributes,
+# RDFGenerator.java:1520-1582: ks:quantity/rank/percentage, gr:hasCurrency)
+_ATTR_PROPS = {
+    "PERCENT": ("ks:percentage", "xsd:decimal"),
+    "CARDINAL": ("ks:quantity", "xsd:decimal"),
+    "ORDINAL": ("ks:rank", "xsd:int"),
+}
+_SEM_ROLE = {"AM-TMP": "sem:hasTime", "AM-LOC": "sem:hasPlace"}  # A* → sem:hasActor
+
+
+def _lit(lex: str, dtype: str | None = None) -> str:
+    lex = lex.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    return f'"{lex}"^^{dtype}' if dtype else f'"{lex}"'
+
+
+def _date_literal(norm: str) -> str:
+    if len(norm) == 4:
+        return _lit(norm, "xsd:gYear")
+    if len(norm) == 7:
+        return _lit(norm, "xsd:gYearMonth")
+    return _lit(norm, "xsd:date")
+
+
+class _DocExtractor:
+    """One document's extraction pass (all per-doc state local)."""
+
+    def __init__(self, conv_id: str, turn_idx: int, row: dict):
+        self.doc = doc_iri(conv_id, turn_idx)
+        self.row = row
+        self.mint = MintTable(self.doc)
+        self.triples: list[tuple[str, str, str, str, float]] = []
+        self.seen: set[tuple[str, str, str]] = set()
+        self.inst_of_ent: dict[int, str | None] = {}   # entity idx → instance IRI
+        self.inst_of_head: dict[int, str] = {}          # head token → instance IRI
+        self.tokens = row["tokens"]
+        self.entities = row["entities"]
+        self.predicates = row["predicates"]
+        self.corefs = row["corefs"]
+        self.deps = row["deps"]
+
+    # -- emission helpers --------------------------------------------------
+
+    def meta(self, s: str, p: str, o: str, conf: float = 0.0) -> None:
+        if (s, p, o) not in self.seen:        # QuadModel set semantics (E1 within-doc)
+            self.seen.add((s, p, o))
+            self.triples.append((s, p, o, "", conf))
+
+    def fact(self, s: str, p: str, o: str, conf: float = 0.0) -> None:
+        if (s, p, o) not in self.seen:
+            self.seen.add((s, p, o))
+            self.triples.append((s, p, o, fact_graph_iri(s, p, o), conf))
+
+    def surface(self, start: int, end: int) -> str:
+        toks = self.tokens[start:end]
+        if not toks:
+            return ""
+        b = toks[0]["offset"]
+        e = toks[-1]["offset"] + toks[-1]["length"]
+        return self.row["text"][b:e]
+
+    def mention(self, inst: str, start: int, end: int) -> None:
+        toks = self.tokens[start:end]
+        if not toks:
+            return
+        b = toks[0]["offset"]
+        e = toks[-1]["offset"] + toks[-1]["length"]
+        men = mention_iri(self.doc, b, e)
+        self.meta(men, "rdf:type", "ks:Mention")
+        self.meta(men, "nif:beginIndex", _lit(str(b), "xsd:int"))
+        self.meta(men, "nif:endIndex", _lit(str(e), "xsd:int"))
+        self.meta(men, "nif:anchorOf", _lit(self.surface(start, end)))
+        self.meta(inst, "ks:expressedBy", men)
+
+    # -- steps -------------------------------------------------------------
+
+    def t0_metadata(self) -> None:
+        d = self.doc
+        self.meta(d, "rdf:type", "ks:Resource")
+        self.meta(d, "dct:created", _lit(self.row["ts"].isoformat(), "xsd:dateTime"))
+        self.meta(d, "ks:textHash", _lit(text_hash(self.row["text"])))
+        self.meta(d, "ks:role", _lit(self.row["role"]))
+        if self.row["tool"]:
+            self.meta(d, "ks:tool", _lit(self.row["tool"]))
+
+    def _entity_instance(self, idx: int, ent: dict) -> str | None:
+        """T1+T2: instance IRI for an entity; emits its own triples once."""
+        if idx in self.inst_of_ent:
+            return self.inst_of_ent[idx]
+        etype = ent["etype"]
+        inst: str | None
+        if etype == "DATE":
+            inst = f"time:{ent['norm']}" if ent["norm"] else self.mint.mint(
+                f"e{idx}", self.surface(ent["start"], ent["end"]))
+            self.fact(inst, "rdf:type", "time:DateTimeInterval")
+            if ent["norm"]:
+                self.fact(inst, "rdf:value", _date_literal(ent["norm"]))
+        elif etype == "DURATION":
+            inst = f"time:duration_{ent['norm'].lower()}" if ent["norm"] else None
+            if inst:
+                self.fact(inst, "rdf:type", "time:DurationDescription")
+                self.fact(inst, "rdf:value", _lit(ent["norm"], "xsd:duration"))
+        elif etype in _VALUE_TYPES:
+            inst = None   # value entities become attributes (T7 / T5)
+        elif ent["named"]:
+            label = self.surface(ent["start"], ent["end"])
+            inst = entity_iri(label)
+            self.fact(inst, "rdf:type", "ks:Entity")
+            cls = TYPE_MAP.get(etype)
+            if cls:
+                self.fact(inst, "rdf:type", cls)
+            self.fact(inst, "foaf:name", _lit(label))
+            if ent["link"]:
+                self.fact(inst, "owl:sameAs", ent["link"], conf=ent["link_conf"])
+        else:
+            head = ent["end"] - 1
+            tok = self.tokens[head]
+            inst = self.mint.mint(f"e{idx}", tok["lemma"])
+            self.fact(inst, "rdf:type", "ks:Instance")
+            # pronouns are placeholder instances destined to be smushed
+            # onto their antecedent — no label transfer (E2)
+            if tok["morphofeat"] not in ("PRP", "PRP$"):
+                self.fact(inst, "rdfs:label", _lit(tok["lemma"]))
+        if inst is not None:
+            self.mention(inst, ent["start"], ent["end"])
+            self.inst_of_head.setdefault(ent["end"] - 1, inst)
+        self.inst_of_ent[idx] = inst
+        return inst
+
+    def t12_entities(self) -> None:
+        for idx, ent in enumerate(self.entities):
+            self._entity_instance(idx, ent)
+
+    def t3_predicates(self) -> dict[int, str]:
+        evt_of_head: dict[int, str] = {}
+        for p in self.predicates:
+            if p["copular"]:
+                continue   # be.01 suppression (RDFGenerator.java:531-567)
+            head = p["head"]
+            lemma = self.tokens[head]["lemma"]
+            evt = self.mint.mint(f"p{head}", lemma)
+            evt_of_head[head] = evt
+            self.inst_of_head.setdefault(head, evt)
+            self.fact(evt, "rdf:type", "sem:Event")
+            self.fact(evt, "rdf:type", f"pb:{p['sense']}")
+            if p["source"] == "nominal" and lemma in lx.NOUN_FRAMES:
+                self.fact(evt, "rdf:type", f"nb:{lx.NOUN_FRAMES[lemma][0]}")
+            self.fact(evt, "rdfs:label", _lit(lemma))
+            self.mention(evt, head, head + 1)
+        return evt_of_head
+
+    def _resolve_span(self, start: int, end: int, head: int):
+        """→ ("inst", iri) | ("value", ent) | (None, None)."""
+        for idx, ent in enumerate(self.entities):
+            if ent["start"] <= head < ent["end"] or (ent["start"] >= start and ent["end"] <= end):
+                if ent["etype"] in _VALUE_TYPES:
+                    return "value", ent
+                inst = self._entity_instance(idx, ent)
+                if inst is not None:
+                    return "inst", inst
+        inst = self.inst_of_head.get(head)
+        if inst is not None:
+            return "inst", inst
+        return None, None
+
+    def t7_roles(self, evt_of_head: dict[int, str]) -> None:
+        for p in self.predicates:
+            evt = evt_of_head.get(p["head"])
+            if evt is None:
+                continue
+            sense = p["sense"]
+            for r in p["roles"]:
+                kind, arg = self._resolve_span(r["start"], r["end"], r["head"])
+                sem_role = r["sem_role"]
+                if kind == "value":
+                    ent = arg
+                    if ent["etype"] == "MONEY" and ent["norm"]:
+                        cur, _, amount = ent["norm"].partition(":")
+                        self.fact(evt, "gr:hasCurrencyValue", _lit(amount, "xsd:decimal"))
+                        self.fact(evt, "gr:hasCurrency", _lit(cur))
+                    elif ent["etype"] in _ATTR_PROPS and ent["norm"]:
+                        prop, dt = _ATTR_PROPS[ent["etype"]]
+                        self.fact(evt, prop, _lit(ent["norm"], dt))
+                    continue
+                if kind != "inst":
+                    continue
+                prop = _SEM_ROLE.get(sem_role)
+                if prop is None:
+                    prop = "sem:hasTime" if str(arg).startswith("time:") else "sem:hasActor"
+                self.fact(evt, prop, arg)
+                if sem_role.startswith("A"):
+                    self.fact(evt, f"pb:{sense}-{sem_role.lower().replace('-', '')}", arg)
+
+    def t5_modifiers(self) -> None:
+        """Adjective modifiers of instance heads → ks:mod quality values
+        (MODIFIER_REGEX walk analogue, RDFGenerator.java:1101-1149)."""
+        adv_of_adj: dict[int, int] = {}
+        mods_of_head: dict[int, list[int]] = {}
+        for d in self.deps:
+            if d["rfunc"] == "AMOD":
+                adv_of_adj[d["frm"]] = d["to"]
+            elif d["rfunc"] == "NMOD" and self.tokens[d["to"]]["morphofeat"] == "JJ":
+                mods_of_head.setdefault(d["frm"], []).append(d["to"])
+        for head, adjs in mods_of_head.items():
+            inst = self.inst_of_head.get(head)
+            if inst is None:
+                continue
+            for adj in sorted(adjs):
+                adv = adv_of_adj.get(adj)
+                value = self.tokens[adj]["lemma"]
+                if adv is not None:
+                    value = f"{self.tokens[adv]['lemma']} {value}"
+                self.fact(inst, "ks:mod", _lit(value))
+
+    def t6_coref_and_coordination(self) -> None:
+        # coref clusters → consecutive owl:sameAs, ordered by position
+        # (RDFGenerator.java:1243-1258)
+        for cluster in self.corefs:
+            insts = []
+            for span in sorted(cluster, key=lambda s: s["start"]):
+                kind, inst = self._resolve_span(span["start"], span["end"], span["end"] - 1)
+                if kind == "inst" and inst not in insts:
+                    insts.append(inst)
+            for a, b in zip(insts, insts[1:]):
+                self.fact(a, "owl:sameAs", b)
+        # coordination → composite instance + ks:include (:1193-1240)
+        conj_of_cc = {d["frm"]: d["to"] for d in self.deps if d["rfunc"] == "CONJ"}
+        for d in self.deps:
+            if d["rfunc"] != "COORD":
+                continue
+            left, cc = d["frm"], d["to"]
+            right = conj_of_cc.get(cc)
+            if right is None:
+                continue
+            li = self.inst_of_head.get(left)
+            ri = self.inst_of_head.get(right)
+            if li is None or ri is None:
+                continue
+            comp = self.mint.mint(f"coord{left}_{right}", "coordination")
+            self.fact(comp, "rdf:type", "ks:Composition")
+            self.fact(comp, "ks:include", li)
+            self.fact(comp, "ks:include", ri)
+
+    def run(self) -> list[tuple[str, str, str, str, float]]:
+        self.t0_metadata()
+        if self.tokens:
+            self.t12_entities()
+            evt = self.t3_predicates()
+            self.t7_roles(evt)
+            self.t5_modifiers()
+            self.t6_coref_and_coordination()
+        return self.triples
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches fn: annotated rows → exploded triple rows."""
+    rows = batch.to_pylist()
+    conv_ids: list[str] = []
+    turn_idxs: list[int] = []
+    subjs: list[str] = []
+    preds: list[str] = []
+    objs: list[str] = []
+    graphs: list[str] = []
+    confs: list[float] = []
+    for row in rows:
+        ex = _DocExtractor(row["conv_id"], row["turn_idx"], row)
+        for (s, p, o, g, c) in ex.run():
+            conv_ids.append(row["conv_id"])
+            turn_idxs.append(row["turn_idx"])
+            subjs.append(s)
+            preds.append(p)
+            objs.append(o)
+            graphs.append(g)
+            confs.append(c)
+    return pa.Table.from_pydict(
+        {
+            "conv_id": conv_ids,
+            "turn_idx": turn_idxs,
+            "subj": subjs,
+            "pred": preds,
+            "obj": objs,
+            "graph": graphs,
+            "conf": confs,
+        },
+        schema=TRIPLES_SCHEMA,
+    )

