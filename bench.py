@@ -1,0 +1,140 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS CPUs (default 32).
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline pipeline twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports throughputs plus
+scaling efficiency (BASELINE.json two-cluster-size criterion evidenced
+via two parallelism levels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import ray.data as rd
+
+    from pikes_ray.pipelines.kg import transcripts_to_graph
+    from pikes_ray.sources.transcripts import sf_of_dir, transcripts_dir
+
+    sf = sf_of_dir(sf_dir)
+    tdir = transcripts_dir(sf_dir)
+
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    n_turns = rd.read_parquet(tdir).count()
+    log(f"bench: sf={sf} turns={n_turns} cpus={ncpus}")
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = round(time.perf_counter() - t0, 3)
+        queries[name] = dt
+        log(f"  {name}: {dt}s")
+        return out
+
+    # headline: the flagship KG-construction pipeline
+    t0 = time.perf_counter()
+    tr = transcripts_to_graph(tdir, concurrency=(2, max(2, ncpus - 2)))
+    n_triples = tr.count()
+    kg_sec = round(time.perf_counter() - t0, 3)
+    queries["kg_build"] = kg_sec
+    log(f"  kg_build: {kg_sec}s → {n_triples} triples "
+        f"({n_turns / kg_sec:.0f} turns/s)")
+
+    # secondary pipelines
+    from pikes_ray.ops import dedup as D
+    from pikes_ray.ops import knn as K
+    from pikes_ray.ops import text as T
+    from pikes_ray.pipelines import relational as R
+
+    timed("q_pricing_summary", lambda: R.pricing_summary(sf_dir))
+    timed("q_revenue_by_nation", lambda: R.revenue_by_nation(sf_dir))
+    timed("doc_analyze", lambda: T.analyze(
+        rd.read_parquet(f"{sf_dir}/documents.parquet")).count())
+    timed("doc_minhash_dedup", lambda: D.minhash_dedup(
+        rd.read_parquet(f"{sf_dir}/documents.parquet")).count())
+
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    Q = np.asarray(emb[emb["vec_id"] < 5].sort_values("vec_id")["embedding"].tolist(),
+                   dtype=np.float64)
+    timed("emb_knn_brute", lambda: K.knn_brute(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), Q, np.arange(5), k=10).count())
+
+    result = {
+        "metric": "kg_build_sec",
+        "value": kg_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": ncpus,
+        "turns": n_turns,
+        "triples": n_triples,
+        "turns_per_sec": round(n_turns / kg_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, two fresh processes at 8 and 32 CPUs → efficiency."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        log(f"scaling: running fresh process at num_cpus={ncpu}")
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True, check=True)
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8, t32 = out[8]["value"], out[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t8,
+        "sec_32": t32,
+        "turns_per_sec_8": out[8]["turns_per_sec"],
+        "turns_per_sec_32": out[32]["turns_per_sec"],
+        "sf": out[32]["sf"],
+        "turns": out[32]["turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,346 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — the standard large-corpus dedup family, expressed
+Ray-Data-first.
+
+Scale shapes (see also pipelines/canonicalize.py for the skew-aware
+two-phase pattern):
+
+- **exact**: content hash in a vectorized ``map_batches`` → per-batch
+  local dedup (combiner; collapses hot duplicates before the exchange)
+  → groupby(hash) keep-min-id.  Hash keys are uniform ⇒ the shuffle is
+  unskewed by construction.
+- **MinHash+LSH**: shingle→minhash per batch (numpy, one pass) →
+  explode to (band, band_hash, doc_id) rows → groupby(band, band_hash)
+  → candidate pairs within buckets (bucket size capped — a cap is a
+  *documented* recall bound, not silent truncation) → signature-Jaccard
+  verify → connected components → keep min doc per cluster.
+- **SimHash**: 64-bit signature per doc; near-dup candidates share one
+  of 4 16-bit chunks (≙ hamming ≤ 3 guaranteed recall), verified by
+  full hamming distance inside the bucket groupby.
+- **embedding**: random-hyperplane LSH buckets → within-bucket cosine
+  verify (numpy matmul per group).
+
+All hashes are crc32/blake2-based — stable across processes/actors
+(Python's builtin hash is salted and must never reach a shuffle key).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+_WS_TOKEN = re.compile(r"\S+")
+_MERSENNE = (1 << 61) - 1
+
+
+def _norm_text(s: pd.Series) -> pd.Series:
+    return s.fillna("").str.lower().str.split().str.join(" ")
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id row per distinct (whitespace-normalized) text."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_norm"] = _norm_text(df[col])
+        df = df.sort_values(id_col, kind="mergesort")
+        return df.groupby("_norm", sort=False, as_index=False).first()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").head(1)
+
+    from pikes_ray.pipelines.shuffle import partitioned_group_map
+
+    out = partitioned_group_map(
+        ds.map_batches(local, batch_format="pandas"), ["_norm"], merge)
+    return out.map_batches(lambda d: d.drop(columns=["_norm"]), batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# shingles + MinHash
+# --------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """crc32 hashes of word k-grams (process-stable)."""
+    ws = _WS_TOKEN.findall(text.lower()) if text else []
+    if not ws:
+        return np.empty(0, dtype=np.uint64)
+    if len(ws) < k:
+        grams = [" ".join(ws)]
+    else:
+        grams = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+    return np.unique(np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.uint64))
+
+
+class _MinHasher:
+    """num_perm universal-hash minhash; coefficients fixed by seed."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if shingles.size == 0:
+            return np.full(self.num_perm, np.uint64(_MERSENNE))
+        # (num_perm, n) universal hashes, min over shingles
+        vals = (np.outer(self.a, shingles) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1).astype(np.uint64)
+
+
+def minhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
+                       num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
+    """→ Dataset[id_col, sig (list<uint64>)].  Actor-pool stage: the
+    hasher coefficients build once per actor."""
+
+    class Stage:
+        def __init__(self):
+            self.mh = _MinHasher(num_perm, seed)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sigs = [self.mh.signature(_shingle_hashes(t, shingle_k))
+                    for t in df[col].fillna("")]
+            return pd.DataFrame({id_col: df[id_col].values,
+                                 "sig": [s.tolist() for s in sigs]})
+
+    return ds.map_batches(Stage, batch_format="pandas", concurrency=(1, 8))
+
+
+def minhash_lsh_clusters(ds, col: str = "text", id_col: str = "doc_id",
+                         num_perm: int = 64, bands: int = 16,
+                         threshold: float = 0.7, shingle_k: int = 3,
+                         seed: int = 42, max_bucket: int = 200) -> dict[int, int]:
+    """→ {doc_id: cluster_rep_id} for near-duplicate docs.
+
+    Candidate pairs come back to the driver (bounded: only bucket
+    collisions, pairs per bucket capped at ``max_bucket`` choose 2 —
+    the cap is logged via the returned stats) and are unioned with a
+    union-find; signature Jaccard ≥ threshold verifies each pair.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(ds, col, id_col, num_perm, shingle_k, seed)
+
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_band, out_bh, out_sig = [], [], [], []
+        for did, sig in zip(df[id_col], df["sig"]):
+            arr = np.asarray(sig, dtype=np.uint64)
+            for b in range(bands):
+                chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
+                out_id.append(did)
+                out_band.append(b)
+                out_bh.append(zlib.crc32(chunk.tobytes()))
+                out_sig.append(sig)
+        return pd.DataFrame({id_col: out_id, "band": out_band,
+                             "band_hash": out_bh, "sig": out_sig})
+
+    exploded = sigs.map_batches(explode_bands, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "est": []})
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].tolist()
+        sigs_ = [np.asarray(s, dtype=np.uint64) for s in g["sig"]]
+        A, B, E = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = float((sigs_[i] == sigs_[j]).mean())
+                if est >= threshold:
+                    A.append(ids[i]); B.append(ids[j]); E.append(est)
+        return pd.DataFrame({"a": A, "b": B, "est": E})
+
+    from pikes_ray.pipelines.shuffle import partitioned_group_map
+
+    pairs = partitioned_group_map(exploded, ["band", "band_hash"], bucket_pairs)
+
+    from pikes_ray.pipelines.canonicalize import _UnionFind
+
+    uf = _UnionFind()
+    for batch in pairs.iter_batches(batch_size=65536, batch_format="pandas"):
+        for a, b in zip(batch["a"], batch["b"]):
+            uf.union(int(a), int(b))
+    mapping = {}
+    groups: dict[int, list[int]] = {}
+    for node in list(uf.parent):
+        groups.setdefault(uf.find(node), []).append(node)
+    for members in groups.values():
+        rep = min(members)
+        for m in members:
+            mapping[int(m)] = int(rep)
+    return mapping
+
+
+def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id", **kw):
+    """Drop near-duplicates: keep the min-id representative per cluster.
+    The cluster map is vocabulary-bounded → broadcast filter."""
+    import ray
+
+    mapping = minhash_lsh_clusters(ds, col, id_col, **kw)
+    drop = {d for d, rep in mapping.items() if d != rep}
+    ref = ray.put(drop)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(ref)
+        return df[~df[id_col].isin(d)]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def _simhash64(text: str) -> int:
+    ws = _WS_TOKEN.findall(text.lower()) if text else []
+    if not ws:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in ws:
+        h = np.uint64(zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits == np.uint64(1), 1, -1)
+    return int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
+
+
+def simhash_signatures(ds, col: str = "text", id_col: str = "doc_id"):
+    def stage(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].values,
+            "simhash": np.array([_simhash64(t) for t in df[col].fillna("")],
+                                dtype=np.uint64).astype(np.int64),
+        })
+    return ds.map_batches(stage, batch_format="pandas")
+
+
+def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
+                           max_hamming: int = 3):
+    """Candidate generation by 16-bit chunk collision (pigeonhole: any
+    pair with hamming ≤ 3 shares ≥1 of 4 chunks), verified by exact
+    hamming distance inside the bucket groupby.  → Dataset[a, b, hamming]."""
+    sigs = simhash_signatures(ds, col, id_col)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, chunks, chunk_ids, sims = [], [], [], []
+        for did, sh in zip(df[id_col], df["simhash"]):
+            u = int(sh) & 0xFFFFFFFFFFFFFFFF
+            for c in range(4):
+                ids.append(did)
+                chunk_ids.append(c)
+                chunks.append((u >> (16 * c)) & 0xFFFF)
+                sims.append(sh)
+        return pd.DataFrame({id_col: ids, "chunk_id": chunk_ids,
+                             "chunk": chunks, "simhash": sims})
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].tolist()
+        hs = [int(s) & 0xFFFFFFFFFFFFFFFF for s in g["simhash"]]
+        A, B, D = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if d <= max_hamming and ids[i] != ids[j]:
+                    A.append(ids[i]); B.append(ids[j]); D.append(d)
+        return pd.DataFrame({"a": A, "b": B, "hamming": D})
+
+    from pikes_ray.pipelines.shuffle import partitioned_group_map
+
+    pairs = partitioned_group_map(
+        sigs.map_batches(explode, batch_format="pandas"),
+        ["chunk_id", "chunk"], bucket)
+
+    # same pair can collide in several chunks → dedup
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])
+
+    return partitioned_group_map(
+        pairs.map_batches(local, batch_format="pandas"),
+        ["a", "b"], lambda g: g.head(1))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact pair verification)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(ds, pairs: list[tuple[int, int]], col: str = "text",
+                        id_col: str = "doc_id", k: int = 3):
+    """Exact word-k-gram Jaccard for given candidate pairs.
+    The needed docs (pair members only) are broadcast as shingle sets."""
+    import ray
+
+    wanted = {i for p in pairs for i in p}
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df[id_col].isin(wanted)]
+        return pd.DataFrame({
+            id_col: sub[id_col].values,
+            "sh": [_shingle_hashes(t, k).tolist() for t in sub[col].fillna("")],
+        })
+
+    shingle_map: dict[int, frozenset] = {}
+    for b in ds.map_batches(collect, batch_format="pandas").iter_batches(
+            batch_size=8192, batch_format="pandas"):
+        for did, sh in zip(b[id_col], b["sh"]):
+            shingle_map[int(did)] = frozenset(sh)
+    rows = []
+    for a, b2 in pairs:
+        sa, sb = shingle_map.get(a, frozenset()), shingle_map.get(b2, frozenset())
+        denom = len(sa | sb)
+        rows.append({"a": a, "b": b2,
+                     "jaccard": (len(sa & sb) / denom) if denom else 0.0})
+    return pd.DataFrame(rows)
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(ds, threshold: float = 0.95,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             n_planes: int = 8, seed: int = 42):
+    """Random-hyperplane LSH buckets → within-bucket cosine verify.
+    → Dataset[a, b, cos].  n_planes trades recall vs bucket size."""
+
+    class Bucketize:
+        def __init__(self):
+            self.planes = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            V = np.asarray(df[vec_col].tolist(), dtype=np.float32)
+            if self.planes is None:
+                rng = np.random.RandomState(seed)
+                self.planes = rng.standard_normal((V.shape[1], n_planes)).astype(np.float32)
+            signs = (V @ self.planes) > 0
+            bucket = signs @ (1 << np.arange(n_planes))
+            return pd.DataFrame({id_col: df[id_col].values,
+                                 "bucket": bucket.astype(np.int64),
+                                 vec_col: df[vec_col].values})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cos": []})
+        g = g.sort_values(id_col)
+        V = np.asarray(g[vec_col].tolist(), dtype=np.float32)
+        V = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-9, None)
+        S = V @ V.T
+        ids = g[id_col].tolist()
+        A, B, C = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if S[i, j] >= threshold:
+                    A.append(ids[i]); B.append(ids[j]); C.append(float(S[i, j]))
+        return pd.DataFrame({"a": A, "b": B, "cos": C})
+
+    return ds.map_batches(Bucketize, batch_format="pandas", concurrency=(1, 8)) \
+        .groupby("bucket").map_groups(verify, batch_format="pandas")

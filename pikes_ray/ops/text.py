@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operate over a documents-like table (``doc_id``, ``text``) as
+vectorized ``map_batches`` stages: language-ID (stopword n-gram
+heuristic), quality scoring (length/punct/stopword ratios), token
+counting (whitespace + BPE-ish regex), and rolling-hash document
+fingerprinting.  Deterministic — no models, no randomness.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pikes_ray.functions.lexicon import STOPWORDS
+
+_WS_TOKEN = re.compile(r"\S+")
+# BPE-ish: words, numbers, punctuation runs — approximates subword count
+_BPE_TOKEN = re.compile(r"[A-Za-z]{1,8}|\d{1,3}|[^\sA-Za-z\d]")
+_PUNCT = re.compile(r"[^\w\s]")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES: dict[str, frozenset] = {
+    "en": frozenset("the and of to a in is that it for on with as".split()),
+    "de": frozenset("der die das und ist nicht mit für von zu ein".split()),
+    "es": frozenset("el la los las de que y en un una es por".split()),
+    "fr": frozenset("le la les de et un une est pour que dans".split()),
+    "zh": frozenset(),   # han-script detection, not stopwords
+}
+_HAN = re.compile(r"[一-鿿]")
+
+
+def token_counts(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append ws_tokens (whitespace) and bpe_tokens (regex-BPE-ish)."""
+    text = pc.coalesce(batch[col], pa.scalar("", type=batch[col].type))
+    ws = pc.count_substring_regex(text, r"\S+")
+    bpe = pc.count_substring_regex(text, _BPE_TOKEN.pattern)
+    batch = batch.append_column("ws_tokens", pc.cast(ws, pa.int64()))
+    return batch.append_column("bpe_tokens", pc.cast(bpe, pa.int64()))
+
+
+def quality_features(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Append n_chars_q, n_tokens, punct_ratio, stop_ratio, mean_tok_len,
+    quality (a [0,1] composite).  pandas batch kernel (string-heavy)."""
+    text = df[col].fillna("")
+    toks = text.str.findall(_WS_TOKEN)
+    n_tok = toks.str.len().astype("int64")
+    n_chars = text.str.len().astype("int64")
+    punct = text.str.count(_PUNCT).astype("int64")
+    stop = toks.map(lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS))
+    out = df.copy()
+    out["n_chars_q"] = n_chars
+    out["n_tokens"] = n_tok
+    safe = n_tok.clip(lower=1)
+    out["punct_ratio"] = (punct / n_chars.clip(lower=1)).round(6)
+    out["stop_ratio"] = (stop / safe).round(6)
+    out["mean_tok_len"] = ((n_chars - (n_tok - 1).clip(lower=0)) / safe).round(6)
+    # composite: long enough, not punctuation soup, some (but not all) stopwords
+    length_score = (n_tok.clip(upper=200) / 200.0)
+    punct_score = (1 - out["punct_ratio"].clip(upper=0.5) * 2)
+    out["quality"] = (0.5 * length_score + 0.3 * punct_score
+                      + 0.2 * (1 - (out["stop_ratio"] - 0.3).abs())).round(6)
+    return out
+
+
+def lang_id(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Append pred_lang via stopword-profile / script heuristic."""
+    def _detect(t: str) -> str:
+        if not t:
+            return "und"
+        if _HAN.search(t):
+            return "zh"
+        words = [w.lower() for w in _WS_TOKEN.findall(t)[:200]]
+        if not words:
+            return "und"
+        best, best_score = "und", 0.0
+        for lang, profile in _LANG_PROFILES.items():
+            if not profile:
+                continue
+            score = sum(1 for w in words if w in profile) / len(words)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score > 0.02 else "und"
+
+    out = df.copy()
+    out["pred_lang"] = df[col].fillna("").map(_detect)
+    return out
+
+
+def fingerprint(df: pd.DataFrame, col: str = "text", shingle: int = 3) -> pd.DataFrame:
+    """Append fp: a 32-bit rolling-hash document fingerprint — the min
+    crc32 over word ``shingle``-grams (winnowing-style).  Identical
+    word sequences ⇒ identical fingerprints, robust to whitespace."""
+    def _fp(t: str) -> int:
+        ws = _WS_TOKEN.findall(t.lower()) if t else []
+        if not ws:
+            return 0
+        if len(ws) < shingle:
+            return zlib.crc32(" ".join(ws).encode())
+        m = 0xFFFFFFFF
+        best = m
+        for i in range(len(ws) - shingle + 1):
+            h = zlib.crc32(" ".join(ws[i : i + shingle]).encode()) & m
+            if h < best:
+                best = h
+        return best
+
+    out = df.copy()
+    out["fp"] = df[col].fillna("").map(_fp).astype("int64")
+    return out
+
+
+def analyze(ds, col: str = "text"):
+    """Full text-analysis pipeline: counts + quality + lang + fingerprint."""
+    ds = ds.map_batches(lambda b: token_counts(b, col), batch_format="pyarrow")
+    ds = ds.map_batches(lambda d: quality_features(d, col), batch_format="pandas")
+    ds = ds.map_batches(lambda d: lang_id(d, col), batch_format="pandas")
+    return ds.map_batches(lambda d: fingerprint(d, col), batch_format="pandas")

@@ -242,29 +242,31 @@ def _local_dedup(df: pd.DataFrame) -> pd.DataFrame:
     return agg[["conv_id", "turn_idx", "subj", "pred", "obj", "graph", "conf"]]
 
 
-def _add_key_hash(df: pd.DataFrame) -> pd.DataFrame:
+def _add_partition(df: pd.DataFrame, n_parts: int) -> pd.DataFrame:
     key = df["subj"] + "\x1f" + df["pred"] + "\x1f" + df["obj"] + "\x1f" + df["graph"]
     df = df.copy()
-    df["_h"] = pd.util.hash_pandas_object(key, index=False)
+    df["_part"] = (pd.util.hash_pandas_object(key, index=False) % n_parts).astype("int64")
     return df
 
 
-def dedup_exact(triples):
+def dedup_exact(triples, n_parts: int = 64):
     """Distributed exact dedup of (subj, pred, obj, graph).
 
     Phase 1 (combiner, no shuffle): per-batch dedup — collapses hot
-    repeated facts to ≤1 row per block, so no reducer group exceeds the
-    block count regardless of key skew.
-    Phase 2: groupby on a 64-bit content hash (uniform ⇒ unskewed) with
-    a deterministic first-provenance / max-conf merge.
+    repeated facts to ≤1 row per block, so no partition group exceeds
+    the block count × its key share regardless of key skew.
+    Phase 2: hash-partition the keys into ``n_parts`` uniform buckets
+    (content hash ⇒ unskewed) and run ONE vectorized pandas dedup per
+    bucket — bounded group count, so the per-group UDF overhead of a
+    per-key groupby never appears.
     """
     local = triples.map_batches(
-        lambda df: _add_key_hash(_local_dedup(df)), batch_format="pandas")
+        lambda df: _add_partition(_local_dedup(df), n_parts), batch_format="pandas")
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        return _local_dedup(g)
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        return _local_dedup(g.drop(columns=["_part"]))
 
-    return local.groupby("_h").map_groups(merge_group, batch_format="pandas")
+    return local.groupby("_part").map_groups(merge_part, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,194 @@
+"""Relational operator compositions over the TPC-H-ish test tables.
+
+These exercise the engine's generic operator surface (scan with column
+pruning, vectorized filter/project, combiner-style aggregation,
+broadcast hash join, sort/top-k, distinct, windowed/sessionized
+group processing) — each with a DuckDB-oracle twin in __ray_entry__.
+
+Scale notes baked into each shape:
+- reads always pass ``columns=[...]`` (prune at the read);
+- aggregations pre-combine inside ``map_batches`` (one partial row per
+  key per batch) before the small groupby shuffle;
+- dimension joins broadcast the small side via ``ray.put`` (no
+  all-to-all);
+- double aggregates are rounded to fixed decimals so results are
+  reproducible across summation orders (fp-associativity).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary: filter → partial agg (combiner) → groupby sum
+# --------------------------------------------------------------------------
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate"]
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=cols)
+
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        df = df.assign(disc_price=df["l_extendedprice"] * (1 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(6)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        df[c] = df[c].round(2)
+    df["count_order"] = df["count_order"].astype("int64")
+    return df
+
+
+# --------------------------------------------------------------------------
+# broadcast hash join: orders ⋈ customer ⋈ nation → revenue per nation
+# --------------------------------------------------------------------------
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    lookup = dict(zip(dim["c_custkey"], dim["n_name"]))
+    ref = ray.put(lookup)
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        df = df.assign(n_name=df["o_custkey"].map(m))
+        df = df.dropna(subset=["n_name"])
+        return df.groupby("n_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby("n_name").aggregate(
+        Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+    df = out.to_pandas().sort_values("n_name").reset_index(drop=True)
+    df["revenue"] = df["revenue"].round(2)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df
+
+
+# --------------------------------------------------------------------------
+# top-k with deterministic tie-break
+# --------------------------------------------------------------------------
+
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            revenue=("o_totalprice", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("o_custkey").aggregate(
+        Sum("revenue", alias_name="revenue"))
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "o_custkey"], ascending=[False, True],
+                        kind="mergesort").head(k).reset_index(drop=True)
+    return df
+
+
+# --------------------------------------------------------------------------
+# filter + project + sort (pure scan-shaping)
+# --------------------------------------------------------------------------
+
+def large_parts(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_name", "p_size", "p_retailprice"])
+    ds = ds.map_batches(lambda t: t.filter(pc.greater(t["p_size"], 20)),
+                        batch_format="pyarrow")
+    df = ds.to_pandas().sort_values("p_partkey").reset_index(drop=True)
+    return df
+
+
+# --------------------------------------------------------------------------
+# events: hourly rollup + sessionization (ordered group processing)
+# --------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=df["ts"].dt.floor("h"))
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby(
+        ["event_type", "hour"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    df = out.to_pandas().sort_values(["event_type", "hour"]).reset_index(drop=True)
+    df["sum_value"] = df["sum_value"].round(2)
+    df["n"] = df["n"].astype("int64")
+    df["hour"] = df["hour"].astype("datetime64[us]")   # parquet/duckdb parity
+    return df
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session count + event count per user: a partitioned, ordered
+    window computation — groupby(user).map_groups over ts-sorted rows
+    (the Ray Data shape for streaming-style windows; SURVEY §2.9)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        new_session = g["ts"].diff() > gap
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [np.int64(len(g))],
+            "n_sessions": [np.int64(int(new_session.sum()) + 1)],
+        })
+
+    from pikes_ray.pipelines.shuffle import partitioned_group_map
+
+    out = partitioned_group_map(ds, ["user_id"], per_user, n_parts=32)
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# distinct (wide): market segments
+# --------------------------------------------------------------------------
+
+def distinct_segments(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})

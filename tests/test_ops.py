@@ -1,0 +1,157 @@
+"""Tests for the training-data ops: text analysis, dedup family, ANN,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from pikes_ray.ops import dedup as D
+from pikes_ray.ops import knn as K
+from pikes_ray.ops import multimodal as M
+from pikes_ray.ops import text as T
+
+
+@pytest.fixture()
+def docs(ray_session):
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1, "text": "THE  quick brown fox jumps over the lazy dog"},  # ws/case dup
+        {"doc_id": 2, "text": "the quick brown fox leaps over the lazy dog"},   # near-dup
+        {"doc_id": 3, "text": "completely different content about databases and shuffles"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "the quick brown fox jumps over the lazy dog"},   # exact dup
+    ]
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_token_counts(ray_session, docs):
+    out = docs.map_batches(T.token_counts, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id")
+    assert out["ws_tokens"].tolist()[0] == 9
+    assert out[out["doc_id"] == 4]["ws_tokens"].iloc[0] == 0
+
+
+def test_quality_and_langid(ray_session, docs):
+    out = T.analyze(docs).to_pandas().sort_values("doc_id")
+    assert (out["quality"] >= 0).all() and (out["quality"] <= 1).all()
+    assert out["pred_lang"].iloc[0] == "en"
+    assert out[out["doc_id"] == 4]["pred_lang"].iloc[0] == "und"
+
+
+def test_fingerprint_ws_robust(ray_session, docs):
+    out = T.analyze(docs).to_pandas().set_index("doc_id")
+    assert out.loc[0, "fp"] == out.loc[1, "fp"] == out.loc[5, "fp"]
+    assert out.loc[0, "fp"] != out.loc[3, "fp"]
+
+
+def test_exact_dedup(ray_session, docs):
+    kept = D.exact_dedup(docs).to_pandas()
+    ids = sorted(kept["doc_id"])
+    assert 5 not in ids and 1 not in ids    # ws-normalized dups of 0
+    assert {0, 2, 3, 4} <= set(ids)
+
+
+def test_minhash_identical_and_near(ray_session, docs):
+    mapping = D.minhash_lsh_clusters(docs, threshold=0.5)
+    assert mapping.get(5, 5) == 0 and mapping.get(1, 1) == 0
+    assert mapping.get(2, 2) == 2      # true Jaccard(0,2) ≈ 0.4 < 0.5
+    # with a lower threshold and narrower bands (higher candidate
+    # recall at ~0.4 similarity) the near-dup clusters too
+    mapping2 = D.minhash_lsh_clusters(docs, threshold=0.3, bands=32)
+    assert mapping2.get(2, 2) == 0
+    assert mapping2.get(3, 3) == 3 or 3 not in mapping2
+
+
+def test_minhash_dedup_filters(ray_session, docs):
+    kept = D.minhash_dedup(docs, threshold=0.5).to_pandas()
+    assert 0 in set(kept["doc_id"])
+    assert 5 not in set(kept["doc_id"])
+
+
+def test_simhash_pairs(ray_session, docs):
+    pairs = D.simhash_near_dup_pairs(docs).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 5) in got            # identical docs → hamming 0
+
+
+def test_ngram_jaccard(ray_session, docs):
+    out = D.ngram_jaccard_pairs(docs, [(0, 5), (0, 3)])
+    j = dict(zip(zip(out["a"], out["b"]), out["jaccard"]))
+    assert j[(0, 5)] == 1.0
+    assert j[(0, 3)] == 0.0
+
+
+def test_embedding_near_dup(ray_session):
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + 0.001).tolist()},      # near-dup
+        {"vec_id": 2, "embedding": (-base).tolist()},             # opposite
+        {"vec_id": 3, "embedding": rng.standard_normal(16).tolist()},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = D.embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got
+    assert all(p != (0, 2) for p in got)
+
+
+def test_knn_brute_matches_numpy(ray_session):
+    rng = np.random.RandomState(1)
+    V = rng.standard_normal((50, 8)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": range(50), "embedding": [v.tolist() for v in V]}))
+    Q, qids = V[:3].astype(np.float64), np.arange(3)
+    out = K.knn_brute(ds, Q, qids, k=5).to_pandas()
+    # exact reference
+    Vn = V.astype(np.float64)
+    Vn = Vn / np.linalg.norm(Vn, axis=1, keepdims=True)
+    S = Vn[:3] @ Vn.T
+    for q in range(3):
+        want = list(np.argsort(-S[q], kind="stable")[:5])
+        got = out[out["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        assert got == want
+        assert got[0] == q      # self-match rank 0
+
+
+def test_knn_lsh_contains_self(ray_session):
+    rng = np.random.RandomState(2)
+    V = rng.standard_normal((100, 8)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": range(100), "embedding": [v.tolist() for v in V]}))
+    out = K.knn_lsh(ds, V[:5].astype(np.float64), np.arange(5), k=3).to_pandas()
+    for q in range(5):
+        mine = out[(out["query_id"] == q) & (out["rank"] == 0)]
+        assert len(mine) == 1 and mine["vec_id"].iloc[0] == q
+
+
+def test_multimodal_stub_pipeline(ray_session):
+    rows = [
+        {"img_id": i, "payload": M.encode_stub_image(8, 6, 3, salt=bytes([i]))}
+        for i in range(4)
+    ] + [{"img_id": 99, "payload": b"\x89PNG not supported"}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = ds.map_batches(M.DecodeImageStage, batch_format="pyarrow",
+                         batch_size=2, concurrency=1).to_pandas()
+    ok = out[out["decode_error"] == ""]
+    assert len(ok) == 4
+    assert all(len(f) == 24 for f in ok["feat"])            # 3 ch × 8 bins
+    bad = out[out["img_id"] == 99]
+    assert "image library" in bad["decode_error"].iloc[0]   # quarantined, not raised
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    rows = [{"video_id": 0, "frame_idx": i,
+             "payload": M.encode_stub_image(16, 9)} for i in range(25)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    sampled = ds.map_batches(M.frame_sample, batch_format="pyarrow").to_pandas()
+    assert sorted(sampled["frame_idx"]) == [0, 10, 20]
+    resized = ds.map_batches(M.ResizeStage(4, 3), batch_format="pyarrow",
+                             concurrency=1).take(1)
+    import struct
+    w, h, _ = struct.unpack("<iii", resized[0]["payload"][4:16])
+    assert (w, h) == (4, 3)
