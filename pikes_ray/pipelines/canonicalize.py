@@ -91,28 +91,32 @@ class _UnionFind:
 
 
 def _rewrite_table(batch: pa.Table, mapping: dict[str, str]) -> pa.Table:
-    """Rewrite subj/obj via mapping; drop self-sameAs; rehash fact graphs."""
-    if not mapping:
+    """Rewrite subj/obj via mapping; drop self-sameAs; rehash fact graphs.
+
+    Vectorized: dict lookups run through pandas ``Series.map``; only the
+    rows actually rewritten get their fact-graph IRI recomputed.
+    """
+    if not mapping or len(batch) == 0:
         return batch
-    cols = batch.to_pydict()
-    subj, pred, obj, graph = cols["subj"], cols["pred"], cols["obj"], cols["graph"]
-    keep = []
-    for i in range(len(subj)):
-        s = mapping.get(subj[i], subj[i])
-        o = mapping.get(obj[i], obj[i])
-        if pred[i] == _SAMEAS and s == o:
-            continue
-        if s is not subj[i] or o is not obj[i]:
-            subj[i], obj[i] = s, o
-            if graph[i]:
-                graph[i] = fact_graph_iri(s, pred[i], o)
-        keep.append(i)
-    if len(keep) != len(subj):
-        for k in cols:
-            cols[k] = [cols[k][i] for i in keep]
-    else:
-        cols["subj"], cols["obj"], cols["graph"] = subj, obj, graph
-    return pa.Table.from_pydict(cols, schema=batch.schema)
+    df = batch.to_pandas()
+    ms = df["subj"].map(mapping)
+    mo = df["obj"].map(mapping)
+    changed = ms.notna() | mo.notna()
+    if not changed.any():
+        return batch
+    df.loc[ms.notna(), "subj"] = ms[ms.notna()]
+    df.loc[mo.notna(), "obj"] = mo[mo.notna()]
+    drop = (df["pred"] == _SAMEAS) & (df["subj"] == df["obj"])
+    rehash = changed & (df["graph"] != "") & ~drop
+    if rehash.any():
+        df.loc[rehash, "graph"] = [
+            fact_graph_iri(s, p, o)
+            for s, p, o in zip(df.loc[rehash, "subj"], df.loc[rehash, "pred"],
+                               df.loc[rehash, "obj"])
+        ]
+    if drop.any():
+        df = df[~drop]
+    return pa.Table.from_pandas(df, schema=batch.schema, preserve_index=False)
 
 
 def smush_local_batch(batch: pa.Table) -> pa.Table:
@@ -137,34 +141,14 @@ def smush_local_batch(batch: pa.Table) -> pa.Table:
             ufs.setdefault((conv[i], turn[i]), _UnionFind()).union(subj[i], obj[i])
     if not ufs:
         return batch
-    # per-doc rewrite (mapping keys are doc-scoped so a merged dict is safe
-    # only per doc; apply row-wise by doc key)
-    maps = {k: uf.mapping() for k, uf in ufs.items()}
-    graph = batch["graph"].to_pylist()
-    conf = batch["conf"].to_pylist()
-    keep_rows = []
-    for i in range(len(preds)):
-        m = maps.get((conv[i], turn[i]))
-        if m:
-            s = m.get(subj[i], subj[i])
-            o = m.get(obj[i], obj[i])
-            if preds[i] == _SAMEAS and s == o:
-                continue
-            if s != subj[i] or o != obj[i]:
-                subj[i], obj[i] = s, o
-                if graph[i]:
-                    graph[i] = fact_graph_iri(s, preds[i], o)
-        keep_rows.append(i)
-    data = {
-        "conv_id": [conv[i] for i in keep_rows],
-        "turn_idx": [turn[i] for i in keep_rows],
-        "subj": [subj[i] for i in keep_rows],
-        "pred": [preds[i] for i in keep_rows],
-        "obj": [obj[i] for i in keep_rows],
-        "graph": [graph[i] for i in keep_rows],
-        "conf": [conf[i] for i in keep_rows],
-    }
-    return pa.Table.from_pydict(data, schema=batch.schema)
+    # merged mapping is safe: every alias in a doc-local cluster is a
+    # doc-scoped IRI (conv:…#…, globally unique); corpus-level IRIs can
+    # only ever be the canonical representative here because
+    # corpus↔corpus edges are excluded from the local union-find.
+    mapping: dict[str, str] = {}
+    for uf in ufs.values():
+        mapping.update(uf.mapping())
+    return _rewrite_table(batch, mapping)
 
 
 def corpus_sameas_mapping(triples) -> dict[str, str]:
@@ -252,6 +236,13 @@ def _add_partition(df: pd.DataFrame, n_parts: int) -> pd.DataFrame:
 def dedup_exact(triples, n_parts: int = 64):
     """Distributed exact dedup of (subj, pred, obj, graph).
 
+    **Shuffle only what can actually collide.**  Default-graph triples
+    (graph == "") are doc-scoped — mention IRIs and document metadata
+    embed the document IRI, and the extractor already dedupes within a
+    document — so they are globally unique by construction and bypass
+    the exchange entirely.  Only instance-layer facts (graph != "",
+    corpus-level subjects like ``entity:``/``dbr:``) go through:
+
     Phase 1 (combiner, no shuffle): per-batch dedup — collapses hot
     repeated facts to ≤1 row per block, so no partition group exceeds
     the block count × its key share regardless of key skew.
@@ -260,13 +251,95 @@ def dedup_exact(triples, n_parts: int = 64):
     bucket — bounded group count, so the per-group UDF overhead of a
     per-key groupby never appears.
     """
-    local = triples.map_batches(
+    meta = triples.map_batches(
+        lambda t: t.filter(pc.equal(t["graph"], "")), batch_format="pyarrow")
+    facts = triples.map_batches(
+        lambda t: t.filter(pc.not_equal(t["graph"], "")), batch_format="pyarrow")
+
+    local = facts.map_batches(
         lambda df: _add_partition(_local_dedup(df), n_parts), batch_format="pandas")
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         return _local_dedup(g.drop(columns=["_part"]))
 
-    return local.groupby("_part").map_groups(merge_part, batch_format="pandas")
+    deduped = local.groupby("_part").map_groups(merge_part, batch_format="pandas")
+    # back to the canonical Arrow schema (pandas round-trip narrows
+    # large_string) so union sees one schema
+    from pikes_ray.schema import TRIPLES_SCHEMA
+
+    deduped = deduped.map_batches(
+        lambda t: t.select(TRIPLES_SCHEMA.names).cast(TRIPLES_SCHEMA),
+        batch_format="pyarrow")
+    return deduped.union(meta)
+
+
+def canonicalize_and_dedup(tr, n_parts: int = 64):
+    """Fused corpus canonicalization + exact dedup for the flagship path.
+
+    One materialization of the extracted triples, then:
+      - the sameAs vocabulary pass (small driver-side union-find),
+      - a meta branch: broadcast rewrite of default-graph triples (no
+        shuffle — they are doc-scoped-unique, see dedup_exact),
+      - a facts branch: broadcast rewrite → local-dedup combiner →
+        bounded hash-partition groupby → vectorized per-bucket dedup,
+      - the alias→canonical sameAs links unioned in.
+
+    Equivalent to ``dedup_exact(smush_global(tr))`` (asserted by tests)
+    with one less materialization and rewrite fused into each branch.
+    """
+    import ray.data as rd
+
+    tr = tr.materialize()
+    mapping = corpus_sameas_mapping(tr)
+    ref = ray.put(mapping)
+
+    # Only triples whose subject AND object are corpus-level IRIs can
+    # collide across documents (doc-scoped IRIs embed the doc identity
+    # and are deduped within-document by the extractor).  Everything
+    # touching a "conv:" IRI bypasses the exchange: at 10^12 turns this
+    # keeps the shuffle bounded by the entity/time vocabulary, not the
+    # corpus size.
+    def _doc_scoped_mask(t: pa.Table):
+        return pc.or_(pc.starts_with(t["subj"], "conv:"),
+                      pc.starts_with(t["obj"], "conv:"))
+
+    def bypass_branch(batch: pa.Table) -> pa.Table:
+        t = batch.filter(_doc_scoped_mask(batch))
+        t = _rewrite_table(t, ray.get(ref))
+        # the rewrite can in principle collapse two within-doc rows onto
+        # one; batches hold whole documents, so a local dedup suffices
+        df = t.to_pandas()
+        df = df.drop_duplicates(["subj", "pred", "obj", "graph"])
+        return pa.Table.from_pandas(df, schema=batch.schema, preserve_index=False)
+
+    def facts_branch(batch: pa.Table) -> pd.DataFrame:
+        t = batch.filter(pc.invert(_doc_scoped_mask(batch)))
+        t = _rewrite_table(t, ray.get(ref))
+        return _add_partition(_local_dedup(t.to_pandas()), n_parts)
+
+    meta = tr.map_batches(bypass_branch, batch_format="pyarrow")
+    facts = tr.map_batches(facts_branch, batch_format="pyarrow")
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        return _local_dedup(g.drop(columns=["_part"]))
+
+    from pikes_ray.schema import TRIPLES_SCHEMA
+
+    deduped = facts.groupby("_part").map_groups(merge_part, batch_format="pandas")
+    deduped = deduped.map_batches(
+        lambda t: t.select(TRIPLES_SCHEMA.names).cast(TRIPLES_SCHEMA),
+        batch_format="pyarrow")
+    out = deduped.union(meta)
+    alias_rows = [
+        {"conv_id": "", "turn_idx": -1, "subj": alias, "pred": _SAMEAS,
+         "obj": canon, "graph": fact_graph_iri(alias, _SAMEAS, canon),
+         "conf": 0.0}
+        for alias, canon in sorted(mapping.items())
+    ]
+    if alias_rows:
+        out = out.union(rd.from_arrow(
+            pa.Table.from_pylist(alias_rows, schema=TRIPLES_SCHEMA)))
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -54,7 +54,9 @@ def annotate_transcripts(
 def extract_graph(ds, canonicalize: bool = True, dedup: bool = True):
     """Annotated turns → canonical deduplicated triples Dataset."""
     tr = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
-    tr = tr.map_batches(smush_local_batch, batch_format="pyarrow", batch_size=8192)
+    # batch_size=None → whole blocks: extract emits complete documents
+    # per block, so the doc-local closure never sees a split document
+    tr = tr.map_batches(smush_local_batch, batch_format="pyarrow", batch_size=None)
     if canonicalize:
         # the sameAs-vocabulary pass and the rewrite both consume `tr`;
         # pin it so the annotator stages don't recompute.  (The
@@ -67,15 +69,68 @@ def extract_graph(ds, canonicalize: bool = True, dedup: bool = True):
     return tr
 
 
+def _auto_concurrency() -> int:
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus - 2)   # leave headroom for read/shuffle stages
+
+
 def transcripts_to_graph(
     source,
     cfg: FilterConfig | None = None,
     canonicalize: bool = True,
     dedup: bool = True,
-    concurrency: int | tuple[int, int] = (2, 8),
+    concurrency: int | tuple[int, int] | None = None,
+    fused: bool = True,
+    batch_size: int = 256,
 ):
-    """Full in-memory pipeline. ``source`` = Dataset or parquet dir."""
+    """Full in-memory pipeline. ``source`` = Dataset or parquet dir.
+
+    ``fused=True`` (default) runs the single-pass KGStage actor pool;
+    ``fused=False`` runs the composable per-layer stages (same output).
+    A fixed-size pool (int concurrency) is used by default — autoscaling
+    pools ramp too slowly for short batch jobs.
+    """
     ds = rd.read_parquet(source) if isinstance(source, str) else source
+    if concurrency is None:
+        concurrency = _auto_concurrency()
+    if fused:
+        if cfg is None:
+            # default config → stateless tasks + per-process model cache
+            # (no actor-pool ramp; see stages/fused.kg_stage_task)
+            from pikes_ray.stages.fused import kg_stage_task
+
+            tr = ds.map_batches(
+                kg_stage_task,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                num_cpus=1,
+            )
+        else:
+            from pikes_ray.stages.fused import KGStage
+
+            tr = ds.map_batches(
+                KGStage,
+                fn_constructor_kwargs={"cfg": cfg},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+                num_cpus=1,
+            )
+        if canonicalize and dedup:
+            from pikes_ray.pipelines.canonicalize import canonicalize_and_dedup
+
+            return canonicalize_and_dedup(tr)
+        if canonicalize:
+            tr = tr.materialize()
+            tr = smush_global(tr)
+        if dedup:
+            tr = dedup_exact(tr)
+        return tr
     ds = annotate_transcripts(ds, cfg, concurrency=concurrency)
     return extract_graph(ds, canonicalize=canonicalize, dedup=dedup)
 
@@ -95,9 +150,8 @@ def build_graph_checkpointed(
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
 
     def per_shard(shard_files):
-        ds = rd.read_parquet(shard_files)
-        ds = annotate_transcripts(ds, cfg)
-        return extract_graph(ds, canonicalize=False, dedup=False)
+        return transcripts_to_graph(rd.read_parquet(shard_files), cfg,
+                                    canonicalize=False, dedup=False)
 
     summary = run_checkpointed(files, out_dir, per_shard, n_shards=n_shards)
 

@@ -1,0 +1,77 @@
+"""Output sinks (≙ S5 RDF writer / S6 NAF writer, SURVEY §2.1).
+
+- ``write_ntriples``: triples Dataset → N-Quads-ish text files, CURIEs
+  expanded via the namespace table (≙ rdfpro TriG/TQL writer,
+  RDFGenerator.java:323-446).  One file per block — a directory of
+  parts, never one giant file.
+- ``write_debug_json``: annotated Dataset → JSON lines of the nested
+  annotation columns (the NAF-XML debug serialization analogue —
+  intermediate state is columnar, XML is unnecessary; SURVEY §1.4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from pikes_ray.functions.iri import NAMESPACES
+
+
+def expand_curie(term: str) -> str:
+    """CURIE → full IRI in N-Triples angle brackets; literals pass through."""
+    if term.startswith('"'):
+        if "^^" in term:
+            lex, _, dt = term.rpartition("^^")
+            return f"{lex}^^{expand_curie(dt)}"
+        return term
+    prefix, _, local = term.partition(":")
+    base = NAMESPACES.get(prefix)
+    if base is not None:
+        return f"<{base}{local}>"
+    return f"<{term}>"
+
+
+def format_ntriples(batch: pa.Table) -> pa.Table:
+    subj = batch["subj"].to_pylist()
+    pred = batch["pred"].to_pylist()
+    obj = batch["obj"].to_pylist()
+    graph = batch["graph"].to_pylist()
+    lines = []
+    for s, p, o, g in zip(subj, pred, obj, graph):
+        quad = f"{expand_curie(s)} {expand_curie(p)} {expand_curie(o)}"
+        if g:
+            quad += f" {expand_curie(g)}"
+        lines.append(quad + " .")
+    return pa.table({"text": pa.array(lines, pa.string())})
+
+
+def write_ntriples(triples, out_dir: str) -> int:
+    """Each block writes its own ``part-*.nt`` file (text sink — CSV/JSON
+    writers would quote the N-Triples syntax).  Returns lines written."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        lines = format_ntriples(batch)["text"].to_pylist()
+        if lines:
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nt")
+            with open(path + ".tmp", "w") as f:
+                f.write("\n".join(lines) + "\n")
+            os.replace(path + ".tmp", path)      # atomic publish
+        return pa.table({"n": pa.array([len(lines)], pa.int64())})
+
+    parts = triples.map_batches(write_block, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    return int(parts.aggregate(Sum("n", alias_name="n"))["n"])
+
+
+def write_debug_json(annotated, out_dir: str) -> None:
+    """JSON-lines debug dump of the annotation layers, one dir of parts."""
+
+    def to_json(df: pd.DataFrame) -> pd.DataFrame:
+        return df
+
+    annotated.map_batches(to_json, batch_format="pandas").write_json(out_dir)

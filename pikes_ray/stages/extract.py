@@ -227,18 +227,17 @@ class _DocExtractor:
 
     def t5_modifiers(self) -> None:
         """Adjective modifiers of instance heads → ks:mod quality values
-        (MODIFIER_REGEX walk analogue, RDFGenerator.java:1101-1149)."""
-        adv_of_adj: dict[int, int] = {}
-        mods_of_head: dict[int, list[int]] = {}
-        for d in self.deps:
-            if d["rfunc"] == "AMOD":
-                adv_of_adj[d["frm"]] = d["to"]
-            elif d["rfunc"] == "NMOD" and self.tokens[d["to"]]["morphofeat"] == "JJ":
-                mods_of_head.setdefault(d["frm"], []).append(d["to"])
-        for head, adjs in mods_of_head.items():
-            inst = self.inst_of_head.get(head)
-            if inst is None:
-                continue
+        — the MODIFIER_REGEX dep-descendant walk (RDFGenerator.java:
+        1101-1149 over KAFDocument.getTermsByDepDescendants)."""
+        from pikes_ray.functions.deppath import DepGraph
+
+        dg = DepGraph(self.deps, len(self.tokens))
+        adv_of_adj = {d["frm"]: d["to"] for d in self.deps if d["rfunc"] == "AMOD"}
+        for head, inst in sorted(self.inst_of_head.items()):
+            adjs = [
+                t for t in dg.terms_by_dep_descendants({head}, "(NMOD|AMOD)")
+                if self.tokens[t]["morphofeat"] == "JJ"
+            ]
             for adj in sorted(adjs):
                 adv = adv_of_adj.get(adj)
                 value = self.tokens[adj]["lemma"]

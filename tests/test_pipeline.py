@@ -135,3 +135,12 @@ def test_checkpoint_resume(ray_session, tmp_path, unit_graph):
     got = set(zip(final["subj"], final["pred"], final["obj"], final["graph"]))
     want = set(zip(unit_graph["subj"], unit_graph["pred"], unit_graph["obj"], unit_graph["graph"]))
     assert got == want
+
+
+def test_fused_equals_staged(ray_session):
+    """The fused KGStage path and the composable staged path must emit
+    the identical triple set (they call the same functions)."""
+    src = transcripts_dir("unit")
+    fused = triple_set(transcripts_to_graph(src, concurrency=2, fused=True))
+    staged = triple_set(transcripts_to_graph(src, concurrency=2, fused=False))
+    assert fused == staged

@@ -1,0 +1,80 @@
+"""Sinks / ingest recipes / corpus stats / evaluation tests."""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from pikes_ray.pipelines.kg import annotate_transcripts, transcripts_to_graph
+from pikes_ray.pipelines.stats import corpus_statistics, triple_pr
+from pikes_ray.sources.ingest import (
+    read_documents_as_transcripts,
+    read_jsonl_transcripts,
+)
+from pikes_ray.sources.sinks import expand_curie, write_ntriples
+from pikes_ray.sources.transcripts import transcripts_dir
+
+
+def test_expand_curie():
+    assert expand_curie("rdf:type") == \
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    assert expand_curie('"x"') == '"x"'
+    assert expand_curie('"5"^^xsd:int') == \
+        '"5"^^<http://www.w3.org/2001/XMLSchema#int>'
+    assert expand_curie("dbr:Paris") == "<http://dbpedia.org/resource/Paris>"
+
+
+def test_write_ntriples(ray_session, tmp_path):
+    tr = transcripts_to_graph(transcripts_dir("unit"), concurrency=2)
+    out = str(tmp_path / "nt")
+    write_ntriples(tr, out)
+    files = glob.glob(os.path.join(out, "*"))
+    assert files
+    line = open(files[0]).readline().strip()
+    assert line.endswith(" .") and line.startswith("<")
+
+
+def test_ingest_jsonl(ray_session, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"conv_id": "c1", "turn_idx": 0, "role": "user", '
+                 '"text": "Acme Corp acquired Beta LLC."}\n')
+    ds = read_jsonl_transcripts(str(p))
+    df = ds.to_pandas()
+    assert list(df.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert df["tool"].iloc[0] == ""
+
+
+def test_documents_as_transcripts(ray_session):
+    ds = read_documents_as_transcripts("/root/testdata/sf0.001")
+    df = ds.to_pandas()
+    assert len(df) == 500
+    assert (df["turn_idx"] == 0).all()
+    assert df["conv_id"].str.startswith("doc-").all()
+
+
+def test_corpus_statistics(ray_session):
+    ann = annotate_transcripts(rd.read_parquet(transcripts_dir("unit")),
+                               concurrency=2)
+    stats = corpus_statistics(ann)
+    row = stats.iloc[0]
+    assert row["turns"] == 66
+    assert row["tokens"] > 500
+    assert row["entities"] > 50
+    assert row["sentences"] >= row["turns"] - 10
+
+
+def test_triple_pr_exact_match(ray_session):
+    tr = transcripts_to_graph(transcripts_dir("unit"), concurrency=2).materialize()
+    res = triple_pr(tr, tr)
+    assert res["precision"] == 1.0 and res["recall"] == 1.0
+
+
+def test_triple_pr_partial(ray_session):
+    tr = transcripts_to_graph(transcripts_dir("unit"), concurrency=2).materialize()
+    half = tr.limit(tr.count() // 2).materialize()
+    res = triple_pr(half, tr)
+    assert res["precision"] == 1.0
+    assert 0.3 < res["recall"] < 0.8
