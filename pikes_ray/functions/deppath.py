@@ -19,16 +19,31 @@ from __future__ import annotations
 
 import re
 
+# Process-global label interning + compiled-pattern cache: labels come
+# from a small fixed set, so interning once per process (instead of per
+# document) lets every document share the compiled path regexes — the
+# per-doc recompilation dominated the modifier walk before.  The char
+# assignment order never affects output (chars are only compared to
+# each other within one process).
+_GLOBAL_LABELS: dict[str, str] = {}
+_COMPILED: dict[str, re.Pattern] = {}
+
+
+def _intern_label(label: str) -> str:
+    c = _GLOBAL_LABELS.get(label)
+    if c is None:
+        c = chr(0x41 + len(_GLOBAL_LABELS))
+        _GLOBAL_LABELS[label] = c
+    return c
+
 
 class DepGraph:
-    """Per-document dependency graph with label-char interning."""
+    """Per-document dependency graph over globally interned labels."""
 
     def __init__(self, deps: list[dict], n_tokens: int):
         self.n = n_tokens
         self.children: dict[int, list[tuple[int, str]]] = {}
         self.parent: dict[int, tuple[int, str]] = {}
-        self._label_char: dict[str, str] = {}
-        self._next = 0x41   # 'A'
         for d in deps:
             g, t, r = d["frm"], d["to"], d["rfunc"]
             self.children.setdefault(g, []).append((t, r))
@@ -36,18 +51,16 @@ class DepGraph:
             self.parent.setdefault(t, (g, r))
 
     def label_char(self, label: str) -> str:
-        c = self._label_char.get(label)
-        if c is None:
-            c = chr(self._next)
-            self._next += 1
-            self._label_char[label] = c
-        return c
+        return _intern_label(label)
 
     def compile_path(self, pattern: str) -> re.Pattern:
         """Compile a label-path regex: label names in the pattern are
         replaced by their interned chars.  Labels are matched as whole
         tokens; regex operators pass through.
         (≙ KAFDocument.getDepPathRegex :1923-1971)"""
+        cached = _COMPILED.get(pattern)
+        if cached is not None:
+            return cached
         out = []
         i = 0
         while i < len(pattern):
@@ -63,7 +76,9 @@ class DepGraph:
             else:
                 out.append(ch)
                 i += 1
-        return re.compile("".join(out))
+        rx = re.compile("".join(out))
+        _COMPILED[pattern] = rx
+        return rx
 
     # --- head extraction (null on multi-root, :2027-2044) ------------------
 

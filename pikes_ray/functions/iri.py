@@ -40,12 +40,15 @@ NAMESPACES = {
 
 _NON_IRI = re.compile(r"[^a-z0-9_]+")
 
+from functools import lru_cache
+
 
 def doc_iri(conv_id: str, turn_idx: int) -> str:
     """Document IRI for one turn (FIXTURES.md §2 doc-scoped mint base)."""
     return f"conv:{conv_id}%23turn={turn_idx}"
 
 
+@lru_cache(maxsize=65536)
 def clean_local(label: str) -> str:
     """Lowercase, strip diacritics/articles, non-alnum → '_'.
 

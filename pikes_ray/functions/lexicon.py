@@ -159,3 +159,19 @@ LINKING_STOPWORDS = frozenset(
 STOPWORDS = LINKING_STOPWORDS | frozenset(
     "is are was were be been with by from as his her its their we you i".split()
 )
+
+
+def static_canon_map() -> dict[str, str]:
+    """alias → canonical IRI derived from the pinned gazetteer.
+
+    The only corpus-level sameAs edges the extractor can emit are
+    (entity:<alias>, owl:sameAs, dbr:<resource>) links from this
+    gazetteer, so the corpus smushing map is fully determined by the
+    pinned model — the flagship pipeline broadcasts it inline (zero
+    extra passes); the dynamic corpus_sameas_mapping path computes the
+    same map from emitted triples for un-pinned linkers.
+    """
+    from pikes_ray.functions.iri import entity_iri
+
+    return {entity_iri(alias): f"dbr:{res}"
+            for alias, (_t, res, _c) in GAZETTEER.items()}

@@ -90,33 +90,47 @@ class _UnionFind:
         return out
 
 
-def _rewrite_table(batch: pa.Table, mapping: dict[str, str]) -> pa.Table:
-    """Rewrite subj/obj via mapping; drop self-sameAs; rehash fact graphs.
+def _rewrite_table(batch: pa.Table, mapping: dict[str, str],
+                   rewrite_sameas_subj: bool = True) -> pa.Table:
+    """Rewrite subj/obj via the alias→canonical mapping; drop
+    now-self-referential sameAs rows.
 
-    Vectorized: dict lookups run through pandas ``Series.map``; only the
-    rows actually rewritten get their fact-graph IRI recomputed.
+    Pure Arrow kernels (``index_in``/``take``/``coalesce``) — zero-copy
+    when nothing matches.  Fact-graph IRIs are NOT recomputed: like the
+    reference's smushing (rdfpro rewrites terms, contexts stay), the
+    ``fact:<hash>`` name is an emission-time identifier, which also
+    keeps this stage allocation-free.
+
+    ``rewrite_sameas_subj=False`` preserves (alias, owl:sameAs, canon)
+    rows verbatim instead of collapsing them to self-loops — used by
+    the inline/static canonicalization path, where the alias links ARE
+    the rdfpro-style smush output.
     """
     if not mapping or len(batch) == 0:
         return batch
-    df = batch.to_pandas()
-    ms = df["subj"].map(mapping)
-    mo = df["obj"].map(mapping)
-    changed = ms.notna() | mo.notna()
-    if not changed.any():
+
+    def remap(col):
+        aliases = pa.array(list(mapping.keys()), type=col.type)
+        canons = pa.array(list(mapping.values()), type=col.type)
+        idx = pc.index_in(col, value_set=aliases)
+        if pc.count(idx, mode="only_valid").as_py() == 0:
+            return col, False
+        return pc.coalesce(pc.take(canons, idx), col), True
+
+    subj, s_changed = remap(batch["subj"])
+    obj, o_changed = remap(batch["obj"])
+    if not (s_changed or o_changed):
         return batch
-    df.loc[ms.notna(), "subj"] = ms[ms.notna()]
-    df.loc[mo.notna(), "obj"] = mo[mo.notna()]
-    drop = (df["pred"] == _SAMEAS) & (df["subj"] == df["obj"])
-    rehash = changed & (df["graph"] != "") & ~drop
-    if rehash.any():
-        df.loc[rehash, "graph"] = [
-            fact_graph_iri(s, p, o)
-            for s, p, o in zip(df.loc[rehash, "subj"], df.loc[rehash, "pred"],
-                               df.loc[rehash, "obj"])
-        ]
-    if drop.any():
-        df = df[~drop]
-    return pa.Table.from_pandas(df, schema=batch.schema, preserve_index=False)
+    if s_changed and not rewrite_sameas_subj:
+        keep_orig = pc.equal(batch["pred"], _SAMEAS)
+        subj = pc.if_else(keep_orig, batch["subj"], subj)
+    batch = batch.set_column(batch.schema.get_field_index("subj"), "subj", subj)
+    batch = batch.set_column(batch.schema.get_field_index("obj"), "obj", obj)
+    drop = pc.and_(pc.equal(batch["pred"], _SAMEAS),
+                   pc.equal(batch["subj"], batch["obj"]))
+    if pc.any(drop).as_py():
+        batch = batch.filter(pc.invert(drop))
+    return batch
 
 
 def smush_local_batch(batch: pa.Table) -> pa.Table:
@@ -251,13 +265,23 @@ def dedup_exact(triples, n_parts: int = 64):
     bucket — bounded group count, so the per-group UDF overhead of a
     per-key groupby never appears.
     """
-    meta = triples.map_batches(
-        lambda t: t.filter(pc.equal(t["graph"], "")), batch_format="pyarrow")
-    facts = triples.map_batches(
-        lambda t: t.filter(pc.not_equal(t["graph"], "")), batch_format="pyarrow")
+    from pikes_ray.functions.worker import ensure_worker_tuned
 
-    local = facts.map_batches(
-        lambda df: _add_partition(_local_dedup(df), n_parts), batch_format="pandas")
+    def doc_scoped(t: pa.Table):
+        return pc.or_(pc.starts_with(t["subj"], "conv:"),
+                      pc.starts_with(t["obj"], "conv:"))
+
+    def bypass(t: pa.Table) -> pa.Table:
+        ensure_worker_tuned()
+        return t.filter(doc_scoped(t))
+
+    def combiner(t: pa.Table) -> pd.DataFrame:
+        ensure_worker_tuned()
+        t = t.filter(pc.invert(doc_scoped(t)))
+        return _add_partition(_local_dedup(t.to_pandas()), n_parts)
+
+    meta = triples.map_batches(bypass, batch_format="pyarrow")
+    local = triples.map_batches(combiner, batch_format="pyarrow")
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         return _local_dedup(g.drop(columns=["_part"]))
@@ -303,16 +327,20 @@ def canonicalize_and_dedup(tr, n_parts: int = 64):
         return pc.or_(pc.starts_with(t["subj"], "conv:"),
                       pc.starts_with(t["obj"], "conv:"))
 
+    from pikes_ray.functions.worker import ensure_worker_tuned
+
     def bypass_branch(batch: pa.Table) -> pa.Table:
+        ensure_worker_tuned()
+        # rewrite only — the rewrite cannot create duplicates here: the
+        # doc-scoped side of each row is untouched and unique, and the
+        # extractor never emits a canonical (dbr:) term where an alias
+        # also appears in the same document (asserted by the
+        # fused-vs-staged equivalence test)
         t = batch.filter(_doc_scoped_mask(batch))
-        t = _rewrite_table(t, ray.get(ref))
-        # the rewrite can in principle collapse two within-doc rows onto
-        # one; batches hold whole documents, so a local dedup suffices
-        df = t.to_pandas()
-        df = df.drop_duplicates(["subj", "pred", "obj", "graph"])
-        return pa.Table.from_pandas(df, schema=batch.schema, preserve_index=False)
+        return _rewrite_table(t, ray.get(ref))
 
     def facts_branch(batch: pa.Table) -> pd.DataFrame:
+        ensure_worker_tuned()
         t = batch.filter(pc.invert(_doc_scoped_mask(batch)))
         t = _rewrite_table(t, ray.get(ref))
         return _add_partition(_local_dedup(t.to_pandas()), n_parts)

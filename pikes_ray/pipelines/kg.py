@@ -121,14 +121,15 @@ def transcripts_to_graph(
                 concurrency=concurrency,
                 num_cpus=1,
             )
-        if canonicalize and dedup:
-            from pikes_ray.pipelines.canonicalize import canonicalize_and_dedup
-
-            return canonicalize_and_dedup(tr)
-        if canonicalize:
-            tr = tr.materialize()
-            tr = smush_global(tr)
+        # corpus canonicalization already ran inline in KGStage (static
+        # gazetteer map; the dynamic smush path below serves un-pinned
+        # linkers and the staged pipeline)
         if dedup:
+            # dedup_exact consumes its input twice (bypass + combiner
+            # branches) — pin the extracted triples so annotation runs
+            # exactly once.  (The checkpointed build passes parquet-backed
+            # shards instead.)
+            tr = tr.materialize()
             tr = dedup_exact(tr)
         return tr
     ds = annotate_transcripts(ds, cfg, concurrency=concurrency)

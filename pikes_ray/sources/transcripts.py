@@ -222,3 +222,12 @@ def read_transcripts(sf_dir_or_tag: str, **kwargs):
 
     path = transcripts_dir(sf_dir_or_tag)
     return rd.read_parquet(path, **kwargs)
+
+
+def split_corpus(ds, fractions: list[float], seed: int = SEED):
+    """Seeded shuffle + proportional split (≙ Corpus.split,
+    pikes-naflib/.../Corpus.java:285-315 — train/test tooling, O4).
+
+    Returns len(fractions)+1 Datasets; the last takes the remainder.
+    """
+    return ds.random_shuffle(seed=seed).split_proportionately(fractions)

@@ -91,7 +91,7 @@ def _build_verb_forms() -> dict[str, tuple[str, str]]:
     return forms
 
 
-@dataclass
+@dataclass(slots=True)
 class Tok:
     form: str
     offset: int
@@ -102,7 +102,7 @@ class Tok:
     lemma: str = ""
 
 
-@dataclass
+@dataclass(slots=True)
 class Ent:
     etype: str
     start: int
@@ -113,7 +113,7 @@ class Ent:
     norm: str = ""
 
 
-@dataclass
+@dataclass(slots=True)
 class Pred:
     head: int
     sense: str

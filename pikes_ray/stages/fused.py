@@ -29,10 +29,15 @@ class KGStage:
 
     def __init__(self, cfg: FilterConfig | None = None,
                  max_text_len: int = DEFAULT_MAX_TEXT_LEN,
-                 local_smush: bool = True):
+                 local_smush: bool = True, static_canon: bool = True):
         self.model = RuleAnnotator()
         self.cfg = cfg or FilterConfig()
         self.max_text_len = max_text_len
+        # inline corpus canonicalization from the pinned gazetteer
+        # (lexicon.static_canon_map); alias sameAs links preserved
+        from pikes_ray.functions.lexicon import static_canon_map
+
+        self.canon_map = static_canon_map() if static_canon else None
         # doc-local sameAs closure runs here, where each document's
         # triples are guaranteed complete within the batch (a later
         # re-batched stage could split a document across batches and
@@ -75,6 +80,11 @@ class KGStage:
             from pikes_ray.pipelines.canonicalize import smush_local_batch
 
             table = smush_local_batch(table)
+        if self.canon_map:
+            from pikes_ray.pipelines.canonicalize import _rewrite_table
+
+            table = _rewrite_table(table, self.canon_map,
+                                   rewrite_sameas_subj=False)
         return table
 
 
@@ -93,5 +103,8 @@ def kg_stage_task(batch: pa.Table) -> pa.Table:
     """
     global _PROCESS_STAGE
     if _PROCESS_STAGE is None:
+        from pikes_ray.functions.worker import ensure_worker_tuned
+
+        ensure_worker_tuned()
         _PROCESS_STAGE = KGStage()
     return _PROCESS_STAGE(batch)

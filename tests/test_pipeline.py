@@ -69,11 +69,17 @@ def test_smush_keeps_alias_links(unit_graph):
 
 
 def test_fact_graphs_consistent(unit_graph):
+    """Fact-graph IRIs are emission-time hashes; canonicalization
+    rewrites terms but keeps the graph name (rdfpro-smush semantics).
+    Rows that cannot have been rewritten (doc-scoped subject, literal
+    object) must hash-match exactly."""
     from pikes_ray.functions.hashing import fact_graph_iri
 
-    facts = unit_graph[unit_graph["graph"] != ""]
-    sample = facts.head(200)
-    for _, r in sample.iterrows():
+    facts = unit_graph[(unit_graph["graph"] != "")
+                       & unit_graph["subj"].str.startswith("conv:")
+                       & unit_graph["obj"].str.startswith('"')]
+    assert len(facts) > 50
+    for _, r in facts.head(200).iterrows():
         assert r["graph"] == fact_graph_iri(r["subj"], r["pred"], r["obj"])
 
 

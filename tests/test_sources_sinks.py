@@ -78,3 +78,29 @@ def test_triple_pr_partial(ray_session):
     res = triple_pr(half, tr)
     assert res["precision"] == 1.0
     assert 0.3 < res["recall"] < 0.8
+
+
+def test_split_corpus(ray_session):
+    from pikes_ray.sources.transcripts import split_corpus
+
+    ds = rd.read_parquet(transcripts_dir("unit"))
+    a, b, rest = split_corpus(ds, [0.5, 0.25])
+    na, nb, nr = a.count(), b.count(), rest.count()
+    assert na + nb + nr == 66
+    assert na == 33  # deterministic proportional split
+
+
+def test_salted_group_agg(ray_session):
+    import pandas as pd
+    from pikes_ray.pipelines.canonicalize import salted_group_agg
+
+    df = pd.DataFrame({"k": ["hot"] * 900 + ["cold"] * 100,
+                       "v": list(range(900)) + list(range(100))})
+    ds = rd.from_pandas(df)
+
+    def combiner(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "v": [g["v"].max()]})
+
+    out = salted_group_agg(ds, ["k"], combiner, salt_buckets=8).to_pandas()
+    got = dict(zip(out["k"], out["v"]))
+    assert got == {"hot": 899, "cold": 99}
