@@ -128,8 +128,10 @@ def run_scaling() -> dict:
     is the honest estimate of the job's own cost.
     """
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
     out = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         best = None
         for r in range(repeats):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -141,18 +143,19 @@ def run_scaling() -> dict:
             if best is None or res["value"] < best["value"]:
                 best = res
         out[ncpu] = best
-    t8, t32 = out[8]["value"], out[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": t8,
-        "sec_32": t32,
-        "turns_per_sec_8": out[8]["turns_per_sec"],
-        "turns_per_sec_32": out[32]["turns_per_sec"],
-        "sf": out[32]["sf"],
-        "turns": out[32]["turns"],
+        "cpus": [lo, hi],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": out[lo]["turns_per_sec"],
+        f"turns_per_sec_{hi}": out[hi]["turns_per_sec"],
+        "sf": out[hi]["sf"],
+        "turns": out[hi]["turns"],
     }
 
 

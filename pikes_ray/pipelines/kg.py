@@ -1,17 +1,22 @@
 """The flagship pipeline: transcripts → knowledge graph (SURVEY §3.4).
 
-    ds = read_parquet(transcripts)                   # S1
-    ds = map_batches(normalize)                      # M1 stateless
-    ds = map_batches(AnnotatorStage, concurrency=N)  # A1-A5 actor pool
-    ds = map_batches(FilterStage)                    # F1-F17 fused
-    tr = map_batches(extract_batch)                  # T0-T8 explode
-    tr = map_batches(smush_local)                    # E2 doc-local closure
-    tr = smush_global(tr)                            # E2 broadcast rewrite
-    tr = dedup_exact(tr)                             # E1 two-phase
-    write / materialize                               # resumable shards
+Fused fast path (default):
 
-All stages stream with backpressure; nothing materializes the full
-dataset except small driver-side results (the sameAs edge vocabulary).
+    ds = read_parquet(transcripts)                  # S1
+    tr = map_batches(kg_stage_task)                 # M1+A1-A5+F1-F17+T0-T8
+                                                    #  + E2 doc-local closure
+                                                    #  + E2 static broadcast canon
+    tr = tr.materialize()                           # pin: dedup reads twice
+    tr = dedup_exact(tr)                            # E1: doc-scoped bypass +
+                                                    #  corpus-fact shuffle
+Staged path (``fused=False`` — same output, asserted by tests):
+
+    annotate (actor pool) → filter → extract → smush_local
+    → smush_global (dynamic sameAs vocabulary, broadcast rewrite)
+    → dedup_exact
+
+Checkpointed builds write per-shard parquet intermediates instead of
+materializing (build_graph_checkpointed).
 """
 
 from __future__ import annotations
