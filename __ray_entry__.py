@@ -168,6 +168,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "pred_lang", "fp"]
         return df[cols].sort_values("doc_id").reset_index(drop=True)
 
+    def doc_sentiment(sf_dir):
+        from pikes_ray.ops.text import sentiment
+
+        df = _docs(sf_dir).map_batches(sentiment, batch_format="pandas").to_pandas()
+        return df[["doc_id", "polarity"]].sort_values("doc_id").reset_index(drop=True)
+
     def doc_minhash_dedup(sf_dir):
         kept = D.minhash_dedup(_docs(sf_dir)).to_pandas()
         return kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
@@ -212,6 +218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hourly": R.events_hourly,
         "q_user_sessions": R.user_sessions,
         "q_distinct_segments": R.distinct_segments,
+        "q_event_gaps": R.event_gaps,
+        "q_customers_without_orders": R.customers_without_orders,
+        "doc_sentiment": doc_sentiment,
         "doc_token_stats": doc_token_stats,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_quality": doc_quality,
@@ -293,6 +302,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        "q_event_gaps": """
+            SELECT event_id,
+                   round(coalesce(date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) / 1000000.0, -1.0), 6) AS gap_sec
+            FROM events ORDER BY event_id
+        """,
+        "q_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
         """,
         "doc_token_stats": f"""
             SELECT lang,

@@ -121,3 +121,53 @@ def analyze(ds, col: str = "text"):
     ds = ds.map_batches(lambda d: quality_features(d, col), batch_format="pandas")
     ds = ds.map_batches(lambda d: lang_id(d, col), batch_format="pandas")
     return ds.map_batches(lambda d: fingerprint(d, col), batch_format="pandas")
+
+
+# --- M18 analogues: stemming + sentiment lexicon scoring -------------------
+# (≙ resources/Stemming.java 75 LoC; SentiWordNet/SenticNet/
+# SubjectivityLexicon loaders — pikes-resources/.../resources/*.java)
+
+_STEM_SUFFIXES = (
+    ("ational", "ate"), ("tional", "tion"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"), ("ization", "ize"),
+    ("ations", "ate"), ("ement", ""), ("ments", "ment"), ("ness", ""),
+    ("ions", "ion"), ("ing", ""), ("edly", ""), ("eed", "ee"),
+    ("ied", "y"), ("ies", "y"), ("ed", ""), ("s", ""),
+)
+
+
+def stem(word: str) -> str:
+    """Porter-like suffix stripping (deterministic, lexicon-free)."""
+    w = word.lower()
+    if len(w) <= 3:
+        return w
+    for suf, repl in _STEM_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) + len(repl) >= 3:
+            return w[: len(w) - len(suf)] + repl
+    return w
+
+
+# tiny pinned polarity lexicon (SentiWordNet-style scores in [-1, 1])
+_SENTIMENT = {
+    "good": 0.7, "great": 0.9, "excellent": 1.0, "strong": 0.5,
+    "positive": 0.6, "fast": 0.4, "win": 0.6, "growth": 0.5, "rise": 0.3,
+    "bad": -0.7, "poor": -0.6, "terrible": -1.0, "weak": -0.5,
+    "negative": -0.6, "slow": -0.4, "loss": -0.6, "fall": -0.3,
+    "error": -0.5, "fail": -0.8,
+}
+
+
+def sentiment(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Append ``polarity`` ∈ [-1, 1]: mean lexicon score over stemmed
+    tokens (vectorizable batch kernel; ≙ the opinion-lexicon scoring
+    the reference's RAID module applies per expression)."""
+    def _score(t: str) -> float:
+        ws = _WS_TOKEN.findall(t.lower()) if t else []
+        if not ws:
+            return 0.0
+        vals = [_SENTIMENT[s] for s in (stem(w) for w in ws) if s in _SENTIMENT]
+        return round(sum(vals) / len(ws), 6) if vals else 0.0
+
+    out = df.copy()
+    out["polarity"] = df[col].fillna("").map(_score)
+    return out

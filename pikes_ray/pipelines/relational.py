@@ -192,3 +192,48 @@ def distinct_segments(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
     return pd.DataFrame({"c_mktsegment": vals})
+
+
+def event_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per event: seconds since the previous event of the same user —
+    an ordered window (LAG) computed inside the bounded-bucket grouped
+    map (first event of a user → -1)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff().dt.total_seconds()
+        return pd.DataFrame({"event_id": g["event_id"].values,
+                             "gap_sec": gap.fillna(-1.0).round(6).values})
+
+    from pikes_ray.pipelines.shuffle import partitioned_group_map
+
+    out = partitioned_group_map(ds, ["user_id"], per_user, n_parts=32).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join: customers with no orders — the customer keys that
+    appear in orders are collected distributed, broadcast via ray.put,
+    and filtered inside map_batches (no shuffle; SURVEY §2.6 semi/anti
+    join pattern)."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    keys: set = set()
+    for b in orders.map_batches(
+            lambda df: pd.DataFrame({"k": df["o_custkey"].unique()}),
+            batch_format="pandas").iter_batches(batch_size=65536,
+                                                batch_format="pandas"):
+        keys.update(int(x) for x in b["k"])
+    ref = ray.put(keys)
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(ref)
+        return df[~df["c_custkey"].isin(k)]
+
+    out = cust.map_batches(anti, batch_format="pandas").to_pandas()
+    if out.empty:     # every customer ordered at this scale
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                             "c_name": pd.Series(dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)

@@ -104,3 +104,20 @@ def test_salted_group_agg(ray_session):
     out = salted_group_agg(ds, ["k"], combiner, salt_buckets=8).to_pandas()
     got = dict(zip(out["k"], out["v"]))
     assert got == {"hot": 899, "cold": 99}
+
+
+def test_cli_eval_smoke():
+    """CLI subcommand end-to-end in its own process/Ray session."""
+    import json
+    import subprocess
+    import sys
+
+    gold = os.path.join(os.path.dirname(__file__), "golden", "triples_gold.parquet")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pikes_ray", "eval", "--pred", gold,
+         "--gold", gold, "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=180,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-800:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["precision"] == 1.0 and res["recall"] == 1.0
