@@ -96,6 +96,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n"] = out["n"].astype("int64")
         return out.sort_values("obj").reset_index(drop=True)
 
+    def kg_docs_triples(sf_dir):
+        """KG pipeline over the generic documents corpus (engine
+        generality: any text table ingests via the transcript schema)."""
+        from pikes_ray.pipelines.kg import transcripts_to_graph
+        from pikes_ray.sources.ingest import read_documents_as_transcripts
+
+        return transcripts_to_graph(read_documents_as_transcripts(sf_dir),
+                                    concurrency=(2, 8))
+
     def kg_sameas_links(sf_dir):
         tr = _kg_triples(sf_dir).to_pandas()
         s = tr[tr["pred"] == "owl:sameAs"][["subj", "obj"]]
@@ -209,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_degree": kg_entity_degree,
         "kg_type_counts": kg_type_counts,
         "kg_sameas_links": kg_sameas_links,
+        "kg_docs_triples": kg_docs_triples,
         "t_turn_stats": t_turn_stats,
         "t_conv_turns": t_conv_turns,
         "q_pricing_summary": R.pricing_summary,

@@ -116,6 +116,11 @@ class _DocExtractor:
         self.meta(d, "ks:role", _lit(self.row["role"]))
         if self.row["tool"]:
             self.meta(d, "ks:tool", _lit(self.row["tool"]))
+        if self.row.get("quarantined"):
+            # poison-row channel surfaces in the graph instead of a log
+            # (log-and-continue, SURVEY §4): annotation layers are empty
+            # but the document row is accounted for
+            self.meta(d, "ks:quarantined", _lit("true", "xsd:boolean"))
 
     def _entity_instance(self, idx: int, ent: dict) -> str | None:
         """T1+T2: instance IRI for an entity; emits its own triples once."""

@@ -65,7 +65,8 @@ class KGStage:
                 ann = self.model.annotate(t)
                 ann = filter_document(ann, self.cfg)
             row = {"conv_id": conv[i], "turn_idx": turn[i], "role": role[i],
-                   "text": t, "tool": tool[i], "ts": ts[i], **ann}
+                   "text": t, "tool": tool[i], "ts": ts[i],
+                   "quarantined": quarantined, **ann}
             ex = _DocExtractor(conv[i], turn[i], row)
             for (s, p, o, g, c) in ex.run():
                 out["conv_id"].append(conv[i])

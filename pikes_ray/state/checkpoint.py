@@ -77,11 +77,17 @@ def run_checkpointed(
         import pyarrow.dataset as pads
 
         rows = pads.dataset(shard_dir).count_rows()
+        rows_in = pads.dataset(list(files)).count_rows()
+        in_bytes = sum(os.path.getsize(f) for f in files)
+        wall = round(time.perf_counter() - t0, 3)
         manifest = {
             "shard": k,
             "inputs": list(files),
+            "input_rows": rows_in,
+            "input_bytes": in_bytes,
             "rows_out": rows,
-            "wall_sec": round(time.perf_counter() - t0, 3),
+            "wall_sec": wall,
+            "rows_in_per_sec": round(rows_in / wall, 1) if wall else None,
         }
         tmp = _manifest_path(out_dir, k) + ".tmp"
         with open(tmp, "w") as f:

@@ -1,0 +1,55 @@
+"""Robustness: quarantine surfacing, canonicalize idempotence, fuzzing."""
+
+import datetime as dt
+
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from pikes_ray.schema import TRANSCRIPT_SCHEMA
+from pikes_ray.stages.fused import KGStage
+
+
+def _batch(texts):
+    rows = [{"conv_id": "c", "turn_idx": i, "role": "user", "text": t,
+             "tool": "", "ts": dt.datetime(2024, 1, 1)}
+            for i, t in enumerate(texts)]
+    return pa.Table.from_pylist(rows, schema=TRANSCRIPT_SCHEMA)
+
+
+def test_quarantine_surfaces_in_graph():
+    stage = KGStage(max_text_len=40)
+    out = stage(_batch(["x" * 100, "Acme Corp acquired Beta LLC."])).to_pylist()
+    quarantined = [r for r in out if r["pred"] == "ks:quarantined"]
+    assert len(quarantined) == 1 and quarantined[0]["turn_idx"] == 0
+    # the quarantined turn still gets its metadata, nothing else
+    t0 = [r for r in out if r["turn_idx"] == 0]
+    assert all(r["subj"].startswith("conv:") for r in t0)
+    assert any(r["pred"] == "sem:hasActor" for r in out if r["turn_idx"] == 1)
+
+
+def test_canonicalize_idempotent(ray_session):
+    """smush_global + dedup applied twice == once (SURVEY §5.5)."""
+    from pikes_ray.pipelines.canonicalize import dedup_exact, smush_global
+    from pikes_ray.pipelines.kg import transcripts_to_graph
+    from pikes_ray.sources.transcripts import transcripts_dir
+
+    g1 = transcripts_to_graph(transcripts_dir("unit"), concurrency=2).materialize()
+    g2 = dedup_exact(smush_global(g1.materialize()).materialize())
+    a = set(map(tuple, g1.to_pandas()[["subj", "pred", "obj", "graph"]].values))
+    b = set(map(tuple, g2.to_pandas()[["subj", "pred", "obj", "graph"]].values))
+    assert a == b
+
+
+_stage = KGStage()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=300))
+def test_fuzz_any_text_never_crashes(text):
+    out = _stage(_batch([text]))
+    # determinism on arbitrary input
+    again = _stage(_batch([text]))
+    assert out.to_pylist() == again.to_pylist()
+    # metadata always present
+    preds = set(out["pred"].to_pylist())
+    assert "ks:textHash" in preds
