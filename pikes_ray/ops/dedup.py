@@ -179,13 +179,72 @@ def minhash_lsh_clusters(ds, col: str = "text", id_col: str = "doc_id",
     return mapping
 
 
-def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id", **kw):
+def minhash_candidate_pairs(ds, col: str = "text", id_col: str = "doc_id",
+                            num_perm: int = 64, bands: int = 16,
+                            threshold: float = 0.7, shingle_k: int = 3,
+                            seed: int = 42, max_bucket: int = 200):
+    """Verified near-dup candidate pairs as a Dataset[a, b, est] —
+    the distributed front half of minhash_lsh_clusters (no driver
+    collection), feeding connected_components at scale."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(ds, col, id_col, num_perm, shingle_k, seed)
+
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_band, out_bh, out_sig = [], [], [], []
+        for did, sig in zip(df[id_col], df["sig"]):
+            arr = np.asarray(sig, dtype=np.uint64)
+            for b in range(bands):
+                chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
+                out_id.append(did)
+                out_band.append(b)
+                out_bh.append(zlib.crc32(chunk.tobytes()))
+                out_sig.append(sig)
+        return pd.DataFrame({id_col: out_id, "band": out_band,
+                             "band_hash": out_bh, "sig": out_sig})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "est": []})
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].tolist()
+        sigs_ = [np.asarray(s, dtype=np.uint64) for s in g["sig"]]
+        A, B, E = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = float((sigs_[i] == sigs_[j]).mean())
+                if est >= threshold:
+                    A.append(ids[i]); B.append(ids[j]); E.append(est)
+        return pd.DataFrame({"a": A, "b": B, "est": E})
+
+    from pikes_ray.pipelines.shuffle import partitioned_group_map
+
+    exploded = sigs.map_batches(explode_bands, batch_format="pandas")
+    return partitioned_group_map(exploded, ["band", "band_hash"], bucket_pairs)
+
+
+def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                  distributed_cc: bool = False, **kw):
     """Drop near-duplicates: keep the min-id representative per cluster.
-    The cluster map is vocabulary-bounded → broadcast filter."""
+
+    ``distributed_cc=True`` replaces the driver-side union-find with
+    the groupby-round label propagation (pipelines/shuffle.
+    connected_components) — the path for corpora whose candidate-pair
+    set exceeds driver memory.  The resulting drop set (non-
+    representative members) is broadcast for the filter either way.
+    """
     import ray
 
-    mapping = minhash_lsh_clusters(ds, col, id_col, **kw)
-    drop = {d for d, rep in mapping.items() if d != rep}
+    if distributed_cc:
+        pairs = minhash_candidate_pairs(ds, col, id_col, **kw)
+        from pikes_ray.pipelines.shuffle import connected_components
+
+        labels = connected_components(pairs).to_pandas()
+        drop = {int(n) for n, l in zip(labels["node"], labels["label"])
+                if int(n) != int(l)}
+    else:
+        mapping = minhash_lsh_clusters(ds, col, id_col, **kw)
+        drop = {d for d, rep in mapping.items() if d != rep}
     ref = ray.put(drop)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:

@@ -58,3 +58,72 @@ def partitioned_group_map(
     return ds.map_batches(
         lambda df: _with_part(df, key_cols, n_parts), batch_format="pandas"
     ).groupby("_part").map_groups(per_part, batch_format="pandas")
+
+
+def connected_components(edges, max_rounds: int = 10,
+                         a_col: str = "a", b_col: str = "b",
+                         n_parts: int = 64):
+    """Distributed connected components by iterative min-label
+    propagation — the scale path for sameAs smushing / near-dup
+    clustering when the edge set exceeds driver memory (SURVEY §7 hard
+    part (d): "iterate label propagation inside groupby rounds").
+
+    Each round: for every node, take the min label over itself and its
+    neighbors (two bounded-bucket groupbys, no join operator needed);
+    stop when the label sum stops changing (components of diameter d
+    converge in ≤ d rounds; star-shaped dup clusters converge in 2).
+
+    → Dataset[node, label] with label = min node id of the component.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    def to_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # symmetric edge rows (key, nbr) + self rows
+        a, b = df[a_col], df[b_col]
+        return pd.DataFrame({
+            "key": pd.concat([a, b], ignore_index=True),
+            "nbr": pd.concat([b, a], ignore_index=True),
+        })
+
+    sym = edges.map_batches(to_rows, batch_format="pandas")
+    # initial labels: label(node) = node
+    labels = sym.map_batches(
+        lambda df: pd.DataFrame({"node": df["key"].unique()}).assign(
+            label=lambda d: d["node"]),
+        batch_format="pandas")
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        # message generation: per key, l = min(own labels); emit to
+        # self + neighbors
+        def merge_msgs(g: pd.DataFrame) -> pd.DataFrame:
+            l = g["label"].min()
+            nbrs = g["nbr"].dropna().unique()
+            nodes = list(nbrs) + [g["key"].iloc[0]]
+            return pd.DataFrame({"node": nodes, "label": l})
+
+        combined = sym.map_batches(
+            lambda df: df.rename(columns={}).assign(label=pd.NA),
+            batch_format="pandas",
+        ).union(labels.map_batches(
+            lambda df: pd.DataFrame({"key": df["node"], "nbr": pd.NA,
+                                     "label": df["label"]}),
+            batch_format="pandas"))
+        msgs = partitioned_group_map(combined, ["key"], merge_msgs,
+                                     n_parts=n_parts)
+
+        def min_label(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": [g["node"].iloc[0]],
+                                 "label": [g["label"].min()]})
+
+        labels = partitioned_group_map(msgs, ["node"], min_label,
+                                       n_parts=n_parts).materialize()
+        # distributed convergence check (label sum is monotone non-increasing)
+        from ray.data.aggregate import Sum
+
+        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    return labels

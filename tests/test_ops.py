@@ -169,3 +169,9 @@ def test_stem_and_sentiment(ray_session):
     assert out["polarity"].iloc[0] > 0.3
     assert out["polarity"].iloc[1] < -0.3
     assert out["polarity"].iloc[2] == 0.0
+
+
+def test_minhash_dedup_distributed_cc(ray_session, docs):
+    kept = D.minhash_dedup(docs, threshold=0.5, distributed_cc=True).to_pandas()
+    assert 0 in set(kept["doc_id"])
+    assert 5 not in set(kept["doc_id"]) and 1 not in set(kept["doc_id"])

@@ -53,3 +53,19 @@ def test_fuzz_any_text_never_crashes(text):
     # metadata always present
     preds = set(out["pred"].to_pylist())
     assert "ks:textHash" in preds
+
+
+def test_connected_components_distributed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pikes_ray.pipelines.shuffle import connected_components
+
+    # chain 0-1-2-3, pair 10-11, singleton via self-edge 20-20
+    edges = rd.from_pandas(pd.DataFrame(
+        {"a": [0, 1, 2, 10, 20], "b": [1, 2, 3, 11, 20]}))
+    out = connected_components(edges, n_parts=4).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["label"].astype(int)))
+    assert got[0] == got[1] == got[2] == got[3] == 0
+    assert got[10] == got[11] == 10
+    assert got[20] == 20
