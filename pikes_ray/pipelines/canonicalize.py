@@ -165,11 +165,18 @@ def smush_local_batch(batch: pa.Table) -> pa.Table:
     return _rewrite_table(batch, mapping)
 
 
-def corpus_sameas_mapping(triples) -> dict[str, str]:
+def corpus_sameas_mapping(triples, distributed: bool = False) -> dict[str, str]:
     """Distinct corpus-level sameAs edges → alias→canonical dict.
 
-    The distinct runs distributed (local combiner + groupby on the edge
-    hash); only the vocabulary-bounded edge set reaches the driver.
+    The distinct runs distributed (local combiner); only the
+    vocabulary-bounded edge set reaches the driver.  With
+    ``distributed=True`` the transitive closure itself runs as
+    groupby-round label propagation (pipelines/shuffle.
+    connected_components) — for graphs whose edge set exceeds driver
+    memory; note min-label canon is then used (components there are
+    keyed by lexicographic min, and ``dbr:`` sorts before ``entity:``
+    so the dbpedia preference is preserved for the common 2-node
+    components).
     """
 
     def edges_only(batch: pa.Table) -> pa.Table:
@@ -184,6 +191,12 @@ def corpus_sameas_mapping(triples) -> dict[str, str]:
                          "b": pa.array([p[1] for p in pairs], pa.large_string())})
 
     edges = triples.map_batches(edges_only, batch_format="pyarrow")
+    if distributed:
+        from pikes_ray.pipelines.shuffle import connected_components
+
+        labels = connected_components(edges, a_col="a", b_col="b").to_pandas()
+        return {str(n): str(l) for n, l in zip(labels["node"], labels["label"])
+                if str(n) != str(l)}
     uf = _UnionFind()
     for batch in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):

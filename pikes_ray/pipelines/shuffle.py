@@ -98,7 +98,7 @@ def connected_components(edges, max_rounds: int = 10,
         # message generation: per key, l = min(own labels); emit to
         # self + neighbors
         def merge_msgs(g: pd.DataFrame) -> pd.DataFrame:
-            l = g["label"].min()
+            l = g["label"].dropna().min()
             nbrs = g["nbr"].dropna().unique()
             nodes = list(nbrs) + [g["key"].iloc[0]]
             return pd.DataFrame({"node": nodes, "label": l})
@@ -119,10 +119,19 @@ def connected_components(edges, max_rounds: int = 10,
 
         labels = partitioned_group_map(msgs, ["node"], min_label,
                                        n_parts=n_parts).materialize()
-        # distributed convergence check (label sum is monotone non-increasing)
+        # distributed, type-agnostic convergence check: order-insensitive
+        # hash-sum of (node, label) pairs, stable once labels stop moving
+        import zlib
+
         from ray.data.aggregate import Sum
 
-        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        def fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+            h = [zlib.crc32(f"{n}\x1f{l}".encode()) for n, l in
+                 zip(df["node"], df["label"])]
+            return pd.DataFrame({"h": [int(sum(h))]})
+
+        s = labels.map_batches(fingerprint, batch_format="pandas").aggregate(
+            Sum("h", alias_name="h"))["h"]
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s

@@ -69,3 +69,15 @@ def test_connected_components_distributed(ray_session):
     assert got[0] == got[1] == got[2] == got[3] == 0
     assert got[10] == got[11] == 10
     assert got[20] == 20
+
+
+def test_corpus_mapping_distributed_matches_unionfind(ray_session):
+    from pikes_ray.pipelines.canonicalize import corpus_sameas_mapping
+    from pikes_ray.pipelines.kg import transcripts_to_graph
+    from pikes_ray.sources.transcripts import transcripts_dir
+
+    tr = transcripts_to_graph(transcripts_dir("unit"), concurrency=2,
+                              dedup=False).materialize()
+    uf_map = corpus_sameas_mapping(tr, distributed=False)
+    cc_map = corpus_sameas_mapping(tr, distributed=True)
+    assert uf_map == cc_map
