@@ -146,6 +146,7 @@ def build_graph_checkpointed(
     out_dir: str,
     n_shards: int = 8,
     cfg: FilterConfig | None = None,
+    sort_output: bool = False,
 ) -> dict:
     """Resumable build: per-shard annotate+extract+local-smush+local-dedup
     written to ``<out>/shard-k`` with lineage manifests (the expensive,
@@ -165,6 +166,11 @@ def build_graph_checkpointed(
     tr = rd.read_parquet(shard_files)
     tr = smush_global(tr)
     tr = dedup_exact(tr)
+    if sort_output:
+        # O2 stable output ordering (conv_id, turn_idx) — an explicit
+        # all-to-all range sort; off by default (provenance columns
+        # already allow ordered reads per conversation)
+        tr = tr.sort(["conv_id", "turn_idx"])
     graph_dir = os.path.join(out_dir, "graph")
     import shutil
 
