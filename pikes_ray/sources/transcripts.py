@@ -36,6 +36,8 @@ from pikes_ray.schema import TRANSCRIPT_SCHEMA
 SEED = 42
 EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 CACHE_ROOT = os.environ.get("PIKES_RAY_CACHE", "/tmp/pikes_ray_data")
+GENERATOR_VERSION = "v2"   # bump whenever templates/rules change: the
+                           # on-disk cache must never go stale vs the code
 HOT_ENTITY = "Acme Corp"          # ~20% of turns (FIXTURES §3 skew)
 
 # Sentence templates: (template, slots). Each covers an extractor code
@@ -65,6 +67,8 @@ _TEMPLATES: list[str] = [
     "{ORG} delivered the report on {DATE}.",
     "{PER} approved the agreement with {ORG}.",
     "{ORG} closed the deal for {MONEY}.",
+    "{ORG} was acquired by {ORG2} for {MONEY}.",               # passive SRL
+    "The report was delivered by {PER} on {DATE}.",            # passive + timex
 ]
 
 _TOOL_TEMPLATES = [
@@ -185,7 +189,7 @@ def transcripts_dir(sf_dir_or_tag: str, n_fragments: int = 8) -> str:
     else:
         sf = sf_of_dir(sf_dir_or_tag)
         tag, n_conv = f"sf{sf}", n_conversations(sf)
-    out = os.path.join(CACHE_ROOT, "transcripts", tag)
+    out = os.path.join(CACHE_ROOT, "transcripts", GENERATOR_VERSION, tag)
     if os.path.isdir(out) and os.listdir(out):
         return out
     rows = list(generate_turns(n_conv))

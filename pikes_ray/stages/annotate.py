@@ -154,13 +154,17 @@ class RuleAnnotator:
         return toks
 
     def tag(self, toks: list[Tok]) -> None:
+        prev = ""
         for i, t in enumerate(toks):
             f, low = t.form, t.form.lower()
             if _NUM_RE.match(f) or _ISO_DATE_RE.match(f):
                 tag, lemma = "CD", f
             elif low in lx.CLOSED_CLASS:
                 tag, lemma = lx.CLOSED_CLASS[low], low
-            elif low in self.verb_forms and not f[0].isupper():
+            elif low in self.verb_forms and not f[0].isupper() \
+                    and prev not in ("DT", "JJ", "PRP$"):
+                # verb reading loses after a determiner/adjective/poss
+                # ("the report", "annual report") — noun context
                 lemma, tag = self.verb_forms[low]
             elif low in lx.NUMBER_WORDS or low in lx.ORDINAL_WORDS:
                 tag, lemma = "CD", low
@@ -180,6 +184,7 @@ class RuleAnnotator:
                 tag, lemma = "NN", low
             t.morphofeat, t.lemma = tag, lemma
             t.pos = _COARSE.get(tag, "O")
+            prev = tag
 
     # --- NER: gazetteer + value entities (M3 BIO-merge analogue) ----------
 
@@ -408,14 +413,44 @@ class RuleAnnotator:
             s, e = chunk_by_head.get(head, (head, head + 1))
             return s, e
 
+        def is_passive(i: int) -> bool:
+            # participle directly preceded by a form of "be" (skipping
+            # adverbs): "was acquired (by …)" — M5 passive handling
+            j = i - 1
+            while j >= 0 and toks[j].morphofeat == "RB":
+                j -= 1
+            return j >= 0 and toks[j].lemma == "be" and toks[j].sent == toks[i].sent
+
         for i, t in enumerate(toks):
             if t.morphofeat.startswith("VB") and t.lemma in lx.VERB_FRAMES:
+                if t.lemma == "be":
+                    # skip the auxiliary of a passive: the participle
+                    # carries the predicate
+                    nxt = i + 1
+                    while nxt < len(toks) and toks[nxt].morphofeat == "RB":
+                        nxt += 1
+                    if nxt < len(toks) and toks[nxt].morphofeat in ("VBD", "VBN") \
+                            and toks[nxt].lemma in lx.VERB_FRAMES:
+                        continue
+                passive = t.lemma != "be" and is_passive(i)
                 p = Pred(i, lx.VERB_FRAMES[t.lemma], "verbal", copular=(t.lemma == "be"))
-                for d, r in sorted(dep_by_gov.get(i, [])):
+                subj_role = "A1" if passive else "A0"
+                subj_gov = i
+                if passive:
+                    # surface subject hangs off the auxiliary "be"
+                    j = i - 1
+                    while j >= 0 and toks[j].morphofeat == "RB":
+                        j -= 1
+                    if j >= 0 and toks[j].lemma == "be":
+                        subj_gov = j
+                deps_here = sorted(set(dep_by_gov.get(i, []))
+                                   | (set(dep_by_gov.get(subj_gov, []))
+                                      if subj_gov != i else set()))
+                for d, r in deps_here:
                     if r == "SBJ":
                         s, e = span_of(d)
-                        p.roles.append(("A0", s, e, d))
-                    elif r == "OBJ":
+                        p.roles.append((subj_role, s, e, d))
+                    elif r == "OBJ" and not passive:
                         s, e = span_of(d)
                         p.roles.append(("A1", s, e, d))
                     elif r == "ADV":   # preposition under verb
@@ -441,6 +476,8 @@ class RuleAnnotator:
                             p.roles.append(("A2", s, e, pm))
                         elif prep == "with":
                             p.roles.append(("A2", s, e, pm))
+                        elif prep == "by" and passive:
+                            p.roles.append(("A0", s, e, pm))
                         elif prep == "for":
                             p.roles.append(("A3", s, e, pm))
                 preds.append(p)

@@ -118,3 +118,20 @@ def test_annotator_stage_handles_adversarial_rows():
 def test_annotation_determinism(model):
     text = "Acme Corp acquired Beta LLC for five million dollars."
     assert model.annotate(text) == RuleAnnotator().annotate(text)
+
+
+def test_passive_voice(model):
+    a = model.annotate("Beta LLC was acquired by Acme Corp.")
+    p = next(p for p in a["predicates"] if p["sense"] == "acquire.01")
+    roles = {r["sem_role"]: (r["start"], r["end"]) for r in p["roles"]}
+    assert roles["A1"] == (0, 2)       # surface subject → A1
+    assert roles["A0"] == (5, 7)       # by-phrase → A0
+    assert not any(q["sense"] == "be.01" for q in a["predicates"])
+
+
+def test_noun_context_beats_verb_lexicon(model):
+    a = model.annotate("Acme Corp delivered the report on March 3, 2024.")
+    toks = a["tokens"]
+    assert toks[4]["morphofeat"] in ("NN", "NNS")   # "report" after "the"
+    nom = [p for p in a["predicates"] if p["source"] == "nominal"]
+    assert any(p["sense"] == "report.01" for p in nom)
