@@ -51,11 +51,17 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
 
 
 def fact_graph_iri(subj: str, pred: str, obj: str) -> str:
-    """``fact:<hash>`` named graph per fact (RDFGenerator.java:1993-2015).
+    """``fact:<crc32(s,p,o)>`` named graph per fact.
 
-    Same shape as the reference's 32-bit murmur3 fact IRIs; we use
-    crc32 (C-speed, identical 32-bit collision profile) because this
-    runs once per emitted triple in the hot path.
+    INTENTIONAL DEVIATION from the reference's murmur3 ``hashFactIRI``
+    (RDFGenerator.java:1993-2015): this runs once per emitted triple in
+    the hot path, and zlib.crc32 is a C builtin while our
+    ``murmur3_32`` is pure Python (~50× slower per call).  Both are
+    32-bit; crc32 is linear so structured (s,p,o) families collide
+    slightly more predictably, which only affects fact-graph IRI
+    aesthetics — graph names never participate in dedup or joins
+    keyed on content.  ``murmur3_32`` is used where the reference's
+    exact value shape matters (``ks:textHash``).
     """
     import zlib
 

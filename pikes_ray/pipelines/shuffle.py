@@ -52,7 +52,17 @@ def partitioned_group_map(
             if out is not None and len(out):
                 outs.append(out)
         if not outs:
-            return fn(g.head(0)) if len(g) == 0 else g.head(0)
+            # empty result must still carry fn's OUTPUT schema — returning
+            # g.head(0) (the input schema) makes Ray concatenate
+            # mixed-schema frames across buckets (NaN-filled extra columns
+            # that break strict consumers like write_parquet)
+            try:
+                out = fn(g.head(0))
+                if out is not None:
+                    return out.head(0)
+            except Exception:
+                pass
+            return g.head(0)
         return pd.concat(outs, ignore_index=True)
 
     return ds.map_batches(
@@ -60,9 +70,9 @@ def partitioned_group_map(
     ).groupby("_part").map_groups(per_part, batch_format="pandas")
 
 
-def connected_components(edges, max_rounds: int = 10,
+def connected_components(edges, max_rounds: int = 25,
                          a_col: str = "a", b_col: str = "b",
-                         n_parts: int = 64):
+                         n_parts: int = 64, strict: bool = True):
     """Distributed connected components by iterative min-label
     propagation — the scale path for sameAs smushing / near-dup
     clustering when the edge set exceeds driver memory (SURVEY §7 hard
@@ -72,6 +82,11 @@ def connected_components(edges, max_rounds: int = 10,
     neighbors (two bounded-bucket groupbys, no join operator needed);
     stop when the label sum stops changing (components of diameter d
     converge in ≤ d rounds; star-shaped dup clusters converge in 2).
+
+    If the fingerprint is still moving after ``max_rounds`` rounds the
+    labels are only partially propagated (chain components of diameter
+    > rounds would be silently split ⇒ under-dedup): ``strict=True``
+    raises, else a warning is emitted and the partial labels returned.
 
     → Dataset[node, label] with label = min node id of the component.
     """
@@ -93,7 +108,12 @@ def connected_components(edges, max_rounds: int = 10,
             label=lambda d: d["node"]),
         batch_format="pandas")
 
+    import zlib
+
+    from ray.data.aggregate import Sum
+
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         # message generation: per key, l = min(own labels); emit to
         # self + neighbors
@@ -113,26 +133,29 @@ def connected_components(edges, max_rounds: int = 10,
         msgs = partitioned_group_map(combined, ["key"], merge_msgs,
                                      n_parts=n_parts)
 
+        # the per-node reduce also folds in the convergence fingerprint
+        # (order-insensitive crc-sum over (node, label)) so detecting a
+        # fixed point costs no extra pass over the labels
         def min_label(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": [g["node"].iloc[0]],
-                                 "label": [g["label"].min()]})
+            node, label = g["node"].iloc[0], g["label"].min()
+            return pd.DataFrame({"node": [node], "label": [label],
+                                 "h": [zlib.crc32(f"{node}\x1f{label}".encode())]})
 
-        labels = partitioned_group_map(msgs, ["node"], min_label,
-                                       n_parts=n_parts).materialize()
-        # distributed, type-agnostic convergence check: order-insensitive
-        # hash-sum of (node, label) pairs, stable once labels stop moving
-        import zlib
-
-        from ray.data.aggregate import Sum
-
-        def fingerprint(df: pd.DataFrame) -> pd.DataFrame:
-            h = [zlib.crc32(f"{n}\x1f{l}".encode()) for n, l in
-                 zip(df["node"], df["label"])]
-            return pd.DataFrame({"h": [int(sum(h))]})
-
-        s = labels.map_batches(fingerprint, batch_format="pandas").aggregate(
-            Sum("h", alias_name="h"))["h"]
+        fingerprinted = partitioned_group_map(msgs, ["node"], min_label,
+                                              n_parts=n_parts).materialize()
+        s = fingerprinted.aggregate(Sum("h", alias_name="h"))["h"]
+        labels = fingerprinted.drop_columns(["h"])
         if prev_sum is not None and s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        msg = (f"connected_components did not converge within {max_rounds} "
+               "rounds — a component of diameter > rounds exists and its "
+               "labels are only partially propagated (raise max_rounds)")
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels

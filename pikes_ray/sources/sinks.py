@@ -14,15 +14,21 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+import re
+
 from pikes_ray.functions.iri import NAMESPACES
+
+# a datatype tag is ONLY a trailing ^^prefix:local AFTER the closing quote
+# — a '^^' inside the lexical form (possible in transcript text) is data
+_DATATYPE_RE = re.compile(r'^("(?:[^"\\]|\\.)*")\^\^(\S+)$', re.S)
 
 
 def expand_curie(term: str) -> str:
     """CURIE → full IRI in N-Triples angle brackets; literals pass through."""
     if term.startswith('"'):
-        if "^^" in term:
-            lex, _, dt = term.rpartition("^^")
-            return f"{lex}^^{expand_curie(dt)}"
+        m = _DATATYPE_RE.match(term)
+        if m:
+            return f"{m.group(1)}^^{expand_curie(m.group(2))}"
         return term
     prefix, _, local = term.partition(":")
     base = NAMESPACES.get(prefix)

@@ -11,7 +11,8 @@ Step order mirrors the reference: T0 metadata (:721-798), T1 timexes
 (:800-873), T2 entities (:875-973), T3 predicates incl. the copular
 ``be.01`` skip (:531-567, 975-1078), T5 modifiers (:1101-1149),
 T6 coreference + coordination (:1151-1259), T7 roles (:1261-1391).
-Instance-layer facts go into ``fact:<murmur3(s,p,o)>`` named graphs
+Instance-layer facts go into ``fact:<crc32(s,p,o)>`` named graphs
+(intentional murmur3→crc32 deviation, see functions/hashing.py)
 (:1993-2015); metadata/mention triples into the default graph ("").
 Mentions are NIF offset IRIs ``<doc>#char=B,E`` (:1585-1670) linked via
 ``ks:expressedBy`` (:1834-1857).
@@ -44,7 +45,8 @@ _SEM_ROLE = {"AM-TMP": "sem:hasTime", "AM-LOC": "sem:hasPlace"}  # A* → sem:ha
 
 
 def _lit(lex: str, dtype: str | None = None) -> str:
-    lex = lex.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    lex = (lex.replace("\\", "\\\\").replace('"', '\\"')
+           .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
     return f'"{lex}"^^{dtype}' if dtype else f'"{lex}"'
 
 

@@ -65,10 +65,23 @@ def run_checkpointed(
     for k, files in enumerate(shards):
         shard_dir = os.path.join(out_dir, f"shard-{k:05d}")
         if k in done:
-            summary["skipped"] += 1
+            # sharding is positional (index over the sorted file list), so a
+            # manifest is only a valid skip token if it was produced from the
+            # SAME inputs and shard layout — otherwise shard k now maps to
+            # different files and skipping would silently emit stale output.
             with open(_manifest_path(out_dir, k)) as f:
-                summary["rows_out"] += json.load(f)["rows_out"]
-            continue
+                manifest = json.load(f)
+            if manifest.get("inputs") == list(files):
+                summary["skipped"] += 1
+                summary["rows_out"] += manifest["rows_out"]
+                continue
+            import warnings
+
+            warnings.warn(
+                f"checkpoint shard {k}: recorded inputs differ from the "
+                "current run (input files or n_shards changed) — re-running "
+                "the shard instead of skipping", stacklevel=2)
+            os.remove(_manifest_path(out_dir, k))
         if os.path.isdir(shard_dir):          # incomplete garbage from a crash
             shutil.rmtree(shard_dir)
         t0 = time.perf_counter()
@@ -82,6 +95,7 @@ def run_checkpointed(
         wall = round(time.perf_counter() - t0, 3)
         manifest = {
             "shard": k,
+            "n_shards": len(shards),
             "inputs": list(files),
             "input_rows": rows_in,
             "input_bytes": in_bytes,

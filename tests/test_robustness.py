@@ -81,3 +81,82 @@ def test_corpus_mapping_distributed_matches_unionfind(ray_session):
     uf_map = corpus_sameas_mapping(tr, distributed=False)
     cc_map = corpus_sameas_mapping(tr, distributed=True)
     assert uf_map == cc_map
+
+
+def test_connected_components_long_chain_converges(ray_session):
+    """A chain of diameter > the old round cap must fully propagate
+    (VERDICT r1 finding: silent split of deep components)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pikes_ray.pipelines.shuffle import connected_components
+
+    n = 15                      # diameter 15 chain: 0-1-...-15
+    edges = rd.from_pandas(pd.DataFrame({"a": list(range(n)),
+                                         "b": list(range(1, n + 1))}))
+    out = connected_components(edges, max_rounds=25, n_parts=4).to_pandas()
+    assert set(out["label"].astype(int)) == {0}
+
+
+def test_connected_components_nonconvergence_raises(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from pikes_ray.pipelines.shuffle import connected_components
+
+    n = 8
+    edges = rd.from_pandas(pd.DataFrame({"a": list(range(n)),
+                                         "b": list(range(1, n + 1))}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=3, n_parts=4)
+    with pytest.warns(UserWarning, match="did not converge"):
+        connected_components(edges, max_rounds=3, n_parts=4, strict=False)
+
+
+def test_partitioned_group_map_empty_output_schema(ray_session):
+    """All-empty sub-group outputs must still yield fn's OUTPUT schema,
+    not the input schema (ADVICE r1: mixed-schema blocks break strict
+    consumers)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pikes_ray.pipelines.shuffle import partitioned_group_map
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # singleton groups → never any pair rows (the LSH-bucket shape)
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+
+    out = partitioned_group_map(ds, ["k"], pairs, n_parts=2)
+    assert out.schema().names == ["a", "b"] and out.count() == 0
+
+
+def test_checkpoint_skip_requires_matching_inputs(ray_session, tmp_path):
+    """A shard manifest from different inputs must NOT be skipped
+    (ADVICE r1: positional sharding + stale manifests = stale output)."""
+    import glob as g
+    import os
+
+    import ray.data as rd
+
+    from pikes_ray.sources.transcripts import transcripts_dir
+    from pikes_ray.state import checkpoint as cp
+
+    src = transcripts_dir("unit")
+    files = sorted(g.glob(os.path.join(src, "*.parquet")))
+    out = str(tmp_path / "ckpt")
+
+    def ident(shard_files):
+        return rd.read_parquet(shard_files)
+
+    cp.run_checkpointed(files[:1], out, ident, n_shards=1)
+    assert cp.completed_shards(out) == {0}
+    # same shard index, different inputs → must re-run, not skip
+    import pytest
+
+    with pytest.warns(UserWarning, match="re-running"):
+        summary = cp.run_checkpointed(files[1:2], out, ident, n_shards=1)
+    assert summary["skipped"] == 0 and summary["ran"] == 1

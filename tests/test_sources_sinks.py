@@ -121,3 +121,17 @@ def test_cli_eval_smoke():
     assert proc.returncode == 0, proc.stderr[-800:]
     res = json.loads(proc.stdout.strip().splitlines()[-1])
     assert res["precision"] == 1.0 and res["recall"] == 1.0
+
+
+def test_expand_curie_literal_with_caret_data():
+    """'^^' inside the lexical form is data, not a datatype tag
+    (ADVICE r1: tool-call transcript text can contain '^^')."""
+    assert expand_curie('"a^^b"') == '"a^^b"'
+    assert expand_curie('"x^^y"^^xsd:string') == \
+        '"x^^y"^^<http://www.w3.org/2001/XMLSchema#string>'
+
+
+def test_literal_escapes_cr_and_tab():
+    from pikes_ray.stages.extract import _lit
+
+    assert _lit("a\rb\tc") == '"a\\rb\\tc"'
