@@ -94,6 +94,24 @@ NOUN_FRAMES: dict[str, tuple[str, str]] = {
     "agreement": ("agreement.01", "agree.01"),
 }
 
+# NomBank incorporated-argument table (≙ NomBank.Roleset
+# getPredMandatoryArgNums / getPredOptionalArgNums,
+# resources/NomBank.java — used by F13 srlSelfArgFixing,
+# NAFFilter.java:1246-1308).  NomBank id → (mandatory, optional) arg
+# numbers the predicate NOUN ITSELF fills: deverbal result nominals
+# incorporate the created/transferred thing (A1); "agreement" also
+# allows its A0 co-agents reading.  Mini-resource synthesized from
+# public NomBank annotation-guideline semantics for our pinned
+# NOUN_FRAMES vocabulary.
+NOUN_SELF_ARGS: dict[str, tuple[list[int], list[int]]] = {
+    "acquisition.01": ([], [1]),
+    "investment.01": ([1], []),
+    "announcement.01": ([1], []),
+    "launch.01": ([], [1]),
+    "report.01": ([1], []),
+    "agreement.01": ([1], [0]),
+}
+
 # irregular verb forms → lemma (rule-based lemmatizer backstop)
 IRREGULAR_LEMMA: dict[str, str] = {
     "met": "meet", "is": "be", "was": "be", "are": "be", "were": "be",

@@ -71,13 +71,17 @@ ROLE_T = pa.struct(
 )
 
 # predicate ≙ Predicate+Roles (ixa/kaflib/Predicate.java:274): head term,
-# roleset sense (PropBank/NomBank id), source tool, roles.
+# roleset sense (PropBank/NomBank id), source tool, roles, plus an
+# external link promoted by F5 linkingCompletion (NAFFilter.java:739-749
+# adds dbpedia ExternalRefs to same-head predicates).
 PRED_T = pa.struct(
     [
         ("head", pa.int32()),
         ("sense", pa.string()),      # e.g. "acquire.01"
         ("source", pa.string()),     # "verbal" | "nominal"  (≙ mate/semafor provenance)
         ("copular", pa.bool_()),
+        ("link", pa.string()),       # dbpedia-style IRI or "" (F5 promotion)
+        ("link_conf", pa.float64()),
         ("roles", pa.list_(ROLE_T)),
     ]
 )

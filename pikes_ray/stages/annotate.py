@@ -540,7 +540,7 @@ class RuleAnnotator:
             ],
             "predicates": [
                 {"head": p.head, "sense": p.sense, "source": p.source,
-                 "copular": p.copular,
+                 "copular": p.copular, "link": "", "link_conf": 0.0,
                  "roles": [{"sem_role": r, "start": s, "end": e, "head": h}
                            for (r, s, e, h) in p.roles]}
                 for p in preds

@@ -187,6 +187,10 @@ class _DocExtractor:
             if p["source"] == "nominal" and lemma in lx.NOUN_FRAMES:
                 self.fact(evt, "rdf:type", f"nb:{lx.NOUN_FRAMES[lemma][0]}")
             self.fact(evt, "rdfs:label", _lit(lemma))
+            if p.get("link"):
+                # F5-promoted predicate link (NAFFilter.java:739-749 →
+                # RDFGenerator external-ref sameAs emission)
+                self.fact(evt, "owl:sameAs", p["link"], conf=p["link_conf"])
             self.mention(evt, head, head + 1)
         return evt_of_head
 
@@ -225,10 +229,14 @@ class _DocExtractor:
                     continue
                 if kind != "inst":
                     continue
-                prop = _SEM_ROLE.get(sem_role)
-                if prop is None:
-                    prop = "sem:hasTime" if str(arg).startswith("time:") else "sem:hasActor"
-                self.fact(evt, prop, arg)
+                if arg != evt:
+                    # sem-layer participation is for distinct participants;
+                    # a NomBank incorporated self-arg (F13) keeps only its
+                    # roleset-specific edge below
+                    prop = _SEM_ROLE.get(sem_role)
+                    if prop is None:
+                        prop = "sem:hasTime" if str(arg).startswith("time:") else "sem:hasActor"
+                    self.fact(evt, prop, arg)
                 if sem_role.startswith("A"):
                     self.fact(evt, f"pb:{sense}-{sem_role.lower().replace('-', '')}", arg)
 

@@ -84,6 +84,34 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
                 keep.append(e)
         entities = keep
 
+    # F5 linkingCompletion — promote entity links onto same-head
+    # entities and predicates (NAFFilter.java:667-750).  In our model
+    # linked-entity candidates ARE entities (the gazetteer writes links
+    # directly), so the "create a new entity for an uncovered link
+    # span" branch (:687-714) cannot arise; what remains is the link
+    # promotion: any entity or predicate whose head term matches a
+    # linked entity's head inherits the (link, confidence) pair when
+    # missing, or the higher confidence when already linked.
+    if cfg.linking_completion:
+        link_of_head: dict[int, tuple[str, float]] = {}
+        for e in entities:
+            if e["link"]:
+                h = e["end"] - 1
+                if h not in link_of_head or e["link_conf"] > link_of_head[h][1]:
+                    link_of_head[h] = (e["link"], e["link_conf"])
+        for e in entities:
+            got = link_of_head.get(e["end"] - 1)
+            if got is None:
+                continue
+            if not e["link"]:
+                e["link"], e["link_conf"] = got
+            elif e["link"] == got[0] and e["link_conf"] < got[1]:
+                e["link_conf"] = got[1]
+        for p in predicates:
+            got = link_of_head.get(p["head"])
+            if got is not None and not p["link"]:
+                p["link"], p["link_conf"] = got
+
     # F9 srlPreprocess — drop headless predicates; merge predicates on
     # the same head term (Mate⊎Semafor merge analogue: union roles, the
     # verbal source wins the sense — NAFFilter.java:1044-1106).
@@ -128,11 +156,56 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
             if t["morphofeat"].startswith("VB") and t["lemma"] in lx.VERB_FRAMES:
                 predicates.append({"head": i, "sense": lx.VERB_FRAMES[t["lemma"]],
                                    "source": "verbal",
-                                   "copular": t["lemma"] == "be", "roles": []})
+                                   "copular": t["lemma"] == "be",
+                                   "link": "", "link_conf": 0.0, "roles": []})
             elif t["morphofeat"] in ("NN", "NNS") and t["lemma"] in lx.NOUN_FRAMES:
                 predicates.append({"head": i, "sense": lx.NOUN_FRAMES[t["lemma"]][1],
-                                   "source": "nominal", "copular": False, "roles": []})
+                                   "source": "nominal", "copular": False,
+                                   "link": "", "link_conf": 0.0, "roles": []})
         predicates.sort(key=lambda p: p["head"])
+
+    # F13 srlSelfArgFixing — NomBank incorporated-argument repair
+    # (NAFFilter.java:1246-1308): for nominal predicates with a known
+    # roleset, a self-role (role head == predicate term) whose arg
+    # number is neither mandatory nor optional is dropped, and every
+    # missing MANDATORY self-arg is added as a role spanning the
+    # predicate's dependency subtree with the predicate term as head.
+    if cfg.srl_self_arg_fixing:
+        from pikes_ray.functions.deppath import DepGraph
+
+        dg: DepGraph | None = None
+        for p in predicates:
+            if p["source"] != "nominal":
+                continue        # skip verbs (:1252-1255)
+            lemma = tokens[p["head"]]["lemma"]
+            nb_id = lx.NOUN_FRAMES.get(lemma, (None,))[0]
+            roleset = lx.NOUN_SELF_ARGS.get(nb_id)
+            if roleset is None:
+                continue
+            mandatory, optional = roleset
+            current = -1
+            kept = []
+            for r in p["roles"]:
+                if r["head"] == p["head"] and len(r["sem_role"]) == 2 \
+                        and r["sem_role"][0] == "A" and r["sem_role"][1].isdigit():
+                    num = int(r["sem_role"][1])
+                    if num in mandatory or num in optional:
+                        current = num
+                        kept.append(r)
+                    # else: invalid self-role removed (:1280-1287)
+                else:
+                    kept.append(r)
+            p["roles"] = kept
+            for arg in mandatory:
+                if arg == current:
+                    continue
+                if dg is None:
+                    dg = DepGraph(ann["deps"], len(tokens))
+                span = sorted(dg.terms_by_dep_descendants({p["head"]}, ".*"))
+                p["roles"].append({"sem_role": f"A{arg}",
+                                   "start": span[0] if span else p["head"],
+                                   "end": (span[-1] + 1) if span else p["head"] + 1,
+                                   "head": p["head"]})
 
     # F7 entityAddition — add an (unnamed) entity for every noun/pronoun
     # term not already covered by an entity or predicate head (:570-623).

@@ -135,3 +135,59 @@ def test_noun_context_beats_verb_lexicon(model):
     assert toks[4]["morphofeat"] in ("NN", "NNS")   # "report" after "the"
     nom = [p for p in a["predicates"] if p["source"] == "nominal"]
     assert any(p["sense"] == "report.01" for p in nom)
+
+
+def test_f5_linking_completion_flag(model):
+    """F5 promotes a linked entity's (link, conf) onto same-head
+    entities and predicates; the flag must actually change output
+    (VERDICT r1: dead-flag finding)."""
+    a = model.annotate("Alice Johnson invested in Acme Corp.")
+    # craft: an unlinked entity and a predicate sharing the head of a
+    # linked entity
+    linked = next(e for e in a["entities"] if e["link"])
+    head = linked["end"] - 1
+    a["entities"].append({"etype": "", "start": linked["start"],
+                          "end": linked["end"], "named": False,
+                          "link": "", "link_conf": 0.0, "norm": ""})
+    a["predicates"].append({"head": head, "sense": "invest.01",
+                            "source": "verbal", "copular": False,
+                            "link": "", "link_conf": 0.0, "roles": []})
+
+    import copy
+
+    on = filter_document(copy.deepcopy(a), FilterConfig(linking_completion=True))
+    off = filter_document(copy.deepcopy(a), FilterConfig(linking_completion=False))
+
+    on_pred = next(p for p in on["predicates"] if p["head"] == head)
+    off_pred = next(p for p in off["predicates"] if p["head"] == head)
+    assert on_pred["link"] == linked["link"] and on_pred["link_conf"] > 0
+    assert off_pred["link"] == ""
+    # same-head unlinked entity inherits the link too
+    assert all(e["link"] == linked["link"]
+               for e in on["entities"] if e["end"] - 1 == head)
+
+
+def test_f13_self_arg_fixing_flag(model):
+    """F13 adds missing mandatory NomBank self-args and drops invalid
+    self-roles; the flag must change output."""
+    a = model.annotate("The investment surprised analysts.")
+    nom = next(p for p in a["predicates"] if p["source"] == "nominal")
+    head = nom["head"]
+    # craft an invalid self-role (A4 is neither mandatory nor optional
+    # for investment.01)
+    nom["roles"].append({"sem_role": "A4", "start": head, "end": head + 1,
+                         "head": head})
+
+    import copy
+
+    on = filter_document(copy.deepcopy(a), FilterConfig(srl_self_arg_fixing=True))
+    off = filter_document(copy.deepcopy(a), FilterConfig(srl_self_arg_fixing=False))
+
+    on_nom = next(p for p in on["predicates"] if p["head"] == head)
+    off_nom = next(p for p in off["predicates"] if p["head"] == head)
+    on_self = [r for r in on_nom["roles"] if r["head"] == head]
+    # invalid A4 dropped, mandatory A1 self-arg added
+    assert {r["sem_role"] for r in on_self} == {"A1"}
+    assert any(r["sem_role"] == "A4" for r in off_nom["roles"])
+    assert not any(r["sem_role"] == "A1" and r["head"] == head
+                   for r in off_nom["roles"])
