@@ -82,19 +82,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _kg_triples(sf_dir)
 
     def kg_entity_degree(sf_dir):
-        tr = _kg_triples(sf_dir).to_pandas()
-        facts = tr[tr["graph"] != ""]
-        deg = facts.groupby("subj", as_index=False).agg(degree=("pred", "size"))
-        deg["degree"] = deg["degree"].astype("int64")
-        return deg.sort_values(["degree", "subj"], ascending=[False, True],
-                               kind="mergesort").head(100).reset_index(drop=True)
+        from pikes_ray.pipelines.stats import entity_degree
+
+        return entity_degree(_kg_triples(sf_dir), k=100)
 
     def kg_type_counts(sf_dir):
-        tr = _kg_triples(sf_dir).to_pandas()
-        t = tr[tr["pred"] == "rdf:type"]
-        out = t.groupby("obj", as_index=False).agg(n=("subj", "size"))
-        out["n"] = out["n"].astype("int64")
-        return out.sort_values("obj").reset_index(drop=True)
+        from pikes_ray.pipelines.stats import type_counts
+
+        return type_counts(_kg_triples(sf_dir))
 
     def kg_docs_triples(sf_dir):
         """KG pipeline over the generic documents corpus (engine
@@ -106,9 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     concurrency=(2, 8))
 
     def kg_sameas_links(sf_dir):
-        tr = _kg_triples(sf_dir).to_pandas()
-        s = tr[tr["pred"] == "owl:sameAs"][["subj", "obj"]]
-        return s.sort_values(["subj", "obj"]).reset_index(drop=True)
+        from pikes_ray.pipelines.stats import sameas_links
+
+        return sameas_links(_kg_triples(sf_dir))
 
     # ---- transcript stats (oracle: DuckDB read_parquet on the cache) ----
 
@@ -194,8 +189,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return p.sort_values(["a", "b"]).reset_index(drop=True)
 
     def emb_near_dup(sf_dir):
-        p = D.embedding_near_dup_pairs(_embs(sf_dir), threshold=0.9).to_pandas()
-        if p.empty:      # no near-dup pairs at this threshold/scale
+        # the synthetic embeddings are near-orthogonal (max pairwise
+        # cos ≈ 0.51 at sf0.01), so the query runs at a threshold that
+        # actually exercises the verify path; high-recall banding
+        # (6 planes × 16 bands) finds all qualifying pairs here
+        p = D.embedding_near_dup_pairs(_embs(sf_dir), threshold=0.48,
+                                       n_planes=6, n_bands=16).to_pandas()
+        if p.empty:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64")})
         p = p[["a", "b"]].astype("int64")
@@ -209,7 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def emb_knn_lsh(sf_dir):
         Q, qids = _queries_mat(sf_dir)
-        out = K.knn_lsh(_embs(sf_dir), Q, qids, k=10).to_pandas()
+        out = K.knn_lsh(_embs(sf_dir), Q, qids, k=10, multiprobe=2).to_pandas()
         out = out[["query_id", "vec_id", "rank"]].astype("int64")
         return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 

@@ -96,22 +96,26 @@ class _MinHasher:
         return vals.min(axis=1).astype(np.uint64)
 
 
+_MINHASHER_CACHE: dict[tuple[int, int], "_MinHasher"] = {}
+
+
 def minhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
-    """→ Dataset[id_col, sig (list<uint64>)].  Actor-pool stage: the
-    hasher coefficients build once per actor."""
+    """→ Dataset[id_col, sig (list<uint64>)].  Stateless task stage with
+    a per-worker-process hasher cache — same pattern as
+    pipelines/kg.kg_stage_task (autoscaling actor pools ramp too slowly
+    for short jobs and trip Ray's actor-restart warning; VERDICT r1)."""
 
-    class Stage:
-        def __init__(self):
-            self.mh = _MinHasher(num_perm, seed)
+    def stage(df: pd.DataFrame) -> pd.DataFrame:
+        mh = _MINHASHER_CACHE.get((num_perm, seed))
+        if mh is None:
+            mh = _MINHASHER_CACHE[(num_perm, seed)] = _MinHasher(num_perm, seed)
+        sigs = [mh.signature(_shingle_hashes(t, shingle_k))
+                for t in df[col].fillna("")]
+        return pd.DataFrame({id_col: df[id_col].values,
+                             "sig": [s.tolist() for s in sigs]})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            sigs = [self.mh.signature(_shingle_hashes(t, shingle_k))
-                    for t in df[col].fillna("")]
-            return pd.DataFrame({id_col: df[id_col].values,
-                                 "sig": [s.tolist() for s in sigs]})
-
-    return ds.map_batches(Stage, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(stage, batch_format="pandas")
 
 
 def minhash_lsh_clusters(ds, col: str = "text", id_col: str = "doc_id",
@@ -367,39 +371,62 @@ def ngram_jaccard_pairs(ds, pairs: list[tuple[int, int]], col: str = "text",
 
 def embedding_near_dup_pairs(ds, threshold: float = 0.95,
                              vec_col: str = "embedding", id_col: str = "vec_id",
-                             n_planes: int = 8, seed: int = 42):
-    """Random-hyperplane LSH buckets → within-bucket cosine verify.
-    → Dataset[a, b, cos].  n_planes trades recall vs bucket size."""
+                             n_planes: int = 12, n_bands: int = 4,
+                             seed: int = 42, max_bucket: int = 1000):
+    """Multi-band random-hyperplane LSH → within-bucket cosine verify.
+    → Dataset[a, b, cos] (each pair once, deduped across bands).
 
-    class Bucketize:
-        def __init__(self):
-            self.planes = None
+    Scale shape (VERDICT r1 fix): ``n_bands`` independent plane sets —
+    a near-dup pair is a candidate if it collides in ANY band (recall
+    compounds like MinHash banding: 1-(1-p^planes)^bands), while each
+    band's 2^n_planes buckets stay small; buckets are iterated through
+    the bounded-partition ``partitioned_group_map`` with a hard
+    ``max_bucket`` cap (documented recall bound on degenerate dense
+    clusters, same policy as the MinHash path) and a vectorized
+    ``np.argwhere`` pair emit — no O(n²) Python loop."""
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            V = np.asarray(df[vec_col].tolist(), dtype=np.float32)
-            if self.planes is None:
-                rng = np.random.RandomState(seed)
-                self.planes = rng.standard_normal((V.shape[1], n_planes)).astype(np.float32)
-            signs = (V @ self.planes) > 0
-            bucket = signs @ (1 << np.arange(n_planes))
-            return pd.DataFrame({id_col: df[id_col].values,
-                                 "bucket": bucket.astype(np.int64),
-                                 vec_col: df[vec_col].values})
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.asarray(df[vec_col].tolist(), dtype=np.float32)
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((V.shape[1], n_bands * n_planes)).astype(np.float32)
+        signs = (V @ planes) > 0                      # (n, bands*planes)
+        weights = 1 << np.arange(n_planes)
+        out = []
+        for band in range(n_bands):
+            chunk = signs[:, band * n_planes : (band + 1) * n_planes]
+            out.append(pd.DataFrame({
+                id_col: df[id_col].values,
+                "band": band,
+                "bucket": chunk @ weights,
+                vec_col: df[vec_col].values,
+            }))
+        return pd.concat(out, ignore_index=True)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cos": []})
-        g = g.sort_values(id_col)
+            return empty
+        g = g.sort_values(id_col).head(max_bucket)
         V = np.asarray(g[vec_col].tolist(), dtype=np.float32)
         V = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-9, None)
         S = V @ V.T
-        ids = g[id_col].tolist()
-        A, B, C = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if S[i, j] >= threshold:
-                    A.append(ids[i]); B.append(ids[j]); C.append(float(S[i, j]))
-        return pd.DataFrame({"a": A, "b": B, "cos": C})
+        ij = np.argwhere(np.triu(S >= threshold, k=1))
+        if not len(ij):
+            return empty
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame({"a": ids[ij[:, 0]].astype("int64"),
+                             "b": ids[ij[:, 1]].astype("int64"),
+                             "cos": S[ij[:, 0], ij[:, 1]].astype("float64")})
 
-    return ds.map_batches(Bucketize, batch_format="pandas", concurrency=(1, 8)) \
-        .groupby("bucket").map_groups(verify, batch_format="pandas")
+    from pikes_ray.pipelines.shuffle import partitioned_group_map
+
+    pairs = partitioned_group_map(
+        ds.map_batches(bucketize, batch_format="pandas"),
+        ["band", "bucket"], verify)
+    # a pair can collide in several bands → keep one row per (a, b)
+    return partitioned_group_map(
+        pairs.map_batches(lambda d: d.drop_duplicates(["a", "b"]),
+                          batch_format="pandas"),
+        ["a", "b"], lambda g: g.head(1))

@@ -60,17 +60,31 @@ def knn_brute(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
 def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            n_planes: int = 6, seed: int = 42):
+            n_planes: int = 6, seed: int = 42, multiprobe: int = 1):
     """Approximate top-k: corpus bucketed by hyperplane signs; each
-    query searches only vectors in its bucket.  Recall < 1 by design;
-    use knn_brute as the exactness baseline."""
+    query searches its own bucket plus every bucket within hamming
+    distance ``multiprobe`` of it (multi-probe LSH — flipping the
+    least-confident plane signs recovers near neighbors that landed
+    one bucket over, lifting recall without growing the corpus-side
+    fanout).  Recall < 1 by design; knn_brute is the exactness
+    baseline."""
     rng = np.random.RandomState(seed)
     Q = np.asarray(queries, dtype=np.float64)
     planes = rng.standard_normal((Q.shape[1], n_planes)).astype(np.float64)
     qb = ((Q @ planes) > 0) @ (1 << np.arange(n_planes))
     by_bucket: dict[int, list[int]] = {}
+
+    def probe(b: int) -> set[int]:
+        out = {b}
+        frontier = {b}
+        for _ in range(multiprobe):
+            frontier = {f ^ (1 << i) for f in frontier for i in range(n_planes)}
+            out |= frontier
+        return out
+
     for qi, b in enumerate(qb):
-        by_bucket.setdefault(int(b), []).append(qi)
+        for pb in probe(int(b)):
+            by_bucket.setdefault(pb, []).append(qi)
     qref = ray.put((Q, np.asarray(query_ids), planes, by_bucket))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
