@@ -213,8 +213,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["query_id", "vec_id", "rank"]].astype("int64")
         return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
+    # ---- conformance vs the reference's eval-pm gold corpus ----
+    # (sf_dir-independent: the inputs are the 8 reference gold
+    # sentences; rows-only check — the real gate is
+    # tests/test_evalpm.py's published-number validation)
+
+    def eval_pm(sf_dir):
+        from pikes_ray.pipelines.evalpm import evaluate_ours
+
+        return evaluate_ours()
+
+    def eval_pm_reference(sf_dir):
+        from pikes_ray.pipelines.evalpm import evaluate_reference
+
+        return evaluate_reference()
+
     return {
         "kg_triples": kg_triples,
+        "eval_pm": eval_pm,
+        "eval_pm_reference": eval_pm_reference,
         "kg_entity_degree": kg_entity_degree,
         "kg_type_counts": kg_type_counts,
         "kg_sameas_links": kg_sameas_links,

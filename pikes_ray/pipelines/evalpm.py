@@ -1,0 +1,681 @@
+"""Real conformance evaluation against the reference's eval-pm corpus
+(VERDICT r1 top item: break the self-referential golden gate).
+
+The reference ships 8 gold sentence graphs
+(docs/eval-pm/gold/gold.{1..8}.ttl) plus its own system output on the
+same sentences (docs/eval-pm/pikes/pikes.{1..8}.ttl + pikes.patch.trig)
+and scores them with an unlabeled-node alignment + per-namespace P/R
+(eval/Converter.java, eval/Aligner.java:81-230, eval/Evaluation.java).
+This module re-implements that scorer in Python and applies it to
+
+- the reference's own output (validating the scorer against the
+  published November-2015 numbers on docs/eval-pm.html), and
+- OUR pipeline's output on the same 8 sentences — the honest
+  conformance number for this engine.
+
+Driver-side by design: 8 sentences, a few hundred triples each — this
+is a conformance *harness*, not a scale pipeline.
+
+Model (mirrors Converter.java):
+- each sentence's text is segmented into *terms* (maximal runs of
+  letters/-/_, repeated surfaces suffixed _1.._n);
+- a graph's nodes are instances denoted by terms; the aligner maps
+  test nodes to gold nodes sharing a term, enumerating alternatives to
+  maximize relation overlap (Aligner.java:105-170);
+- P/R per category: instances, unlabelled edges, labelled roles per
+  namespace (pb/nb/vn/fn/owl), types per namespace, DBpedia linking
+  (Evaluation.java:400-830), honoring gold's eval:associableTo
+  (ignorable) and eval:notAssociableTo (forbidden) markers.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from itertools import product
+
+from pikes_ray.functions.turtle import literal_value, parse_turtle
+
+EVAL_DIR = "/root/reference/docs/eval-pm"
+
+_RDF_TYPE = "rdf:type"
+
+# long namespace → canonical short prefix (gold files use eval:xxx#
+# pseudo-IRIs; the reference's own output uses newsreader namespaces —
+# Converter.java PIKES_CONVERTER/GOLD_CONVERTER rewriters)
+_NS = {
+    "eval:propbank#": "pb:",
+    "eval:nombank#": "nb:",
+    "eval:verbnet#": "vn:",
+    "eval:framenet#": "fn:",
+    "eval:schema#": "eval:",
+    "http://pikes.fbk.eu/ontologies/eval#": "eval:",
+    "http://pikes.fbk.eu/ontologies/propbank#": "pb:",
+    "http://pikes.fbk.eu/ontologies/nombank#": "nb:",
+    "http://pikes.fbk.eu/ontologies/verbnet#": "vn:",
+    "http://pikes.fbk.eu/ontologies/framenet#": "fn:",
+    "http://www.newsreader-project.eu/ontologies/propbank/": "pb:",
+    "http://www.newsreader-project.eu/ontologies/nombank/": "nb:",
+    "http://www.newsreader-project.eu/ontologies/verbnet/": "vn:",
+    "http://www.newsreader-project.eu/ontologies/framenet/": "fn:",
+    "http://www.w3.org/2002/07/owl#": "owl:",
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#": "rdf:",
+    "http://www.w3.org/2000/01/rdf-schema#": "rdfs:",
+    "http://dbpedia.org/resource/": "dbpedia:",
+    "http://groundedannotationframework.org/gaf#": "gaf:",
+    "http://dkm.fbk.eu/ontologies/knowledgestore#": "ks:",
+    "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#": "nif:",
+    "http://purl.org/dc/terms/": "dct:",
+}
+
+# AM modifier roles (Converter.java:49-50)
+_AM_ROLES = {"dir", "loc", "mnr", "ext", "rec", "prd", "pnc", "cau",
+             "dis", "adv", "mod", "neg"}
+
+_EVAL_MARKERS = {"eval:associableTo", "eval:notAssociableTo",
+                 "eval:classifiableAs", "eval:mappedTo", "eval:denotedBy"}
+
+ROLE_NS = ("pb:", "nb:", "vn:", "fn:", "owl:")
+TYPE_NS = ("pb:", "nb:", "vn:", "fn:")
+
+
+def shorten(iri: str) -> str:
+    if iri.startswith('"'):
+        return iri
+    for ns, short in _NS.items():
+        if iri.startswith(ns):
+            return short + iri[len(ns):]
+    return iri
+
+
+def _rewrite(term: str, system: str) -> str:
+    """Namespace + local-name normalization (Converter.java rewriters)."""
+    t = shorten(term)
+    if t.startswith("vn:"):
+        # both converters strip the lemma prefix: want-32.1-1-1 → 32.1-1-1
+        name = t[3:]
+        i = name.find("-")
+        if i > 0:
+            name = name[i + 1:]
+        return "vn:" + name
+    if system == "pikes" and (t.startswith("pb:") or t.startswith("nb:")):
+        ns, name = t[:3], t[3:]
+        if name.lower() in _AM_ROLES:
+            return ns + "am-" + name.lower()
+        if len(name) > 2 and name[-2] == "_" and name[-1] in "012345":
+            return ns + "a" + name[-1]
+    if system == "ours":
+        if t.startswith(("pb:", "nb:")):
+            # our fused role CURIEs: pb:become.01-a1 → pb:a1,
+            # pb:meet.01-amtmp → pb:am-tmp (extract.py t7_roles shape)
+            ns, name = t[:3], t[3:]
+            m = re.match(r"^[a-z_\-]+\.\d+-(a[0-5]|am?([a-z]+))$", name)
+            if m:
+                role = m.group(1)
+                if role.startswith("am"):
+                    role = "am-" + role[2:]
+                return ns + role
+        if t.startswith("dbr:"):
+            return "dbpedia:" + t[4:]
+        if t == "ks:mod":
+            return "dul:associatedWith"
+    if system == "pikes" and t == "ks:mod":
+        return "dul:associatedWith"
+    return t
+
+
+# --------------------------------------------------------------------------
+# sentence terms (Converter.java Sentence, :533-605)
+# --------------------------------------------------------------------------
+
+class Sentence:
+    def __init__(self, text: str):
+        self.text = text
+        terms: list[str] = []
+        begins: list[int] = []
+        ends: list[int] = []
+        # replicate the reference exactly: maximal runs of
+        # letter / '-' / '_' characters
+        cur = None
+        for i, ch in enumerate(text):
+            letter = ch.isalpha() or ch in "-_"
+            if letter and cur is None:
+                cur = i
+            elif not letter and cur is not None:
+                terms.append(text[cur:i])
+                begins.append(cur)
+                ends.append(i)
+                cur = None
+        if cur is not None:
+            terms.append(text[cur:])
+            begins.append(cur)
+            ends.append(len(text))
+        # disambiguate repeated surfaces with _1.._n
+        from collections import Counter
+
+        counts = Counter(terms)
+        seen: dict[str, int] = {}
+        for i, t in enumerate(terms):
+            if counts[t] > 1:
+                seen[t] = seen.get(t, 0) + 1
+                terms[i] = f"{t}_{seen[t]}"
+        self.terms = terms
+        self.begins = begins
+        self.ends = ends
+
+    def term_by_localname(self, local: str) -> str:
+        """getTerm(localName): longest '_'-truncated prefix matching a
+        term, case-insensitive (Converter.java:571-586)."""
+        idx = len(local)
+        while True:
+            cand = local[:idx]
+            for t in self.terms:
+                if cand.lower() == t.lower():
+                    return t
+            idx = local.rfind("_", 0, idx)
+            if idx < 0:
+                raise KeyError(f"cannot map {local!r} to a term")
+
+    def terms_by_span(self, begin: int, end: int) -> list[str]:
+        return [t for t, b, e in zip(self.terms, self.begins, self.ends)
+                if begin < e and end > b]
+
+    def term_by_span(self, begin: int, end: int) -> str:
+        ts = self.terms_by_span(begin, end)
+        if len(ts) != 1:
+            raise KeyError(f"span {begin},{end} maps to terms {ts}")
+        return ts[0]
+
+
+# --------------------------------------------------------------------------
+# graph container
+# --------------------------------------------------------------------------
+
+@dataclass
+class EvalGraph:
+    nodes: set[str] = field(default_factory=set)
+    denoted: dict[str, str] = field(default_factory=dict)     # node → term
+    triples: set[tuple[str, str, str]] = field(default_factory=set)
+    ignorable: set[frozenset] = field(default_factory=set)    # associableTo
+    forbidden: set[frozenset] = field(default_factory=set)    # notAssociableTo
+
+    def relations(self) -> set[tuple[str, str]]:
+        """Unordered node pairs for the aligner (Aligner.relationsFor):
+        any stmt between two nodes, plus (node, class) for rdf:type."""
+        out = set()
+        for s, p, o in self.triples:
+            if p in _EVAL_MARKERS or s == o:
+                continue
+            if s in self.nodes and (o in self.nodes or p == _RDF_TYPE):
+                out.add(_pair(s, o))
+        return out
+
+
+def _pair(a: str, b: str) -> tuple[str, str]:
+    return (a, b) if a <= b else (b, a)
+
+
+# --------------------------------------------------------------------------
+# gold loading
+# --------------------------------------------------------------------------
+
+def _local(iri: str) -> str:
+    for sep in ("#", "/"):
+        i = iri.rfind(sep)
+        if i >= 0:
+            return iri[i + 1:]
+    return iri
+
+
+def load_gold(path: str) -> tuple[str, EvalGraph]:
+    raw = open(path).read()
+    # two author glitches in the shipped gold files (strict Turtle would
+    # reject them; intent is unambiguous):
+    #   gold.5/gold.7:  "a nb:group.01 ; fn:Organization ."  (';' for ',')
+    #   gold.8:         ":americans :eval:associableTo :making ."
+    raw = raw.replace("a nb:group.01 ; fn:Organization .",
+                      "a nb:group.01 , fn:Organization .")
+    raw = raw.replace(":americans :eval:associableTo", ":americans eval:associableTo")
+    # gold.6: '.' for ';' leaves "nb:am-loc :iraq_2 ." subject-less
+    raw = raw.replace("nb:a2 :qaeda .\n    nb:am-loc :iraq_2 .",
+                      "nb:a2 :qaeda ;\n    nb:am-loc :iraq_2 .")
+    triples = parse_turtle(raw)
+
+    text = None
+    base = None
+    for s, p, o in triples:
+        if shorten(p) == "rdfs:label" and o.startswith('"'):
+            text = literal_value(o).strip()
+            base = s
+    assert text is not None, path
+    sent = Sentence(text)
+
+    g = EvalGraph()
+    for s, p, o in triples:
+        if s == base:
+            continue
+        ps = shorten(p)
+        if ps == _RDF_TYPE and shorten(o) == "eval:Node":
+            g.nodes.add(s)
+    for n in g.nodes:
+        g.denoted[n] = sent.term_by_localname(_local(n))
+    for s, p, o in triples:
+        if s == base or s not in g.nodes:
+            continue
+        ps = _rewrite(p, "gold")
+        if ps == _RDF_TYPE and shorten(o) == "eval:Node":
+            continue
+        if ps == "eval:associableTo":
+            g.ignorable.add(frozenset((s, o)))
+            continue
+        if ps == "eval:notAssociableTo":
+            g.forbidden.add(frozenset((s, o)))
+            continue
+        os_ = _rewrite(o, "gold") if not o.startswith('"') else o
+        g.triples.add((s, ps, os_))
+    return text, g
+
+
+# --------------------------------------------------------------------------
+# reference system output loading (pikes.N.ttl + pikes.patch.trig)
+# --------------------------------------------------------------------------
+
+def _load_patch(path: str) -> tuple[dict[str, str], dict[str, str]]:
+    """→ (mention IRI → head local name, sentence base → text)."""
+    triples = parse_turtle(open(path).read(), prefixes={
+        "rdfs": "http://www.w3.org/2000/01/rdf-schema#"})
+    heads: dict[str, str] = {}
+    texts: dict[str, str] = {}
+    for s, p, o in triples:
+        ps = shorten(p)
+        if ps == "eval:head":
+            heads[s] = _local(o)
+        elif ps == "rdfs:label" and o.startswith('"'):
+            texts[s] = literal_value(o).strip()
+    return heads, texts
+
+
+def load_reference_output(n: int) -> tuple[str, EvalGraph]:
+    heads, texts = _load_patch(os.path.join(EVAL_DIR, "pikes", "pikes.patch.trig"))
+    base = f"file:///eswc.{n}.ttl/"
+    text = texts[base]
+    sent = Sentence(text)
+    triples = parse_turtle(open(os.path.join(EVAL_DIR, "pikes", f"pikes.{n}.ttl")).read())
+
+    mentions: dict[str, tuple[int, int]] = {}
+    for s, p, o in triples:
+        ps = shorten(p)
+        if ps == "nif:beginIndex":
+            mentions.setdefault(s, [None, None])[0] = int(literal_value(o))
+        elif ps == "nif:endIndex":
+            mentions.setdefault(s, [None, None])[1] = int(literal_value(o))
+
+    g = EvalGraph()
+    for s, p, o in triples:
+        if shorten(p) == "gaf:denotedBy":
+            men = o
+            if men in heads:
+                term = sent.term_by_localname(heads[men])
+            else:
+                b, e = mentions[men]
+                term = sent.term_by_span(b, e)
+            g.nodes.add(s)
+            g.denoted[s] = term
+
+    skip_preds = {"gaf:denotedBy", "nif:beginIndex", "nif:endIndex",
+                  "nif:anchorOf", "ks:mentionOf", "ks:componentSubString",
+                  "pb:adv", "nb:adv"}
+    for s, p, o in triples:
+        if s not in g.nodes:
+            continue
+        ps = _rewrite(p, "pikes")
+        if ps in skip_preds or ps in _EVAL_MARKERS:
+            continue
+        os_ = _rewrite(o, "pikes") if not o.startswith('"') else o
+        g.triples.add((s, ps, os_))
+    return text, g
+
+
+# --------------------------------------------------------------------------
+# OUR pipeline output → EvalGraph
+# --------------------------------------------------------------------------
+
+def our_graph(text: str, triples_df) -> EvalGraph:
+    """Convert our triple table (CURIE terms, NIF mentions via
+    ks:expressedBy) for one sentence into the eval shape.
+
+    Instances with several mentions (doc-local coref smushing) are
+    split into one node per term with owl:sameAs among the splits and
+    relation cross-products — the same convention gold uses for
+    coreference (Converter.java:272-283 split+corefer)."""
+    sent = Sentence(text)
+    rows = list(zip(triples_df["subj"], triples_df["pred"], triples_df["obj"]))
+
+    # node → terms (multi-token mentions: last overlapping term — the
+    # head-final NP heuristic; the reference hand-patched these via
+    # eval:head, our spans are machine-made so a heuristic must do)
+    node_terms: dict[str, list[str]] = {}
+    for s, p, o in rows:
+        if p != "ks:expressedBy":
+            continue
+        m = re.search(r"char=(\d+),(\d+)", o)
+        if not m:
+            continue
+        b, e = int(m.group(1)), int(m.group(2))
+        ts = sent.terms_by_span(b, e)
+        if not ts:
+            continue
+        node_terms.setdefault(s, [])
+        if ts[-1] not in node_terms[s]:
+            node_terms[s].append(ts[-1])
+
+    def splits(node: str) -> list[str]:
+        ts = node_terms.get(node)
+        if not ts:
+            return [node]
+        if len(ts) == 1:
+            return [node]
+        return [f"{node}_{t}" for t in ts]
+
+    g = EvalGraph()
+    for node, ts in node_terms.items():
+        for sn, t in zip(splits(node), ts):
+            g.nodes.add(sn)
+            g.denoted[sn] = t
+    # sameAs among splits (coref convention)
+    for node in node_terms:
+        sp = splits(node)
+        for i in range(len(sp)):
+            for j in range(i + 1, len(sp)):
+                g.triples.add((sp[i], "owl:sameAs", sp[j]))
+
+    skip = {"ks:expressedBy", "nif:beginIndex", "nif:endIndex",
+            "nif:anchorOf", "ks:textHash", "ks:role", "ks:tool",
+            "dct:created", "ks:quarantined"}
+    for s, p, o in rows:
+        if p in skip or s not in node_terms:
+            continue
+        ps = _rewrite(p, "ours")
+        os_ = _rewrite(o, "ours") if not o.startswith('"') else o
+        for ss in splits(s):
+            for oo in (splits(o) if o in node_terms else [os_]):
+                if ss != oo:
+                    g.triples.add((ss, ps, oo))
+    return g
+
+
+# --------------------------------------------------------------------------
+# aligner (Aligner.java:81-230)
+# --------------------------------------------------------------------------
+
+def align(gold: EvalGraph, test: EvalGraph,
+          max_alternatives: int = 200_000) -> dict[str, str]:
+    gold_by_term: dict[str, list[str]] = {}
+    for n, t in sorted(gold.denoted.items()):
+        gold_by_term.setdefault(t, []).append(n)
+
+    base: dict[str, str] = {}
+    alt_nodes: list[str] = []
+    alt_golds: list[list[str]] = []
+    n_alt = 1
+    for tnode in sorted(test.denoted):
+        term = test.denoted[tnode]
+        golds = gold_by_term.get(term, [])
+        if len(golds) == 1:
+            base[tnode] = golds[0]
+        elif len(golds) > 1:
+            alt_nodes.append(tnode)
+            alt_golds.append(golds)
+            n_alt *= len(golds)
+
+    gold_rel = gold.relations()
+    test_rel = test.relations()
+
+    def tp_of(mapping: dict[str, str]) -> int:
+        rewritten = set()
+        for a, b in test_rel:
+            ra, rb = mapping.get(a, a), mapping.get(b, b)
+            if ra != rb:
+                rewritten.add(_pair(ra, rb))
+        return len(rewritten & gold_rel)
+
+    if n_alt == 1:
+        return base
+    if n_alt > max_alternatives:
+        # greedy fallback (the corpus never triggers this; documented
+        # deviation from the exhaustive reference enumeration)
+        mapping = dict(base)
+        for tnode, golds in zip(alt_nodes, alt_golds):
+            best = max(golds, key=lambda gn: tp_of({**mapping, tnode: gn}))
+            mapping[tnode] = best
+        return mapping
+
+    best_mapping, best_tp, best_count = base, -1, -1
+    for combo in product(*alt_golds):
+        mapping = dict(base)
+        mapping.update(zip(alt_nodes, combo))
+        tp = tp_of(mapping)
+        count = len(set(mapping.values()))
+        if tp > best_tp or (tp == best_tp and count > best_count):
+            best_mapping, best_tp, best_count = mapping, tp, count
+    return best_mapping
+
+
+# --------------------------------------------------------------------------
+# evaluation (Evaluation.java:400-830)
+# --------------------------------------------------------------------------
+
+class _PR:
+    __slots__ = ("tp", "fp", "fn")
+
+    def __init__(self):
+        self.tp = self.fp = self.fn = 0
+
+    def asdict(self):
+        p = self.tp / (self.tp + self.fp) if self.tp + self.fp else 1.0
+        r = self.tp / (self.tp + self.fn) if self.tp + self.fn else 1.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        return {"tp": self.tp, "fp": self.fp, "fn": self.fn,
+                "gold": self.tp + self.fn,
+                "precision": round(p, 3), "recall": round(r, 3),
+                "f1": round(f1, 3)}
+
+
+def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
+                   acc: dict[str, _PR]) -> None:
+    # --- instances -------------------------------------------------------
+    inst = acc["instances"]
+    aligned_gold = set(mapping.values())
+    aligned_test = set(mapping.keys())
+    for gn in gold.nodes:
+        if gn in aligned_gold:
+            inst.tp += 1
+        else:
+            inst.fn += 1
+    inst.fp += len(test.nodes - aligned_test)
+
+    # --- unlabelled edges ------------------------------------------------
+    edges = acc["edges"]
+    gold_rel = {_pair(s, o) for s, p, o in gold.triples
+                if s in gold.nodes and o in gold.nodes and s != o
+                and p not in _EVAL_MARKERS}
+    test_keys: dict[tuple, bool] = {}     # mapped pair → extra?
+    for s, p, o in test.triples:
+        if s not in test.nodes or o not in test.nodes or s == o \
+                or p in _EVAL_MARKERS:
+            continue
+        sm, om = mapping.get(s), mapping.get(o)
+        if sm is not None and om is not None and sm == om:
+            continue                       # self relation after mapping
+        key = _pair(sm if sm is not None else s, om if om is not None else o)
+        extra = sm is None or om is None
+        test_keys[key] = test_keys.get(key, True) and extra
+    for gr in gold_rel:
+        if gr in test_keys:
+            edges.tp += 1
+        else:
+            edges.fn += 1
+    for key, extra in test_keys.items():
+        if key in gold_rel:
+            continue
+        ignore = extra or frozenset(key) in gold.ignorable
+        if not ignore:
+            edges.fp += 1
+
+    # --- labelled roles per namespace -----------------------------------
+    for ns in ROLE_NS:
+        pr = acc[f"roles ({ns[:-1].upper()})" if ns != "owl:" else "owl:sameAs"]
+        gold_stmts = {(s, p, o) for s, p, o in gold.triples
+                      if s in gold.nodes and o in gold.nodes and s != o
+                      and p.startswith(ns)}
+        tkeys: dict[tuple, bool] = {}
+        for s, p, o in test.triples:
+            if s not in test.nodes or o not in test.nodes or s == o \
+                    or not p.startswith(ns):
+                continue
+            sm, om = mapping.get(s), mapping.get(o)
+            if sm is not None and om is not None and sm == om:
+                continue
+            key = (sm if sm is not None else s, p, om if om is not None else o)
+            extra = sm is None or om is None
+            tkeys[key] = tkeys.get(key, True) and extra
+        for gs in gold_stmts:
+            if gs in tkeys:
+                pr.tp += 1
+            else:
+                pr.fn += 1
+        for (ks, kp, ko), extra in tkeys.items():
+            if (ks, kp, ko) in gold_stmts:
+                continue
+            ignore = extra or frozenset((ks, ko)) in gold.ignorable
+            if not ignore:
+                pr.fp += 1
+
+    # --- types per namespace --------------------------------------------
+    for ns in TYPE_NS:
+        pr = acc[f"types ({ns[:-1].upper()})"]
+        gold_stmts = {(s, p, o) for s, p, o in gold.triples
+                      if s in gold.nodes and p == _RDF_TYPE
+                      and o not in gold.nodes and o.startswith(ns)}
+        tkeys: dict[tuple, bool] = {}
+        for s, p, o in test.triples:
+            if s not in test.nodes or p != _RDF_TYPE or o in test.nodes \
+                    or not o.startswith(ns):
+                continue
+            sm = mapping.get(s)
+            key = (sm if sm is not None else s, p, o)
+            tkeys[key] = tkeys.get(key, True) and (sm is None)
+        for gs in gold_stmts:
+            if gs in tkeys:
+                pr.tp += 1
+            else:
+                pr.fn += 1
+        for key, extra in tkeys.items():
+            if key not in gold_stmts and not extra:
+                pr.fp += 1
+
+    # --- DBpedia linking -------------------------------------------------
+    pr = acc["linking"]
+    gold_stmts = {(s, p, o) for s, p, o in gold.triples
+                  if s in gold.nodes and p == "owl:sameAs"
+                  and o not in gold.nodes}
+    tkeys = {}
+    for s, p, o in test.triples:
+        if s not in test.nodes or p != "owl:sameAs" or o in test.nodes:
+            continue
+        sm = mapping.get(s)
+        key = (sm if sm is not None else s, p, o)
+        tkeys[key] = tkeys.get(key, True) and (sm is None)
+    for gs in gold_stmts:
+        if gs in tkeys:
+            pr.tp += 1
+        else:
+            pr.fn += 1
+    for key, extra in tkeys.items():
+        if key not in gold_stmts and not extra:
+            pr.fp += 1
+
+
+_CATEGORIES = (["instances", "edges"]
+               + [f"roles ({ns[:-1].upper()})" for ns in ROLE_NS if ns != "owl:"]
+               + ["owl:sameAs"]
+               + [f"types ({ns[:-1].upper()})" for ns in TYPE_NS]
+               + ["linking"])
+
+
+def evaluate(golds: list[EvalGraph], tests: list[EvalGraph]):
+    """→ pandas DataFrame of per-category aggregate counts + P/R/F1,
+    plus the 'triples' roll-up (labelled + types + linking,
+    Evaluation.java:345-347)."""
+    import pandas as pd
+
+    acc = {c: _PR() for c in _CATEGORIES}
+    for gold, test in zip(golds, tests):
+        mapping = align(gold, test)
+        _eval_sentence(gold, test, mapping, acc)
+
+    trip = _PR()
+    for c in _CATEGORIES:
+        if c in ("instances", "edges"):
+            continue
+        trip.tp += acc[c].tp
+        trip.fp += acc[c].fp
+        trip.fn += acc[c].fn
+
+    rows = []
+    for c in _CATEGORIES:
+        rows.append({"component": c, **acc[c].asdict()})
+    rows.append({"component": "triples", **trip.asdict()})
+    return pd.DataFrame(rows)
+
+
+# --------------------------------------------------------------------------
+# entry points
+# --------------------------------------------------------------------------
+
+def gold_graphs() -> tuple[list[str], list[EvalGraph]]:
+    texts, graphs = [], []
+    for n in range(1, 9):
+        t, g = load_gold(os.path.join(EVAL_DIR, "gold", f"gold.{n}.ttl"))
+        texts.append(t)
+        graphs.append(g)
+    return texts, graphs
+
+
+def evaluate_reference():
+    """Score the reference's own output — validates this scorer against
+    the published table (docs/eval-pm.html, November-2015 column)."""
+    _, golds = gold_graphs()
+    tests = []
+    for n in range(1, 9):
+        _, g = load_reference_output(n)
+        tests.append(g)
+    return evaluate(golds, tests)
+
+
+def evaluate_ours():
+    """Run OUR pipeline on the 8 gold sentences and score it."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from pikes_ray.schema import TRANSCRIPT_SCHEMA
+    from pikes_ray.stages.fused import KGStage
+
+    texts, golds = gold_graphs()
+    rows = [{"conv_id": "eval", "turn_idx": i, "role": "user", "text": t,
+             "tool": "", "ts": dt.datetime(2015, 11, 6)}
+            for i, t in enumerate(texts)]
+    batch = pa.Table.from_pylist(rows, schema=TRANSCRIPT_SCHEMA)
+    # no corpus canonicalization: eval wants entity nodes with their
+    # owl:sameAs dbpedia links intact (linking category), not smushed
+    # onto the dbr: IRIs
+    stage = KGStage(static_canon=False)
+    out = stage(batch).to_pandas()
+
+    tests = []
+    for i, text in enumerate(texts):
+        sub = out[out["turn_idx"] == i]
+        tests.append(our_graph(text, sub))
+    return evaluate(golds, tests)
