@@ -31,6 +31,9 @@ NAMESPACES = {
     "dbr": "http://dbpedia.org/resource/",
     "pb": "http://premon.fbk.eu/resource/pb17-",
     "nb": "http://premon.fbk.eu/resource/nb10-",
+    "vn": "http://premon.fbk.eu/resource/vn32-",
+    "fn": "http://premon.fbk.eu/resource/fn15-",
+    "eso": "https://github.com/newsreader/eso#",
     "entity": "http://pikes-ray/entity/",
     "conv": "http://pikes-ray/conv/",
     "fact": "http://pikes-ray/fact/",

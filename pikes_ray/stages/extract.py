@@ -69,6 +69,7 @@ class _DocExtractor:
         self.seen: set[tuple[str, str, str]] = set()
         self.inst_of_ent: dict[int, str | None] = {}   # entity idx → instance IRI
         self.inst_of_head: dict[int, str] = {}          # head token → instance IRI
+        self._self_insts: dict[int, str] = {}           # pred head → noun instance
         self.tokens = row["tokens"]
         self.entities = row["entities"]
         self.predicates = row["predicates"]
@@ -173,6 +174,8 @@ class _DocExtractor:
             self._entity_instance(idx, ent)
 
     def t3_predicates(self) -> dict[int, str]:
+        from pikes_ray.functions.predicatematrix import enrich
+
         evt_of_head: dict[int, str] = {}
         for p in self.predicates:
             if p["copular"]:
@@ -183,9 +186,22 @@ class _DocExtractor:
             evt_of_head[head] = evt
             self.inst_of_head.setdefault(head, evt)
             self.fact(evt, "rdf:type", "sem:Event")
-            self.fact(evt, "rdf:type", f"pb:{p['sense']}")
+            nb_id = ""
+            if p["sense"]:
+                self.fact(evt, "rdf:type", f"pb:{p['sense']}")
             if p["source"] == "nominal" and lemma in lx.NOUN_FRAMES:
-                self.fact(evt, "rdf:type", f"nb:{lx.NOUN_FRAMES[lemma][0]}")
+                nb_id = lx.NOUN_FRAMES[lemma][0]
+                self.fact(evt, "rdf:type", f"nb:{nb_id}")
+            # M6 PredicateMatrix enrichment: VN class, FN frame, ESO
+            # class types (AnnotationPipeline.java:564-725 external
+            # refs → RDFGenerator.java:1323-1345 type facts)
+            vn, fn, eso = enrich(p["sense"], nb_id)
+            if vn:
+                self.fact(evt, "rdf:type", f"vn:{vn}")
+            if fn:
+                self.fact(evt, "rdf:type", f"fn:{fn}")
+            if eso:
+                self.fact(evt, "rdf:type", f"eso:{eso}")
             self.fact(evt, "rdfs:label", _lit(lemma))
             if p.get("link"):
                 # F5-promoted predicate link (NAFFilter.java:739-749 →
@@ -193,6 +209,18 @@ class _DocExtractor:
                 self.fact(evt, "owl:sameAs", p["link"], conf=p["link_conf"])
             self.mention(evt, head, head + 1)
         return evt_of_head
+
+    def _self_arg_instance(self, head: int) -> str:
+        key = f"selfarg{head}"
+        inst = self._self_insts.get(head)
+        if inst is None:
+            lemma = self.tokens[head]["lemma"]
+            inst = self.mint.mint(key, lemma)
+            self._self_insts[head] = inst
+            self.fact(inst, "rdf:type", "ks:Instance")
+            self.fact(inst, "rdfs:label", _lit(lemma))
+            self.mention(inst, head, head + 1)
+        return inst
 
     def _resolve_span(self, start: int, end: int, head: int):
         """→ ("inst", iri) | ("value", ent) | (None, None)."""
@@ -209,14 +237,37 @@ class _DocExtractor:
         return None, None
 
     def t7_roles(self, evt_of_head: dict[int, str]) -> None:
+        from pikes_ray.functions.predicatematrix import role_props
+
+        nominal_heads = {p["head"] for p in self.predicates
+                         if p["source"] == "nominal" and not p["copular"]}
         for p in self.predicates:
             evt = evt_of_head.get(p["head"])
             if evt is None:
                 continue
             sense = p["sense"]
+            nb_id = ""
+            if p["source"] == "nominal":
+                lemma = self.tokens[p["head"]]["lemma"]
+                nb_id = lx.NOUN_FRAMES.get(lemma, ("",))[0]
             for r in p["roles"]:
                 kind, arg = self._resolve_span(r["start"], r["end"], r["head"])
                 sem_role = r["sem_role"]
+                self_arg = False
+                if kind == "inst" and arg == evt and r["head"] == p["head"]:
+                    # incorporated self-arg (F13): the reference models a
+                    # nominal frame as TWO instances — the frame and the
+                    # noun referent it incorporates (gold eval graphs:
+                    # :donors_v nb:a0 :donors, both on the same term) —
+                    # so the role points at a separate noun instance
+                    arg = self._self_arg_instance(p["head"])
+                    self_arg = True
+                elif kind == "inst" and r["head"] in nominal_heads \
+                        and r["head"] != p["head"]:
+                    # a role filled by a nominal-frame head denotes the
+                    # noun referent, not the frame ("say A0 officials",
+                    # not "say A0 officials_v")
+                    arg = self._self_arg_instance(r["head"])
                 if kind == "value":
                     ent = arg
                     if ent["etype"] == "MONEY" and ent["norm"]:
@@ -238,7 +289,29 @@ class _DocExtractor:
                         prop = "sem:hasTime" if str(arg).startswith("time:") else "sem:hasActor"
                     self.fact(evt, prop, arg)
                 if sem_role.startswith("A"):
-                    self.fact(evt, f"pb:{sense}-{sem_role.lower().replace('-', '')}", arg)
+                    suffix = sem_role.lower().replace("-", "")
+                    pb_suffix = suffix
+                    if self_arg and nb_id and len(suffix) == 2:
+                        # models may number the incorporated arg
+                        # differently (lexicon.SELF_ARG_PB_NUM)
+                        remap = lx.SELF_ARG_PB_NUM.get(nb_id, {})
+                        num = remap.get(int(suffix[1]))
+                        if num is not None:
+                            pb_suffix = f"a{num}"
+                    if sense:
+                        self.fact(evt, f"pb:{sense}-{pb_suffix}", arg)
+                    if nb_id:
+                        # nominal predicates carry the role in the
+                        # NomBank model too (RDFGenerator role props
+                        # per predicate model)
+                        self.fact(evt, f"nb:{nb_id}-{suffix}", arg)
+                    # M6: VN / FN role properties from the
+                    # PredicateMatrix ``sense@arg`` rows
+                    vn_r, fn_r = role_props(sem_role, sense, nb_id)
+                    if vn_r:
+                        self.fact(evt, f"vn:{vn_r}", arg)
+                    if fn_r:
+                        self.fact(evt, f"fn:{fn_r}", arg)
 
     def t5_modifiers(self) -> None:
         """Adjective modifiers of instance heads → ks:mod quality values

@@ -88,8 +88,16 @@ def test_our_pipeline_honest_score():
     raise them when a round improves a category."""
     df = evaluate_ours().set_index("component")
     inst = df.loc["instances"]
-    assert inst["precision"] >= 0.85
-    assert inst["recall"] >= 0.60
+    assert inst["precision"] >= 0.90 and inst["recall"] >= 0.78
+    # the four type categories and linking beat the reference's own
+    # published numbers after the PredicateMatrix enrichment (r2)
+    assert df.loc["types (PB)", "f1"] >= 0.85
+    assert df.loc["types (NB)", "f1"] >= 0.90
+    assert df.loc["types (VN)", "f1"] >= 0.75
+    assert df.loc["types (FN)", "f1"] >= 0.78
+    assert df.loc["linking", "f1"] >= 0.90
+    assert df.loc["roles (PB)", "f1"] >= 0.45
+    assert df.loc["triples", "f1"] >= 0.58
     # every category must at least be reported
     assert {"edges", "roles (PB)", "types (PB)", "linking",
             "triples"} <= set(df.index)
