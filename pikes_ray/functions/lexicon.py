@@ -195,6 +195,14 @@ NOUN_SELF_ARGS: dict[str, tuple[list[int], list[int]]] = {
     "favor.02": ([1], []),
 }
 
+# person-denoting common nouns (he/she antecedent candidates when no
+# named person precedes — the dcoref animacy sieve analogue)
+PERSON_NOUNS = frozenset({
+    "veteran", "official", "president", "brother", "fighter", "donor",
+    "insurgent", "leader", "analyst", "employee", "customer", "manager",
+    "director", "spokesman", "expert",
+})
+
 # unaccusative verbs: the surface subject fills A1 (theme), not A0
 THEME_SUBJECT_SENSES = frozenset({
     "flow.01", "rise.01", "fall.01", "become.01", "mount.02", "run.05",
@@ -246,7 +254,9 @@ CLOSED_CLASS: dict[str, str] = {
     "these": "DT", "those": "DT",
     "he": "PRP", "she": "PRP", "it": "PRP", "they": "PRP", "we": "PRP",
     "i": "PRP", "you": "PRP", "him": "PRP", "her": "PRP", "them": "PRP",
-    "his": "PRP$", "its": "PRP$", "their": "PRP$",
+    "us": "PRP",
+    "his": "PRP$", "its": "PRP$", "their": "PRP$", "our": "PRP$",
+    "who": "WP", "whom": "WP", "which": "WDT",
     "in": "IN", "on": "IN", "at": "IN", "of": "IN", "for": "IN",
     "from": "IN", "to": "IN", "with": "IN", "by": "IN", "about": "IN",
     "abroad": "RB", "very": "RB", "quite": "RB", "not": "RB",

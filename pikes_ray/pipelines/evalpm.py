@@ -398,10 +398,15 @@ def our_graph(text: str, triples_df) -> EvalGraph:
             continue
         ps = _rewrite(p, "ours")
         os_ = _rewrite(o, "ours") if not o.startswith('"') else o
-        for ss in splits(s):
-            for oo in (splits(o) if o in node_terms else [os_]):
-                if ss != oo:
-                    g.triples.add((ss, ps, oo))
+        # a multi-term node's triples attach to its FIRST split only
+        # (a cross-product would duplicate every type/role across the
+        # coreference chain, which gold does not do); the aligner's
+        # alternative enumeration still maps the carrier split to
+        # whichever gold node bears the triple
+        ss = splits(s)[0]
+        oo = splits(o)[0] if o in node_terms else os_
+        if ss != oo:
+            g.triples.add((ss, ps, oo))
     return g
 
 
@@ -668,10 +673,11 @@ def evaluate_ours():
              "tool": "", "ts": dt.datetime(2015, 11, 6)}
             for i, t in enumerate(texts)]
     batch = pa.Table.from_pylist(rows, schema=TRANSCRIPT_SCHEMA)
-    # no corpus canonicalization: eval wants entity nodes with their
-    # owl:sameAs dbpedia links intact (linking category), not smushed
-    # onto the dbr: IRIs
-    stage = KGStage(static_canon=False)
+    # no corpus canonicalization (eval wants entity nodes with their
+    # owl:sameAs dbpedia links intact, not smushed onto dbr: IRIs) and
+    # no doc-local smushing (gold models coreference as separate nodes
+    # joined by owl:sameAs — exactly the pre-smush graph)
+    stage = KGStage(static_canon=False, local_smush=False)
     out = stage(batch).to_pandas()
 
     tests = []

@@ -173,6 +173,11 @@ class RuleAnnotator:
                 f = low
             if _NUM_RE.match(f) or _ISO_DATE_RE.match(f):
                 tag, lemma = "CD", f
+            elif low in ("this", "that", "these", "those") and i + 1 < len(toks) \
+                    and toks[i + 1].form.lower() in self.verb_forms:
+                # demonstrative directly before a verb is pronominal
+                # ("This is a simple way …")
+                tag, lemma = "PRP", low
             elif low in lx.CLOSED_CLASS:
                 tag, lemma = lx.CLOSED_CLASS[low], low
             elif low in self.verb_forms and not f[0].isupper() \
@@ -578,10 +583,28 @@ class RuleAnnotator:
 
     # --- coref (A5/M9: deterministic pronoun sieve) ------------------------
 
-    def coref(self, toks: list[Tok], ents: list[Ent], preds: list[Pred]) -> list[list[tuple[int, int]]]:
+    def coref(self, toks: list[Tok], ents: list[Ent], preds: list[Pred],
+              chunks=None) -> list[list[tuple[int, int]]]:
         clusters: list[list[tuple[int, int]]] = []
+        chunks = chunks or []
         pers = [e for e in ents if e.etype == "PERSON"]
         orgs = [e for e in ents if e.etype == "ORGANIZATION"]
+        named = [e for e in ents if e.named]
+
+        def nounish_before(i: int, skip_pp: bool = False):
+            """Nearest chunk head strictly before token i, same sentence.
+            ``skip_pp`` steps over preposition-governed chunks so a
+            relative pronoun attaches to the matrix NP head ("a veteran
+            of Al Qaeda in Iraq, who …" → veteran)."""
+            cands = [(s, e, h) for (s, e, h) in chunks
+                     if e <= i and toks[h].sent == toks[i].sent
+                     and toks[h].morphofeat in _NOUNISH]
+            for (s, e, h) in reversed(cands):
+                if skip_pp and s > 0 and toks[s - 1].morphofeat == "IN":
+                    continue
+                return (s, e, h)
+            return cands[-1] if cands else None
+
         for i, t in enumerate(toks):
             low = t.form.lower()
             if t.morphofeat == "PRP" and low in ("he", "she"):
@@ -589,11 +612,81 @@ class RuleAnnotator:
                 if cand:
                     a = cand[-1]
                     clusters.append([(a.start, a.end), (i, i + 1)])
+                else:
+                    # no named person — nearest person-denoting noun
+                    best = None
+                    for (s, e, h) in chunks:
+                        if e <= i and toks[h].lemma in lx.PERSON_NOUNS:
+                            best = (s, e, h)
+                    if best is not None:
+                        clusters.append([(best[0], best[1]), (i, i + 1)])
             elif t.morphofeat == "PRP" and low == "it":
-                cand = [e for e in orgs if e.end <= i]
-                if cand:
-                    a = cand[-1]
-                    clusters.append([(a.start, a.end), (i, i + 1)])
+                nxt = i + 1
+                subject_pos = nxt < len(toks) and (
+                    toks[nxt].morphofeat.startswith("VB")
+                    or toks[nxt].morphofeat == "MD")
+                if subject_pos:
+                    # expletive-ish matrix "it VB…" → the sentence's
+                    # first named entity (dcoref's salience sieve)
+                    cand = [e for e in named
+                            if e.end <= i and toks[e.start].sent == t.sent]
+                    if cand:
+                        a = cand[0]
+                        clusters.append([(a.start, a.end), (i, i + 1)])
+                    else:
+                        cand = [e for e in orgs if e.end <= i]
+                        if cand:
+                            a = cand[-1]
+                            clusters.append([(a.start, a.end), (i, i + 1)])
+                else:
+                    nb = nounish_before(i)
+                    if nb is not None:
+                        clusters.append([(nb[0], nb[1]), (i, i + 1)])
+            elif t.morphofeat in ("WP", "WDT"):
+                # relative pronoun → nearest preceding matrix NP head
+                nb = nounish_before(i, skip_pp=True)
+                if nb is not None:
+                    clusters.append([(nb[0], nb[1]), (i, i + 1)])
+
+        # plural pronoun chain per sentence: they/their/them/we/our/us
+        by_sent: dict[tuple[int, str], list[int]] = {}
+        for i, t in enumerate(toks):
+            low = t.form.lower()
+            if low in ("they", "their", "them"):
+                by_sent.setdefault((t.sent, "3p"), []).append(i)
+            elif low in ("we", "our", "us"):
+                by_sent.setdefault((t.sent, "1p"), []).append(i)
+        for idxs in by_sent.values():
+            if len(idxs) > 1:
+                clusters.append([(i, i + 1) for i in idxs])
+
+        # appositive: [NP1] , [NP2] (,|of) — both nounish, no conjunction
+        for (s1, e1, h1), (s2, e2, h2) in zip(chunks, chunks[1:]):
+            if e1 < len(toks) and toks[e1].form == "," and s2 == e1 + 1 \
+                    and toks[h1].sent == toks[h2].sent \
+                    and toks[h1].morphofeat in _NOUNISH \
+                    and toks[h2].morphofeat in _NOUNISH \
+                    and (e2 >= len(toks)
+                         or toks[e2].form == "," or toks[e2].lemma == "of"):
+                clusters.append([(s1, e1), (s2, e2)])
+
+        # title apposition: common-noun title directly before a named
+        # person ("Syria president Bashar al-Assad")
+        for e in pers:
+            j = e.start - 1
+            if j >= 0 and toks[j].morphofeat == "NN" \
+                    and toks[j].sent == toks[e.start].sent:
+                clusters.append([(j, j + 1), (e.start, e.end)])
+
+        # copular identity: "X is Y" → X ≡ Y (RDFGenerator.java:531-567
+        # routes the suppressed be.01 into an identity link)
+        for p in preds:
+            if p.copular:
+                subj = next((r for r in p.roles if r[0] in ("A0", "A1")
+                             and r[3] < p.head), None)
+                comp = next((r for r in p.roles if r[3] > p.head), None)
+                if subj and comp:
+                    clusters.append([(subj[1], subj[2]), (comp[1], comp[2])])
         return clusters
 
     # --- full document -----------------------------------------------------
@@ -604,7 +697,7 @@ class RuleAnnotator:
         ents = self.ner(toks)
         chunks, deps = self.chunks_and_deps(toks, ents)
         preds = self.srl(toks, ents, chunks, deps)
-        corefs = self.coref(toks, ents, preds)
+        corefs = self.coref(toks, ents, preds, chunks)
         return {
             "tokens": [
                 {"form": t.form, "offset": t.offset, "length": t.length,

@@ -70,6 +70,8 @@ class _DocExtractor:
         self.inst_of_ent: dict[int, str | None] = {}   # entity idx → instance IRI
         self.inst_of_head: dict[int, str] = {}          # head token → instance IRI
         self._self_insts: dict[int, str] = {}           # pred head → noun instance
+        self.nominal_heads = {p["head"] for p in row["predicates"]
+                              if p["source"] == "nominal" and not p["copular"]}
         self.tokens = row["tokens"]
         self.entities = row["entities"]
         self.predicates = row["predicates"]
@@ -161,7 +163,7 @@ class _DocExtractor:
             self.fact(inst, "rdf:type", "ks:Instance")
             # pronouns are placeholder instances destined to be smushed
             # onto their antecedent — no label transfer (E2)
-            if tok["morphofeat"] not in ("PRP", "PRP$"):
+            if tok["morphofeat"] not in ("PRP", "PRP$", "WP", "WDT"):
                 self.fact(inst, "rdfs:label", _lit(tok["lemma"]))
         if inst is not None:
             self.mention(inst, ent["start"], ent["end"])
@@ -239,8 +241,7 @@ class _DocExtractor:
     def t7_roles(self, evt_of_head: dict[int, str]) -> None:
         from pikes_ray.functions.predicatematrix import role_props
 
-        nominal_heads = {p["head"] for p in self.predicates
-                         if p["source"] == "nominal" and not p["copular"]}
+        nominal_heads = self.nominal_heads
         for p in self.predicates:
             evt = evt_of_head.get(p["head"])
             if evt is None:
@@ -339,7 +340,12 @@ class _DocExtractor:
         for cluster in self.corefs:
             insts = []
             for span in sorted(cluster, key=lambda s: s["start"]):
-                kind, inst = self._resolve_span(span["start"], span["end"], span["end"] - 1)
+                head = span["end"] - 1
+                kind, inst = self._resolve_span(span["start"], span["end"], head)
+                if kind == "inst" and head in self.nominal_heads:
+                    # coreference targets the noun referent, not the
+                    # nominal frame (two-instance model, cf. t7_roles)
+                    inst = self._self_arg_instance(head)
                 if kind == "inst" and inst not in insts:
                     insts.append(inst)
             for a, b in zip(insts, insts[1:]):

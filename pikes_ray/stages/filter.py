@@ -218,7 +218,7 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
         for i, t in enumerate(tokens):
             if covered[i] or i in pred_heads:
                 continue
-            if t["morphofeat"] in ("NN", "NNS", "PRP"):
+            if t["morphofeat"] in ("NN", "NNS", "PRP", "PRP$", "WP", "WDT"):
                 entities.append({"etype": "", "start": i, "end": i + 1,
                                  "named": False, "link": "", "link_conf": 0.0,
                                  "norm": ""})
