@@ -34,6 +34,10 @@ NAMESPACES = {
     "vn": "http://premon.fbk.eu/resource/vn32-",
     "fn": "http://premon.fbk.eu/resource/fn15-",
     "eso": "https://github.com/newsreader/eso#",
+    "sumo": "http://www.ontologyportal.org/SUMO.owl#",
+    "dbyago": "http://dbpedia.org/class/yago/",
+    "wnsyn": "http://www.newsreader-project.eu/syn/",
+    "sst": "http://www.newsreader-project.eu/sst/",
     "entity": "http://pikes-ray/entity/",
     "conv": "http://pikes-ray/conv/",
     "fact": "http://pikes-ray/fact/",

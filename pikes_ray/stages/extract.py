@@ -61,7 +61,9 @@ def _date_literal(norm: str) -> str:
 class _DocExtractor:
     """One document's extraction pass (all per-doc state local)."""
 
-    def __init__(self, conv_id: str, turn_idx: int, row: dict):
+    def __init__(self, conv_id: str, turn_idx: int, row: dict,
+                 sense_completion: bool = True):
+        self.sense_completion = sense_completion
         self.doc = doc_iri(conv_id, turn_idx)
         self.row = row
         self.mint = MintTable(self.doc)
@@ -110,6 +112,7 @@ class _DocExtractor:
         self.meta(men, "nif:endIndex", _lit(str(e), "xsd:int"))
         self.meta(men, "nif:anchorOf", _lit(self.surface(start, end)))
         self.meta(inst, "ks:expressedBy", men)
+        self.sense_mention(start, end)
 
     # -- steps -------------------------------------------------------------
 
@@ -153,6 +156,7 @@ class _DocExtractor:
             cls = TYPE_MAP.get(etype)
             if cls:
                 self.fact(inst, "rdf:type", cls)
+            self._sumo_yago_ne(inst, etype)
             self.fact(inst, "foaf:name", _lit(label))
             if ent["link"]:
                 self.fact(inst, "owl:sameAs", ent["link"], conf=ent["link_conf"])
@@ -165,6 +169,7 @@ class _DocExtractor:
             # onto their antecedent — no label transfer (E2)
             if tok["morphofeat"] not in ("PRP", "PRP$", "WP", "WDT"):
                 self.fact(inst, "rdfs:label", _lit(tok["lemma"]))
+                self._sumo_yago_noun(inst, tok["lemma"])
         if inst is not None:
             self.mention(inst, ent["start"], ent["end"])
             self.inst_of_head.setdefault(ent["end"] - 1, inst)
@@ -194,6 +199,7 @@ class _DocExtractor:
             if p["source"] == "nominal" and lemma in lx.NOUN_FRAMES:
                 nb_id = lx.NOUN_FRAMES[lemma][0]
                 self.fact(evt, "rdf:type", f"nb:{nb_id}")
+                self._sumo_yago_noun(evt, lemma)
             # M6 PredicateMatrix enrichment: VN class, FN frame, ESO
             # class types (AnnotationPipeline.java:564-725 external
             # refs → RDFGenerator.java:1323-1345 type facts)
@@ -211,6 +217,53 @@ class _DocExtractor:
                 self.fact(evt, "owl:sameAs", p["link"], conf=p["link_conf"])
             self.mention(evt, head, head + 1)
         return evt_of_head
+
+    def _sumo_yago_ne(self, inst: str, etype: str) -> None:
+        """F2 typing for named entities: SUMO closure + YAGO class
+        (RDFGenerator.java:1323-1345 shape; Sumo.java/YagoTaxonomy.java
+        resources pinned in functions/wordnet.py)."""
+        if not self.sense_completion:
+            return
+        from pikes_ray.functions.wordnet import ne_types
+
+        sumo, yago = ne_types(etype)
+        for c in sumo:
+            self.fact(inst, "rdf:type", f"sumo:{c}")
+        if yago:
+            self.fact(inst, "rdf:type", f"dbyago:{yago}")
+
+    def _sumo_yago_noun(self, inst: str, lemma: str) -> None:
+        """F2 typing for common nouns via the mini WordNet first-sense
+        map (NAFFilter.java:388-496 termSenseCompletion analogue)."""
+        if not self.sense_completion:
+            return
+        from pikes_ray.functions.wordnet import noun_types
+
+        _syn, _sst, sumo, yago = noun_types(lemma)
+        for c in sumo:
+            self.fact(inst, "rdf:type", f"sumo:{c}")
+        if yago:
+            self.fact(inst, "rdf:type", f"dbyago:{yago}")
+
+    def sense_mention(self, start: int, end: int) -> None:
+        """Attach ks:synset / ks:sst to a mention whose head is a
+        mapped noun (the reference puts synsets on mentions —
+        docs/eval-pm/pikes/pikes.1.ttl char=22,27)."""
+        if not self.sense_completion:
+            return
+        from pikes_ray.functions.wordnet import noun_types
+
+        toks = self.tokens[start:end]
+        if not toks:
+            return
+        syn, sst, _sumo, _yago = noun_types(toks[-1]["lemma"])
+        if syn is None:
+            return
+        b = toks[0]["offset"]
+        e = toks[-1]["offset"] + toks[-1]["length"]
+        men = mention_iri(self.doc, b, e)
+        self.meta(men, "ks:synset", f"wnsyn:{syn}")
+        self.meta(men, "ks:sst", f"sst:{sst}")
 
     def _self_arg_instance(self, head: int) -> str:
         key = f"selfarg{head}"

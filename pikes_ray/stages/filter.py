@@ -30,6 +30,9 @@ _DET_TAGS = {"DT", "IN"}
 class FilterConfig:
     """Flag names/defaults mirror NAFFilter.Builder (NAFFilter.java:202-234)."""
 
+    term_sense_completion: bool = True      # F2  (:388-496; consumed by
+                                            #     the extractor: WN/SUMO/
+                                            #     YAGO typing emission)
     entity_remove_overlaps: bool = True     # F3  (:536-568)
     entity_span_fixing: bool = True         # F4  (:498-534)
     entity_addition: bool = True            # F7  (:570-623)

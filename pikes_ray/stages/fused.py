@@ -67,7 +67,8 @@ class KGStage:
             row = {"conv_id": conv[i], "turn_idx": turn[i], "role": role[i],
                    "text": t, "tool": tool[i], "ts": ts[i],
                    "quarantined": quarantined, **ann}
-            ex = _DocExtractor(conv[i], turn[i], row)
+            ex = _DocExtractor(conv[i], turn[i], row,
+                               sense_completion=self.cfg.term_sense_completion)
             for (s, p, o, g, c) in ex.run():
                 out["conv_id"].append(conv[i])
                 out["turn_idx"].append(turn[i])

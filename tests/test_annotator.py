@@ -191,3 +191,40 @@ def test_f13_self_arg_fixing_flag(model):
     assert any(r["sem_role"] == "A4" for r in off_nom["roles"])
     assert not any(r["sem_role"] == "A1" and r["head"] == head
                    for r in off_nom["roles"])
+
+
+def test_f2_term_sense_completion_types(model):
+    """F2 WordNet/SUMO/YAGO typing: noun instances and named entities
+    get sumo:/dbyago: rdf:type facts + mention synsets; flag-off
+    removes them (VERDICT r1 item 2)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from pikes_ray.schema import TRANSCRIPT_SCHEMA
+    from pikes_ray.stages.fused import KGStage
+
+    b = pa.Table.from_pylist([{
+        "conv_id": "c", "turn_idx": 0, "role": "user",
+        "text": "Alice Johnson met the president of Acme Corp.",
+        "tool": "", "ts": dt.datetime(2024, 1, 1)}], schema=TRANSCRIPT_SCHEMA)
+    on = KGStage(static_canon=False)(b).to_pandas()
+    sumo = set(on[on.obj.str.startswith("sumo:")].obj)
+    # closure: Human ⊂ CognitiveAgent ⊂ Agent ⊂ Object ⊂ Physical ⊂ Entity
+    assert {"sumo:Human", "sumo:CognitiveAgent", "sumo:Agent",
+            "sumo:Entity"} <= sumo
+    assert (on.obj.str.startswith("dbyago:")).any()
+    assert (on.pred == "ks:synset").any() and (on.pred == "ks:sst").any()
+
+    off = KGStage(cfg=FilterConfig(term_sense_completion=False),
+                  static_canon=False)(b).to_pandas()
+    assert not (off.obj.str.startswith("sumo:")).any()
+    assert not (off.pred == "ks:synset").any()
+
+
+def test_sumo_closure_deterministic():
+    from pikes_ray.functions.wordnet import sumo_closure
+
+    c = sumo_closure("Group")
+    assert c[0] == "Group" and "Entity" in c and len(c) == len(set(c))
+    assert sumo_closure("Group") == c
