@@ -34,6 +34,7 @@ NAMESPACES = {
     "vn": "http://premon.fbk.eu/resource/vn32-",
     "fn": "http://premon.fbk.eu/resource/fn15-",
     "eso": "https://github.com/newsreader/eso#",
+    "fb": "http://framebase.org/ns/",
     "sumo": "http://www.ontologyportal.org/SUMO.owl#",
     "dbyago": "http://dbpedia.org/class/yago/",
     "wnsyn": "http://www.newsreader-project.eu/syn/",

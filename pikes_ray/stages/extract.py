@@ -208,9 +208,16 @@ class _DocExtractor:
                 self.fact(evt, "rdf:type", f"vn:{vn}")
             if fn:
                 self.fact(evt, "rdf:type", f"fn:{fn}")
+                # F15 srlFrameBaseMapping (NAFFilter.java:1310-1460):
+                # the FrameBase microframe for this LU —
+                # fb:frame-<Frame>-<lemma>.<pos> (docs/eval-pm pikes
+                # output shape, e.g. frame-Becoming-get.v)
+                pos = "n" if p["source"] == "nominal" else "v"
+                self.fact(evt, "rdf:type", f"fb:frame-{fn}-{lemma}.{pos}")
             if eso:
                 self.fact(evt, "rdf:type", f"eso:{eso}")
             self.fact(evt, "rdfs:label", _lit(lemma))
+            self.fact(evt, "ks:factuality", _lit(self._factuality(head)))
             if p.get("link"):
                 # F5-promoted predicate link (NAFFilter.java:739-749 →
                 # RDFGenerator external-ref sameAs emission)
@@ -264,6 +271,55 @@ class _DocExtractor:
         men = mention_iri(self.doc, b, e)
         self.meta(men, "ks:synset", f"wnsyn:{syn}")
         self.meta(men, "ks:sst", f"sst:{sst}")
+
+    def _factuality(self, head: int) -> str:
+        """T4 — deterministic FactBank-style value per event
+        (≙ processFactuality, RDFGenerator.java:1080-1099: the
+        ks:factuality fact; the reference takes the fact_value layer's
+        max prediction, we derive it from modality/negation syntax):
+        CT+ asserted, CT- negated, PS+ modal-possible, PS- both."""
+        neg = False
+        modal = False
+        sent = self.tokens[head]["sent"] if self.tokens else 0
+        lo = max(0, head - 3)
+        for j in range(lo, min(len(self.tokens), head + 2)):
+            t = self.tokens[j]
+            if t["sent"] != sent or j == head:
+                continue
+            if t["lemma"] in ("not", "never", "no") and abs(j - head) <= 2:
+                neg = True
+            if t["morphofeat"] == "MD" and j < head:
+                modal = True
+        pol = "-" if neg else "+"
+        return ("PS" if modal else "CT") + pol
+
+    def t8_opinions(self) -> None:
+        """T8 — opinion instances from the pinned polarity lexicon
+        (≙ processOpinion, RDFGenerator.java:1393-1467: typed opinion
+        node + expression/target links; holder omitted — the reference
+        reads it from the NAF opinion layer which our deterministic
+        pipeline does not populate)."""
+        from pikes_ray.ops.text import _SENTIMENT, stem
+
+        parent = {d["to"]: d["frm"] for d in self.deps
+                  if d["rfunc"] in ("NMOD", "AMOD")}
+        for i, tok in enumerate(self.tokens):
+            score = _SENTIMENT.get(stem(tok["lemma"]))
+            if score is None:
+                continue
+            op = self.mint.mint(f"op{i}", "opinion")
+            self.fact(op, "rdf:type", "sumo:Entity")
+            self.fact(op, "rdf:type", "ks:Opinion")
+            self.fact(op, "rdf:type",
+                      "ks:PositiveOpinion" if score > 0 else "ks:NegativeOpinion")
+            self.fact(op, "rdfs:label", _lit(tok["lemma"]))
+            expr = self.inst_of_head.get(i)
+            if expr is not None:
+                self.fact(op, "ks:expression", expr)
+            gov = parent.get(i)
+            target = self.inst_of_head.get(gov) if gov is not None else None
+            if target is not None:
+                self.fact(op, "ks:target", target)
 
     def _self_arg_instance(self, head: int) -> str:
         key = f"selfarg{head}"
@@ -366,6 +422,17 @@ class _DocExtractor:
                         self.fact(evt, f"vn:{vn_r}", arg)
                     if fn_r:
                         self.fact(evt, f"fn:{fn_r}", arg)
+                        # F15: FrameBase frame-element property
+                        # fb:fe-<frame>-<role> (both lowercased in the
+                        # reference's output)
+                        from pikes_ray.functions.predicatematrix import enrich
+
+                        _vn, fn_frame, _eso = enrich(sense, nb_id)
+                        if fn_frame:
+                            self.fact(
+                                evt,
+                                f"fb:fe-{fn_frame.lower()}-{fn_r.lower()}",
+                                arg)
 
     def t5_modifiers(self) -> None:
         """Adjective modifiers of instance heads → ks:mod quality values
@@ -429,6 +496,7 @@ class _DocExtractor:
             self.t7_roles(evt)
             self.t5_modifiers()
             self.t6_coref_and_coordination()
+            self.t8_opinions()
         return self.triples
 
 

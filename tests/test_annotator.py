@@ -228,3 +228,45 @@ def test_sumo_closure_deterministic():
     c = sumo_closure("Group")
     assert c[0] == "Group" and "Entity" in c and len(c) == len(set(c))
     assert sumo_closure("Group") == c
+
+
+def _run_kg(text):
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from pikes_ray.schema import TRANSCRIPT_SCHEMA
+    from pikes_ray.stages.fused import KGStage
+
+    b = pa.Table.from_pylist([{
+        "conv_id": "c", "turn_idx": 0, "role": "user", "text": text,
+        "tool": "", "ts": dt.datetime(2024, 1, 1)}], schema=TRANSCRIPT_SCHEMA)
+    return KGStage(static_canon=False)(b).to_pandas()
+
+
+def test_t4_factuality_values():
+    df = _run_kg("Acme Corp acquired Beta LLC. Acme Corp did not acquire "
+                 "Gamma Industries. Acme Corp may acquire Delta Systems.")
+    f = df[df.pred == "ks:factuality"]
+    vals = set(f.obj)
+    assert '"CT+"' in vals      # plain assertion
+    assert '"CT-"' in vals      # negated
+    assert '"PS+"' in vals      # modal
+
+
+def test_t8_opinions():
+    df = _run_kg("Acme Corp announced strong growth. Beta LLC reported a "
+                 "terrible loss.")
+    ops = df[df.pred == "rdf:type"]
+    assert (ops.obj == "ks:Opinion").any()
+    assert (ops.obj == "ks:PositiveOpinion").any()
+    assert (ops.obj == "ks:NegativeOpinion").any()
+    assert (df.pred == "ks:target").any() or (df.pred == "ks:expression").any()
+
+
+def test_f15_framebase_types_and_roles():
+    df = _run_kg("Acme Corp acquired Beta LLC.")
+    fb = df[df.obj.astype(str).str.startswith("fb:frame-") |
+            df.pred.astype(str).str.startswith("fb:fe-")]
+    assert (df.obj.astype(str).str.startswith("fb:frame-Getting-acquire.v")).any()
+    assert (df.pred.astype(str).str.startswith("fb:fe-getting-")).any()
