@@ -301,6 +301,10 @@ MONTHS = {
     "november": 11, "december": 12,
 }
 
+# season word → TIMEX3 season code (M16 OWL-Time seasons)
+SEASON_WORDS = {"spring": "SP", "summer": "SU", "fall": "FA",
+                "autumn": "FA", "winter": "WI"}
+
 DURATION_UNITS = {
     "second": "S", "minute": "M", "hour": "H",
     "day": "D", "week": "W", "month": "M", "year": "Y",

@@ -254,6 +254,45 @@ class RuleAnnotator:
                                norm=normalize_date(mo, int(d) if d else None, y)))
                 i += 1
                 continue
+            # decade: "1990" + adjacent "s" ("the 1990s" → 199X)
+            if _NUM_RE.match(f) and len(f) == 4 and i + 1 < n \
+                    and toks[i + 1].form == "s" \
+                    and toks[i + 1].offset == toks[i].offset + 4:
+                out.append(Ent("DATE", i, i + 2, norm=f"{f[:3]}X"))
+                i += 2
+                continue
+            # century: "19" + "th" + "century" → 18XX
+            if _NUM_RE.match(f) and len(f) <= 2 and i + 2 < n \
+                    and toks[i + 1].form in ("th", "st", "nd", "rd") \
+                    and toks[i + 2].form.lower() == "century":
+                c = int(f) - 1
+                out.append(Ent("DATE", i, i + 3, norm=f"{c:02d}XX"))
+                i += 3
+                continue
+            # season [of] YYYY: "summer of 1999" → 1999-SU
+            if low in lx.SEASON_WORDS:
+                j = i + 1
+                if j < n and toks[j].form.lower() == "of":
+                    j += 1
+                if j < n and _NUM_RE.match(toks[j].form) and len(toks[j].form) == 4:
+                    out.append(Ent("DATE", i, j + 1,
+                                   norm=f"{toks[j].form}-{lx.SEASON_WORDS[low]}"))
+                    i = j + 1
+                    continue
+            # clock time: "15" ":" "30" → T15:30
+            if _NUM_RE.match(f) and len(f) <= 2 and i + 2 < n \
+                    and toks[i + 1].form == ":" \
+                    and _NUM_RE.match(toks[i + 2].form) and len(toks[i + 2].form) == 2 \
+                    and int(f) < 24:
+                h, mm = int(f), toks[i + 2].form
+                j = i + 3
+                if j < n and toks[j].form.lower() in ("pm", "am"):
+                    if toks[j].form.lower() == "pm" and h < 12:
+                        h += 12
+                    j += 1
+                out.append(Ent("DATE", i, j, norm=f"T{h:02d}:{mm}"))
+                i = j
+                continue
             # Month [D ,] [YYYY]
             mon = month_number(low)
             if mon and f[0].isupper():

@@ -44,6 +44,11 @@ _ATTR_PROPS = {
 _SEM_ROLE = {"AM-TMP": "sem:hasTime", "AM-LOC": "sem:hasPlace"}  # A* → sem:hasActor
 
 
+import re as _re
+
+_PLAIN_DATE_RE = _re.compile(r"^\d{4}(-\d{2}){0,2}$")
+
+
 def _lit(lex: str, dtype: str | None = None) -> str:
     lex = (lex.replace("\\", "\\\\").replace('"', '\\"')
            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
@@ -137,11 +142,22 @@ class _DocExtractor:
         etype = ent["etype"]
         inst: str | None
         if etype == "DATE":
-            inst = f"time:{ent['norm']}" if ent["norm"] else self.mint.mint(
-                f"e{idx}", self.surface(ent["start"], ent["end"]))
-            self.fact(inst, "rdf:type", "time:DateTimeInterval")
-            if ent["norm"]:
-                self.fact(inst, "rdf:value", _date_literal(ent["norm"]))
+            from pikes_ray.functions.owltime import timex_triples
+
+            parsed = timex_triples(ent["norm"]) if ent["norm"] else None
+            if parsed is not None:
+                # M16 full OWL-Time shape: DateTimeInterval with
+                # component description, or ProperInterval with
+                # begin/end boundaries (OWLTime.toRDF, :258-283)
+                inst, tts = parsed
+                for (s, p, o) in tts:
+                    self.fact(s, p, o)
+                if _PLAIN_DATE_RE.match(ent["norm"]):
+                    self.fact(inst, "rdf:value", _date_literal(ent["norm"]))
+            else:
+                inst = self.mint.mint(
+                    f"e{idx}", self.surface(ent["start"], ent["end"]))
+                self.fact(inst, "rdf:type", "time:DateTimeInterval")
         elif etype == "DURATION":
             inst = f"time:duration_{ent['norm'].lower()}" if ent["norm"] else None
             if inst:

@@ -68,3 +68,60 @@ def test_iri_cleaning():
     assert entity_iri("Acme Corp") == "entity:acme_corp"
     assert doc_iri("conv-1", 2) == "conv:conv-1%23turn=2"
     assert mention_iri("d", 3, 9) == "d#char=3,9"
+
+
+def test_owltime_parse_cases():
+    """M16 parse cases mirroring OWLTime.java:82-283."""
+    from pikes_ray.functions.owltime import parse_timex
+
+    # full date → DateTimeInterval
+    iv = parse_timex("2024-03-03")
+    assert iv.is_datetime_interval() and iv.begin.day == 3
+    # month-only / year-only → still a point description (partial)
+    assert parse_timex("2024-03").begin.month == 3
+    assert parse_timex("2024").begin.year == 2024
+    # decade → 1990..1999 bounds
+    iv = parse_timex("199X")
+    assert not iv.is_datetime_interval()
+    assert iv.begin.year == 1990 and iv.end.year == 1999
+    # century → 1900..1999
+    iv = parse_timex("19XX")
+    assert iv.begin.year == 1900 and iv.end.year == 1999
+    # season boundaries (reference's fixed dates)
+    iv = parse_timex("1999-SU")
+    assert (iv.begin.month, iv.begin.day) == (3, 20)
+    assert (iv.end.month, iv.end.day) == (6, 20)
+    # week + weekend
+    iv = parse_timex("2024-W10-WE")
+    assert iv.begin is not None and (iv.end.day - iv.begin.day) == 1
+    # clock time
+    iv = parse_timex("2024-03-03T15:30")
+    assert iv.is_datetime_interval() and iv.begin.hour == 15
+    assert parse_timex("not a timex") is None
+
+
+def test_owltime_triples_shape():
+    from pikes_ray.functions.owltime import timex_triples
+
+    iri, tts = timex_triples("2024-03-03")
+    preds = {p for _, p, _ in tts}
+    assert "time:hasDateTimeDescription" in preds
+    assert any(p == "time:day" for _, p, _ in tts)
+    iri2, tts2 = timex_triples("199X")
+    preds2 = {p for _, p, _ in tts2}
+    assert {"time:intervalStartedBy", "time:intervalFinishedBy"} <= preds2
+
+
+def test_annotator_rich_timex():
+    from pikes_ray.stages.annotate import RuleAnnotator
+
+    m = RuleAnnotator()
+    a = m.annotate("Acme Corp was founded in the 1990s.")
+    dates = [e for e in a["entities"] if e["etype"] == "DATE"]
+    assert any(e["norm"] == "199X" for e in dates)
+    a = m.annotate("They met in the summer of 1999 at 15:30.")
+    norms = {e["norm"] for e in a["entities"] if e["etype"] == "DATE"}
+    assert "1999-SU" in norms and "T15:30" in norms
+    a = m.annotate("It was built in the 19th century.")
+    norms = {e["norm"] for e in a["entities"] if e["etype"] == "DATE"}
+    assert "18XX" in norms
