@@ -37,6 +37,29 @@ def corpus_statistics(annotated) -> pd.DataFrame:
     return pd.DataFrame([out])
 
 
+def opinion_pr(predicted, gold) -> dict:
+    """E6 — opinion-layer P/R (≙ pikes-raid Evaluation.java): the
+    generic triple P/R restricted to opinion facts (ks:Opinion types
+    and expression/target/holder links)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    op_types = pa.array(["ks:Opinion", "ks:PositiveOpinion",
+                         "ks:NegativeOpinion", "ks:NeutralOpinion"])
+    op_links = pa.array(["ks:expression", "ks:target", "ks:holder"])
+
+    def opinions(ds):
+        def pick(batch):
+            m = pc.or_(
+                pc.and_(pc.equal(batch["pred"], "rdf:type"),
+                        pc.is_in(batch["obj"], value_set=op_types)),
+                pc.is_in(batch["pred"], value_set=op_links))
+            return batch.filter(m)
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    return triple_pr(opinions(predicted), opinions(gold))
+
+
 # --------------------------------------------------------------------------
 # distributed graph queries (VERDICT r1: the kg_* query surface must not
 # to_pandas() the full triple set — at 100 TB these are exactly the

@@ -41,6 +41,7 @@ class FilterConfig:
     linking_fixing: bool = False            # F6  (:752-781, off by default)
     srl_preprocess: bool = True             # F9  (:985-1107)
     srl_remove_wrong_refs: bool = True      # F10 (:1109-1161)
+    srl_remove_unknown_predicates: bool = False  # F11 (:1163-1187, off by default)
     srl_predicate_addition: bool = True     # F12 (:1189-1244)
     srl_self_arg_fixing: bool = True        # F13 (:1246-1308)
     srl_role_linking: bool = True           # F16 (:1462-1483)
@@ -149,6 +150,15 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
                 ok.append(p)
         predicates = ok
 
+    # F11 srlRemoveUnknownPredicates — drop predicates whose roleset is
+    # not in the known PropBank/NomBank index (NAFFilter.java:1163-1187;
+    # off by default like the reference)
+    if cfg.srl_remove_unknown_predicates:
+        known = set(lx.VERB_FRAMES.values()) \
+            | {pb for (_nb, pb) in lx.NOUN_FRAMES.values() if pb} \
+            | {""}
+        predicates = [p for p in predicates if p["sense"] in known]
+
     # F12 srlPredicateAddition — add a predicate for every term with a
     # unique known roleset for its lemma, when none covers it (:1189-1244).
     if cfg.srl_predicate_addition:
@@ -247,6 +257,18 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
                 surface = " ".join(t["form"] for t in _span_terms(tokens, e["start"], e["end"])).lower()
                 if surface in lx.LINKING_STOPWORDS:
                     e["link"], e["link_conf"] = "", 0.0
+
+    # F19 corefSpanFixing — drop coref spans without a valid in-range
+    # head and clusters left with < 2 spans (applyCorefSpanFixing,
+    # NAFFilter.java:783-861; off by default like the reference)
+    if cfg.coref_span_fixing:
+        fixed_corefs = []
+        for cluster in corefs:
+            spans = [s for s in cluster
+                     if 0 <= s["start"] < s["end"] <= len(tokens)]
+            if len(spans) >= 2:
+                fixed_corefs.append(spans)
+        corefs = fixed_corefs
 
     # F16 srlRoleLinking — set role heads; snap role spans to an entity
     # sharing the head term (PARTICIPATION walk analogue, :1462-1483).

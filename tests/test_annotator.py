@@ -270,3 +270,36 @@ def test_f15_framebase_types_and_roles():
             df.pred.astype(str).str.startswith("fb:fe-")]
     assert (df.obj.astype(str).str.startswith("fb:frame-Getting-acquire.v")).any()
     assert (df.pred.astype(str).str.startswith("fb:fe-getting-")).any()
+
+
+def test_f11_remove_unknown_predicates_flag(model):
+    import copy
+
+    a = model.annotate("Acme Corp acquired Beta LLC.")
+    # craft a predicate with an unknown roleset
+    a["predicates"].append({"head": 0, "sense": "frobnicate.99",
+                            "source": "verbal", "copular": False,
+                            "link": "", "link_conf": 0.0, "roles": []})
+    on = filter_document(copy.deepcopy(a),
+                         FilterConfig(srl_remove_unknown_predicates=True,
+                                      srl_remove_wrong_refs=False))
+    off = filter_document(copy.deepcopy(a),
+                          FilterConfig(srl_remove_unknown_predicates=False,
+                                       srl_remove_wrong_refs=False))
+    assert not any(p["sense"] == "frobnicate.99" for p in on["predicates"])
+    assert any(p["sense"] == "frobnicate.99" for p in off["predicates"])
+
+
+def test_f19_coref_span_fixing_flag(model):
+    import copy
+
+    a = model.annotate("Alice Johnson founded Acme Corp. He leads it.")
+    n_tok = len(a["tokens"])
+    # craft an out-of-range span and a singleton cluster
+    a["corefs"].append([{"start": 0, "end": 2}, {"start": n_tok, "end": n_tok + 3}])
+    a["corefs"].append([{"start": 0, "end": 1}])
+    on = filter_document(copy.deepcopy(a), FilterConfig(coref_span_fixing=True))
+    off = filter_document(copy.deepcopy(a), FilterConfig(coref_span_fixing=False))
+    assert all(len(c) >= 2 for c in on["corefs"])
+    assert all(s["end"] <= n_tok for c in on["corefs"] for s in c)
+    assert any(len(c) == 1 for c in off["corefs"])

@@ -135,3 +135,26 @@ def test_literal_escapes_cr_and_tab():
     from pikes_ray.stages.extract import _lit
 
     assert _lit("a\rb\tc") == '"a\\rb\\tc"'
+
+
+def test_opinion_pr(ray_session):
+    """E6: opinion-layer P/R is 1.0 against itself and detects a
+    missing opinion."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from pikes_ray.pipelines.stats import opinion_pr
+
+    rows = [
+        {"subj": "op1", "pred": "rdf:type", "obj": "ks:Opinion", "graph": "f", "conf": 0.0},
+        {"subj": "op1", "pred": "rdf:type", "obj": "ks:PositiveOpinion", "graph": "f", "conf": 0.0},
+        {"subj": "op1", "pred": "ks:target", "obj": "x", "graph": "f", "conf": 0.0},
+        {"subj": "a", "pred": "rdfs:label", "obj": '"noise"', "graph": "", "conf": 0.0},
+    ]
+    full = rd.from_pandas(pd.DataFrame(rows))
+    part = rd.from_pandas(pd.DataFrame(rows[:2]))
+    r = opinion_pr(full, full)
+    assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["n_gold"] == 3
+    r2 = opinion_pr(part, full)
+    assert r2["recall"] < 1.0 and r2["precision"] == 1.0
