@@ -11,6 +11,7 @@ are stable across runs/processes (Python's builtin ``hash`` is salted).
 from __future__ import annotations
 
 import re
+import zlib
 
 _MASK = 0xFFFFFFFF
 
@@ -63,8 +64,6 @@ def fact_graph_iri(subj: str, pred: str, obj: str) -> str:
     keyed on content.  ``murmur3_32`` is used where the reference's
     exact value shape matters (``ks:textHash``).
     """
-    import zlib
-
     tagged = f"s:{subj}|p:{pred}|o:{obj}"
     return f"fact:{zlib.crc32(tagged.encode('utf-8')):08x}"
 

@@ -113,6 +113,10 @@ SUMO_PARENTS: dict[str, list[str]] = {
 }
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
 def sumo_closure(cls: str) -> list[str]:
     """cls + all SUMO superclasses, deterministic order (Sumo.java
     getSuperClasses closure)."""
@@ -127,6 +131,7 @@ def sumo_closure(cls: str) -> list[str]:
     return seen
 
 
+@lru_cache(maxsize=None)
 def noun_types(lemma: str) -> tuple[str | None, str | None, list[str], str | None]:
     """(synset, supersense, sumo closure, yago) for a noun lemma."""
     row = WN.get(lemma)
@@ -136,6 +141,7 @@ def noun_types(lemma: str) -> tuple[str | None, str | None, list[str], str | Non
     return syn, sst, sumo_closure(sumo) if sumo else [], yago
 
 
+@lru_cache(maxsize=None)
 def ne_types(ne_class: str) -> tuple[list[str], str | None]:
     """(sumo closure, yago) for a named-entity class."""
     row = NE_SUMO.get(ne_class)

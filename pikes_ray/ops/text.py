@@ -136,6 +136,10 @@ _STEM_SUFFIXES = (
 )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def stem(word: str) -> str:
     """Porter-like suffix stripping (deterministic, lexicon-free)."""
     w = word.lower()

@@ -143,18 +143,19 @@ def smush_local_batch(batch: pa.Table) -> pa.Table:
     mask = pc.equal(pred, _SAMEAS)
     if not pc.any(mask).as_py():
         return batch
-    # union-find per doc key
-    ufs: dict[tuple, _UnionFind] = {}
-    conv = batch["conv_id"].to_pylist()
-    turn = batch["turn_idx"].to_pylist()
-    subj = batch["subj"].to_pylist()
-    obj = batch["obj"].to_pylist()
-    preds = pred.to_pylist()
-    for i in range(len(preds)):
-        if preds[i] == _SAMEAS and (subj[i].startswith("conv:") or obj[i].startswith("conv:")):
-            ufs.setdefault((conv[i], turn[i]), _UnionFind()).union(subj[i], obj[i])
-    if not ufs:
+    # Arrow-filter the sameAs rows FIRST — the Python union-find loop
+    # then touches only the (small) edge set, not every triple
+    edges = batch.filter(pc.and_(
+        mask,
+        pc.or_(pc.starts_with(batch["subj"], "conv:"),
+               pc.starts_with(batch["obj"], "conv:"))))
+    if edges.num_rows == 0:
         return batch
+    ufs: dict[tuple, _UnionFind] = {}
+    for conv_i, turn_i, s_i, o_i in zip(
+            edges["conv_id"].to_pylist(), edges["turn_idx"].to_pylist(),
+            edges["subj"].to_pylist(), edges["obj"].to_pylist()):
+        ufs.setdefault((conv_i, turn_i), _UnionFind()).union(s_i, o_i)
     # merged mapping is safe: every alias in a doc-local cluster is a
     # doc-scoped IRI (conv:…#…, globally unique); corpus-level IRIs can
     # only ever be the canonical representative here because

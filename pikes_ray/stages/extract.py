@@ -25,6 +25,9 @@ import pyarrow as pa
 from pikes_ray.functions import lexicon as lx
 from pikes_ray.functions.hashing import fact_graph_iri, text_hash
 from pikes_ray.functions.iri import MintTable, doc_iri, entity_iri, mention_iri
+from pikes_ray.functions.owltime import timex_triples
+from pikes_ray.functions.predicatematrix import enrich, role_props
+from pikes_ray.functions.wordnet import ne_types, noun_types
 from pikes_ray.schema import TRIPLES_SCHEMA
 
 # NER type → class IRI (≙ DEFAULT_TYPE_MAP, RDFGenerator.java:112-126)
@@ -142,8 +145,6 @@ class _DocExtractor:
         etype = ent["etype"]
         inst: str | None
         if etype == "DATE":
-            from pikes_ray.functions.owltime import timex_triples
-
             parsed = timex_triples(ent["norm"]) if ent["norm"] else None
             if parsed is not None:
                 # M16 full OWL-Time shape: DateTimeInterval with
@@ -197,8 +198,6 @@ class _DocExtractor:
             self._entity_instance(idx, ent)
 
     def t3_predicates(self) -> dict[int, str]:
-        from pikes_ray.functions.predicatematrix import enrich
-
         evt_of_head: dict[int, str] = {}
         for p in self.predicates:
             if p["copular"]:
@@ -247,8 +246,6 @@ class _DocExtractor:
         resources pinned in functions/wordnet.py)."""
         if not self.sense_completion:
             return
-        from pikes_ray.functions.wordnet import ne_types
-
         sumo, yago = ne_types(etype)
         for c in sumo:
             self.fact(inst, "rdf:type", f"sumo:{c}")
@@ -260,8 +257,6 @@ class _DocExtractor:
         map (NAFFilter.java:388-496 termSenseCompletion analogue)."""
         if not self.sense_completion:
             return
-        from pikes_ray.functions.wordnet import noun_types
-
         _syn, _sst, sumo, yago = noun_types(lemma)
         for c in sumo:
             self.fact(inst, "rdf:type", f"sumo:{c}")
@@ -274,8 +269,6 @@ class _DocExtractor:
         docs/eval-pm/pikes/pikes.1.ttl char=22,27)."""
         if not self.sense_completion:
             return
-        from pikes_ray.functions.wordnet import noun_types
-
         toks = self.tokens[start:end]
         if not toks:
             return
@@ -364,8 +357,6 @@ class _DocExtractor:
         return None, None
 
     def t7_roles(self, evt_of_head: dict[int, str]) -> None:
-        from pikes_ray.functions.predicatematrix import role_props
-
         nominal_heads = self.nominal_heads
         for p in self.predicates:
             evt = evt_of_head.get(p["head"])
@@ -441,8 +432,6 @@ class _DocExtractor:
                         # F15: FrameBase frame-element property
                         # fb:fe-<frame>-<role> (both lowercased in the
                         # reference's output)
-                        from pikes_ray.functions.predicatematrix import enrich
-
                         _vn, fn_frame, _eso = enrich(sense, nb_id)
                         if fn_frame:
                             self.fact(

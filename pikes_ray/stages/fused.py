@@ -51,8 +51,13 @@ class KGStage:
         text = batch["text"].to_pylist()
         tool = batch["tool"].to_pylist()
         ts = batch["ts"].to_pylist()
-        out = {k: [] for k in
-               ("conv_id", "turn_idx", "subj", "pred", "obj", "graph", "conf")}
+        cols_conv: list = []
+        cols_turn: list = []
+        cols_s: list = []
+        cols_p: list = []
+        cols_o: list = []
+        cols_g: list = []
+        cols_c: list = []
         for i in range(len(conv)):
             t = text[i] or ""
             if "&" in t:
@@ -69,15 +74,20 @@ class KGStage:
                    "quarantined": quarantined, **ann}
             ex = _DocExtractor(conv[i], turn[i], row,
                                sense_completion=self.cfg.term_sense_completion)
-            for (s, p, o, g, c) in ex.run():
-                out["conv_id"].append(conv[i])
-                out["turn_idx"].append(turn[i])
-                out["subj"].append(s)
-                out["pred"].append(p)
-                out["obj"].append(o)
-                out["graph"].append(g)
-                out["conf"].append(c)
-        table = pa.Table.from_pydict(out, schema=TRIPLES_SCHEMA)
+            triples = ex.run()
+            if triples:
+                s, p, o, g, c = zip(*triples)
+                cols_conv.extend([conv[i]] * len(triples))
+                cols_turn.extend([turn[i]] * len(triples))
+                cols_s.extend(s)
+                cols_p.extend(p)
+                cols_o.extend(o)
+                cols_g.extend(g)
+                cols_c.extend(c)
+        table = pa.Table.from_pydict(
+            {"conv_id": cols_conv, "turn_idx": cols_turn, "subj": cols_s,
+             "pred": cols_p, "obj": cols_o, "graph": cols_g, "conf": cols_c},
+            schema=TRIPLES_SCHEMA)
         if self.local_smush:
             from pikes_ray.pipelines.canonicalize import smush_local_batch
 
