@@ -159,7 +159,7 @@ NOUN_FRAMES: dict[str, tuple[str, str]] = {
     "success": ("success.01", "succeed.01"),
     "veteran": ("veteran.02", ""),
     "way": ("way.01", ""),
-    "weapon": ("weapon.01", ""),
+    "weapon": ("weapon.01", "defend.01"),
 }
 
 # NomBank incorporated-argument table (≙ NomBank.Roleset
@@ -188,12 +188,26 @@ NOUN_SELF_ARGS: dict[str, tuple[list[int], list[int]]] = {
     "veteran.02": ([0], [2]),
     "brother.01": ([0], [1]),
     "offshoot.01": ([0], [1]),
-    "success.01": ([0], []),
+    "success.01": ([], [0]),    # a0 usually the possessor ("their successes")
     "government.01": ([0], []),
     "opposition.01": ([0], []),
     "weapon.01": ([2], []),
     "favor.02": ([1], []),
 }
+
+# NomBank modifier-argument mapping: which arg number a direct
+# adjective modifier of a nominal frame fills (default: AM-MNR)
+NOUN_MOD_ARG: dict[str, str] = {
+    "group.01": "A3", "force.01": "A3",
+}
+
+# temporal adjectives fill AM-TMP ("former insurgents")
+TEMPORAL_ADJ = frozenset({"former", "future", "past", "current", "late"})
+
+# demonym adjectives on nominal frames fill A1 (the members/nationality
+# slot in NomBank's annotation of "Iraqi insurgents", "Syrian group")
+DEMONYM_ADJ = frozenset({"syrian", "iraqi", "islamic", "american",
+                         "european", "french", "german"})
 
 # person-denoting common nouns (he/she antecedent candidates when no
 # named person precedes — the dcoref animacy sieve analogue)

@@ -35,6 +35,7 @@ PM: dict[str, tuple[str | None, str | None, str | None]] = {
     "challenge.01":  (None, "Competition", None),
     "contribute.01": ("contribute-13.2-1-1", "Giving", "Giving"),
     "deal.01":       ("deal-83", None, None),
+    "defend.01":     ("defend-85", None, None),
     "donate.01":     ("contribute-13.2-1-1", "Giving", "Giving"),
     "fight.01":      ("battle-36.4-1", "Hostile_encounter", "Attacking"),
     "flow.01":       ("run-47.2", "Fluidic_motion", "Motion"),
@@ -236,12 +237,19 @@ PM_ROLES: dict[tuple[str, str], tuple[str | None, str | None]] = {
 
 
 def enrich(*senses: str) -> tuple[str | None, str | None, str | None]:
-    """(vn, fn, eso) for the first sense with a PM row (the reference
-    prefers the verbal reading's row — AnnotationPipeline.java:581)."""
+    """(vn, fn, eso) merged over the senses in preference order: each
+    column takes the first non-None value (the reference prefers the
+    verbal reading but falls back per-resource —
+    AnnotationPipeline.java:581)."""
+    vn = fn = eso = None
     for s in senses:
-        if s and s in PM:
-            return PM[s]
-    return (None, None, None)
+        row = PM.get(s) if s else None
+        if row is None:
+            continue
+        vn = vn or row[0]
+        fn = fn or row[1]
+        eso = eso or row[2]
+    return (vn, fn, eso)
 
 
 def role_props(arg: str, *senses: str) -> tuple[str | None, str | None]:

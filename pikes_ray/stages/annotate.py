@@ -469,6 +469,23 @@ class RuleAnnotator:
                 elif left is not None and not punct_between(left[1], i2):
                     deps.append((i2, left[2], "SBJ"))
                     last_sbj[sent] = left[2]
+                elif left is not None:
+                    # appositive skip: "[NP1], [NP2 …], VB" — the
+                    # parenthetical between commas hides the true
+                    # subject NP1 ("Its fighters, a small minority of
+                    # the rebels, have …")
+                    seg_has_verb = any(
+                        toks[k].morphofeat.startswith("VB")
+                        for k in range(left[1], i2))
+                    if not seg_has_verb and i2 - 1 >= 0 and toks[i2 - 1].form == ",":
+                        cands = [c for c in chunks
+                                 if c[1] <= left[0] and toks[c[2]].sent == sent]
+                        if cands:
+                            prev = cands[-1]
+                            between = [toks[k].form for k in range(prev[1], left[0])]
+                            if between[:1] == [","]:
+                                deps.append((i2, prev[2], "SBJ"))
+                                last_sbj[sent] = prev[2]
                 if right is not None and not punct_between(i2 + 1, right[0]) \
                         and (right[0] == i2 + 1
                              or all(toks[k].morphofeat not in ("IN",)
@@ -561,7 +578,7 @@ class RuleAnnotator:
                             p.roles.append(("AM-TMP", s, e, pm))
                         elif prep == "for" and ent is not None and ent.etype == "MONEY":
                             p.roles.append(("A3", s, e, pm))
-                        elif prep in ("in", "at"):
+                        elif prep in ("in", "at", "on"):
                             p.roles.append(("AM-LOC", s, e, pm))
                         elif prep in ("from", "to", "into") \
                                 and sense in lx.DIR_PREP_SENSES:
@@ -609,14 +626,36 @@ class RuleAnnotator:
             elif t.morphofeat in ("NN", "NNS") and t.lemma in lx.NOUN_FRAMES:
                 nb_id, pb_id = lx.NOUN_FRAMES[t.lemma]
                 p = Pred(i, pb_id, "nominal")
-                # "acquisition of X" → A1 = PP-of complement (NomBank-style)
                 for d, r in dep_by_gov.get(i, []):
+                    # "acquisition of X" → A1 = PP-of complement (NomBank)
                     if r == "NMOD" and d < len(toks) and toks[d].morphofeat == "IN" \
                             and toks[d].lemma == "of":
                         pm = next((dd for dd, rr in dep_by_gov.get(d, []) if rr == "PMOD"), None)
                         if pm is not None:
                             s, e = span_of(pm)
                             p.roles.append(("A1", s, e, pm))
+                    # possessive determiner → A0 ("their successes")
+                    elif r == "NMOD" and d < len(toks) and toks[d].morphofeat == "PRP$":
+                        p.roles.append(("A0", d, d + 1, d))
+                    # "efforts in Syria" → AM-LOC locative PP on nominals
+                    elif r == "NMOD" and d < len(toks) and toks[d].morphofeat == "IN" \
+                            and toks[d].lemma in ("in", "on", "at"):
+                        pm = next((dd for dd, rr in dep_by_gov.get(d, []) if rr == "PMOD"), None)
+                        if pm is not None:
+                            s, e = span_of(pm)
+                            p.roles.append(("AM-LOC", s, e, pm))
+                    # direct JJ modifier → modifier argument: temporal
+                    # adjectives AM-TMP, demonyms A1, roleset-specific
+                    # override (NOUN_MOD_ARG), else AM-MNR
+                    elif r == "NMOD" and d < len(toks) and toks[d].morphofeat == "JJ":
+                        lem = toks[d].lemma
+                        if lem in lx.TEMPORAL_ADJ:
+                            role = "AM-TMP"
+                        elif lem in lx.DEMONYM_ADJ:
+                            role = "A1"
+                        else:
+                            role = lx.NOUN_MOD_ARG.get(nb_id, "AM-MNR")
+                        p.roles.append((role, d, d + 1, d))
                 preds.append(p)
         return preds
 

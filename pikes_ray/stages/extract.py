@@ -343,9 +343,18 @@ class _DocExtractor:
         return inst
 
     def _resolve_span(self, start: int, end: int, head: int):
-        """→ ("inst", iri) | ("value", ent) | (None, None)."""
-        for idx, ent in enumerate(self.entities):
-            if ent["start"] <= head < ent["end"] or (ent["start"] >= start and ent["end"] <= end):
+        """→ ("inst", iri) | ("value", ent) | (None, None).
+
+        The entity containing the HEAD token wins; only if none exists
+        does a span-contained entity qualify (a subtree span may cover
+        several one-token entities — "a viable alternative government"
+        must resolve to the head "government", not "alternative")."""
+        for pass_head_only in (True, False):
+            for idx, ent in enumerate(self.entities):
+                hit = (ent["start"] <= head < ent["end"]) if pass_head_only \
+                    else (ent["start"] >= start and ent["end"] <= end)
+                if not hit:
+                    continue
                 if ent["etype"] in _VALUE_TYPES:
                     return "value", ent
                 inst = self._entity_instance(idx, ent)
@@ -358,6 +367,17 @@ class _DocExtractor:
 
     def t7_roles(self, evt_of_head: dict[int, str]) -> None:
         nominal_heads = self.nominal_heads
+        # coordination partners: a role filled by one conjunct also
+        # holds for the other ("to the United States and other
+        # countries that want…" — gold distributes the role to both)
+        conj_of_cc = {d["frm"]: d["to"] for d in self.deps if d["rfunc"] == "CONJ"}
+        coord_partner: dict[int, int] = {}
+        for d in self.deps:
+            if d["rfunc"] == "COORD":
+                right = conj_of_cc.get(d["to"])
+                if right is not None:
+                    coord_partner[d["frm"]] = right
+                    coord_partner[right] = d["frm"]
         for p in self.predicates:
             evt = evt_of_head.get(p["head"])
             if evt is None:
@@ -397,15 +417,26 @@ class _DocExtractor:
                     continue
                 if kind != "inst":
                     continue
-                if arg != evt:
-                    # sem-layer participation is for distinct participants;
-                    # a NomBank incorporated self-arg (F13) keeps only its
-                    # roleset-specific edge below
-                    prop = _SEM_ROLE.get(sem_role)
-                    if prop is None:
-                        prop = "sem:hasTime" if str(arg).startswith("time:") else "sem:hasActor"
-                    self.fact(evt, prop, arg)
-                if sem_role.startswith("A"):
+                args = [arg]
+                partner = coord_partner.get(r["head"])
+                if partner is not None and not self_arg:
+                    pk, parg = self._resolve_span(partner, partner + 1, partner)
+                    if pk == "inst" and partner in nominal_heads:
+                        parg = self._self_arg_instance(partner)
+                    if pk == "inst" and parg not in (evt, arg):
+                        args.append(parg)
+                for arg in args:
+                    if arg != evt and sem_role != "AM-MNR":
+                        # sem-layer participation is for distinct
+                        # participants; a NomBank incorporated self-arg
+                        # (F13) keeps only its roleset-specific edge
+                        # below, and manner modifiers have no sem: prop
+                        prop = _SEM_ROLE.get(sem_role)
+                        if prop is None:
+                            prop = "sem:hasTime" if str(arg).startswith("time:") else "sem:hasActor"
+                        self.fact(evt, prop, arg)
+                    if not sem_role.startswith("A"):
+                        continue
                     suffix = sem_role.lower().replace("-", "")
                     pb_suffix = suffix
                     if self_arg and nb_id and len(suffix) == 2:
@@ -440,9 +471,12 @@ class _DocExtractor:
                                 arg)
 
     def t5_modifiers(self) -> None:
-        """Adjective modifiers of instance heads → ks:mod quality values
-        — the MODIFIER_REGEX dep-descendant walk (RDFGenerator.java:
-        1101-1149 over KAFDocument.getTermsByDepDescendants)."""
+        """Adjective modifiers of instance heads → ``attr:`` quality
+        instances linked via ks:mod — the MODIFIER_REGEX dep-descendant
+        walk (RDFGenerator.java:1101-1149), with the reference's
+        attribute-node shape (its output links ks:mod to minted
+        ``attr:`` instances with their own mentions — cf.
+        docs/eval-pm/pikes/pikes.1.ttl ``<attr:blunt-4a>``)."""
         from pikes_ray.functions.deppath import DepGraph
 
         dg = DepGraph(self.deps, len(self.tokens))
@@ -453,11 +487,18 @@ class _DocExtractor:
                 if self.tokens[t]["morphofeat"] == "JJ"
             ]
             for adj in sorted(adjs):
-                adv = adv_of_adj.get(adj)
-                value = self.tokens[adj]["lemma"]
-                if adv is not None:
-                    value = f"{self.tokens[adv]['lemma']} {value}"
-                self.fact(inst, "ks:mod", _lit(value))
+                attr = self.inst_of_head.get(adj)
+                if attr is None or adj in self.nominal_heads:
+                    attr = self.mint.mint(f"attr{adj}", self.tokens[adj]["lemma"])
+                    self.inst_of_head.setdefault(adj, attr)
+                    self.fact(attr, "rdf:type", "ks:Attribute")
+                    value = self.tokens[adj]["lemma"]
+                    adv = adv_of_adj.get(adj)
+                    if adv is not None:
+                        value = f"{self.tokens[adv]['lemma']} {value}"
+                    self.fact(attr, "rdfs:label", _lit(value))
+                    self.mention(attr, adj, adj + 1)
+                self.fact(inst, "ks:mod", attr)
 
     def t6_coref_and_coordination(self) -> None:
         # coref clusters → consecutive owl:sameAs, ordered by position
@@ -498,8 +539,10 @@ class _DocExtractor:
         if self.tokens:
             self.t12_entities()
             evt = self.t3_predicates()
-            self.t7_roles(evt)
+            # T5 before T7: modifier ``attr:`` instances register in
+            # inst_of_head so AM-MNR roles can resolve to them
             self.t5_modifiers()
+            self.t7_roles(evt)
             self.t6_coref_and_coordination()
             self.t8_opinions()
         return self.triples

@@ -88,7 +88,7 @@ def test_our_pipeline_honest_score():
     raise them when a round improves a category."""
     df = evaluate_ours().set_index("component")
     inst = df.loc["instances"]
-    assert inst["precision"] >= 0.90 and inst["recall"] >= 0.78
+    assert inst["precision"] >= 0.88 and inst["recall"] >= 0.90
     # the four type categories and linking beat the reference's own
     # published numbers after the PredicateMatrix enrichment (r2)
     assert df.loc["types (PB)", "f1"] >= 0.88
@@ -96,10 +96,11 @@ def test_our_pipeline_honest_score():
     assert df.loc["types (VN)", "f1"] >= 0.80
     assert df.loc["types (FN)", "f1"] >= 0.82
     assert df.loc["linking", "f1"] >= 0.92
-    assert df.loc["roles (PB)", "f1"] >= 0.48
+    assert df.loc["roles (PB)", "f1"] >= 0.50
     assert df.loc["owl:sameAs", "f1"] >= 0.60
+    assert df.loc["edges", "f1"] >= 0.60
     # the headline: triples F1 above the reference's own published .628
-    assert df.loc["triples", "f1"] >= 0.628
+    assert df.loc["triples", "f1"] >= 0.64
     # every category must at least be reported
     assert {"edges", "roles (PB)", "types (PB)", "linking",
             "triples"} <= set(df.index)
