@@ -239,3 +239,13 @@ def test_graph_queries_distributed_match_pandas(ray_session):
     ws = full[full["pred"] == "owl:sameAs"][["subj", "obj"]].sort_values(
         ["subj", "obj"]).reset_index(drop=True)
     assert sa.values.tolist() == ws.values.tolist()
+
+
+def test_minhash_dedup_auto_switches_to_distributed(ray_session, docs):
+    """'auto' picks the distributed CC path when the verified pair set
+    exceeds the driver limit — same output either way."""
+    a = D.minhash_dedup(docs, threshold=0.5, distributed_cc="auto",
+                        driver_pair_limit=0).to_pandas()      # force distributed
+    b = D.minhash_dedup(docs, threshold=0.5,
+                        distributed_cc=False).to_pandas()     # driver union-find
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
