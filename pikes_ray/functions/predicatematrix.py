@@ -137,7 +137,9 @@ PM_ROLES: dict[tuple[str, str], tuple[str | None, str | None]] = {
     ("donate.01", "a2"):   ("recipient", "recipient"),
     ("fight.01", "a0"):    ("agent", "side_1"),
     ("fight.01", "a1"):    ("co-agent", "side_2"),
+    ("fight.01", "a2"):    ("agent", "side_1"),
     ("fight.01", "am-loc"): (None, "place"),
+    ("weapon.01", "a2"):   (None, "weapon"),
     ("flow.01", "a1"):     ("theme", "fluid"),
     ("flow.01", "am-dir"): (None, "goal"),
     ("gather.01", "a0"):   ("agent", "agent"),

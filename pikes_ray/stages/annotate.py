@@ -462,9 +462,15 @@ class RuleAnnotator:
                 # and attract Y" — the chunk left of "attract" is the
                 # previous VP's object, not the subject
                 j = i2 - 1
-                while j >= 0 and toks[j].morphofeat == "RB":
+                while j >= 0 and (toks[j].morphofeat in ("RB", "MD")
+                                  or (toks[j].morphofeat.startswith("VB")
+                                      and toks[j].lemma in ("have", "be"))):
                     j -= 1
-                if j >= 0 and toks[j].morphofeat == "CC" and sent in last_sbj:
+                if j >= 0 and toks[j].morphofeat in ("WP", "WDT"):
+                    # relative clause: "…, who said" / "which has
+                    # contributed" — the relative pronoun is the subject
+                    deps.append((i2, j, "SBJ"))
+                elif j >= 0 and toks[j].morphofeat == "CC" and sent in last_sbj:
                     deps.append((i2, last_sbj[sent], "SBJ"))
                 elif left is not None and not punct_between(left[1], i2):
                     deps.append((i2, left[2], "SBJ"))

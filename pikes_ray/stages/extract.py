@@ -419,6 +419,15 @@ class _DocExtractor:
                     continue
                 args = [arg]
                 partner = coord_partner.get(r["head"])
+                if partner is not None:
+                    # NP coordination only: a verb between the conjunct
+                    # heads means VP coordination ("gather X and
+                    # attract Y") where each object belongs to its own
+                    # predicate
+                    lo, hi = sorted((r["head"], partner))
+                    if any(self.tokens[k]["morphofeat"].startswith("VB")
+                           for k in range(lo + 1, hi)):
+                        partner = None
                 if partner is not None and not self_arg:
                     pk, parg = self._resolve_span(partner, partner + 1, partner)
                     if pk == "inst" and partner in nominal_heads:

@@ -96,11 +96,13 @@ def test_our_pipeline_honest_score():
     assert df.loc["types (VN)", "f1"] >= 0.80
     assert df.loc["types (FN)", "f1"] >= 0.82
     assert df.loc["linking", "f1"] >= 0.92
-    assert df.loc["roles (PB)", "f1"] >= 0.50
+    assert df.loc["roles (PB)", "f1"] >= 0.54
+    assert df.loc["roles (VN)", "f1"] >= 0.58
+    assert df.loc["roles (FN)", "f1"] >= 0.49
     assert df.loc["owl:sameAs", "f1"] >= 0.60
-    assert df.loc["edges", "f1"] >= 0.60
+    assert df.loc["edges", "f1"] >= 0.62
     # the headline: triples F1 above the reference's own published .628
-    assert df.loc["triples", "f1"] >= 0.64
+    assert df.loc["triples", "f1"] >= 0.66
     # every category must at least be reported
     assert {"edges", "roles (PB)", "types (PB)", "linking",
             "triples"} <= set(df.index)
