@@ -643,6 +643,11 @@ class RuleAnnotator:
                     # possessive determiner → A0 ("their successes")
                     elif r == "NMOD" and d < len(toks) and toks[d].morphofeat == "PRP$":
                         p.roles.append(("A0", d, d + 1, d))
+                    # noun/gerund premodifier → A1 ("fighting forces",
+                    # "oil fields", "military bases" — NomBank compound
+                    # annotation)
+                    elif r == "NMOD" and d < i and toks[d].morphofeat in ("NN", "NNS", "VBG"):
+                        p.roles.append(("A1", d, d + 1, d))
                     # "efforts in Syria" → AM-LOC locative PP on nominals
                     elif r == "NMOD" and d < len(toks) and toks[d].morphofeat == "IN" \
                             and toks[d].lemma in ("in", "on", "at"):
