@@ -66,3 +66,10 @@ def read_documents_as_transcripts(sf_dir: str):
         return _conform(out)
 
     return ds.map_batches(conform, batch_format="pandas")
+
+
+def read_csv_transcripts(paths):
+    """CSV with (conv_id, turn_idx, role, text[, tool, ts]) columns →
+    canonical transcript Dataset (generic tabular-corpus recipe, the
+    S4 converter family's CSV member)."""
+    return rd.read_csv(paths).map_batches(_conform, batch_format="pandas")

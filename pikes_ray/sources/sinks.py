@@ -81,3 +81,71 @@ def write_debug_json(annotated, out_dir: str) -> None:
         return df
 
     annotated.map_batches(to_json, batch_format="pandas").write_json(out_dir)
+
+
+def write_naf_xml(annotated, out_dir: str) -> int:
+    """S6 — NAF-style XML debug sink (≙ kaflib XML serialization /
+    TxtToNaf output): one ``<NAF>`` document per transcript turn with
+    text, terms, entities and SRL layers.  Parts directory, one file
+    per block; returns documents written.
+
+    The engine's intermediate state is columnar by design (SURVEY
+    §1.4) — this sink exists for interop/debugging parity with the
+    reference's on-disk NAF corpus layout, not as a pipeline stage.
+    """
+    import os
+    import uuid
+    from xml.sax.saxutils import escape, quoteattr
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def render_doc(row) -> str:
+        toks = list(row.tokens) if row.tokens is not None else []
+        ents = list(row.entities) if row.entities is not None else []
+        prds = list(row.predicates) if row.predicates is not None else []
+        buf = [f'<NAF xml:lang="en" version="v3">',
+               f"<nafHeader><public publicId="
+               f"{quoteattr(f'{row.conv_id}#turn={row.turn_idx}')}/></nafHeader>",
+               f"<raw>{escape(row.text or '')}</raw>", "<text>"]
+        for i, t in enumerate(toks):
+            buf.append(
+                f'<wf id="w{i}" offset="{t["offset"]}" length="{t["length"]}" '
+                f'sent="{t["sent"]}">{escape(t["form"])}</wf>')
+        buf.append("</text><terms>")
+        for i, t in enumerate(toks):
+            buf.append(
+                f'<term id="t{i}" lemma={quoteattr(t["lemma"])} '
+                f'pos={quoteattr(t["pos"])} morphofeat={quoteattr(t["morphofeat"])}>'
+                f'<span><target id="w{i}"/></span></term>')
+        buf.append("</terms><entities>")
+        for k, e in enumerate(ents):
+            targets = "".join(f'<target id="t{j}"/>'
+                              for j in range(e["start"], e["end"]))
+            buf.append(f'<entity id="e{k}" type={quoteattr(e["etype"] or "MISC")}>'
+                       f"<references><span>{targets}</span></references></entity>")
+        buf.append("</entities><srl>")
+        for k, p in enumerate(prds):
+            roles = "".join(
+                f'<role id="r{k}_{m}" semRole={quoteattr(r["sem_role"])}>'
+                f'<span><target id="t{r["head"]}"/></span></role>'
+                for m, r in enumerate(p["roles"]))
+            buf.append(
+                f'<predicate id="pr{k}"><externalRef reference='
+                f'{quoteattr(p["sense"] or "")}/>'
+                f'<span><target id="t{p["head"]}"/></span>{roles}</predicate>')
+        buf.append("</srl></NAF>")
+        return "".join(buf)
+
+    def write_block(df: pd.DataFrame) -> pd.DataFrame:
+        docs = [render_doc(row) for row in df.itertuples()]
+        if docs:
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.xml")
+            with open(path + ".tmp", "w") as f:
+                f.write("\n".join(docs) + "\n")
+            os.replace(path + ".tmp", path)
+        return pd.DataFrame({"n": [len(docs)]})
+
+    parts = annotated.map_batches(write_block, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    return int(parts.aggregate(Sum("n", alias_name="n"))["n"])

@@ -158,3 +158,39 @@ def test_opinion_pr(ray_session):
     assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["n_gold"] == 3
     r2 = opinion_pr(part, full)
     assert r2["recall"] < 1.0 and r2["precision"] == 1.0
+
+
+def test_read_csv_transcripts(ray_session, tmp_path):
+    import pandas as pd
+
+    from pikes_ray.sources.ingest import read_csv_transcripts
+
+    p = str(tmp_path / "t.csv")
+    pd.DataFrame({
+        "conv_id": ["c1", "c1"], "turn_idx": [0, 1],
+        "role": ["user", "assistant"],
+        "text": ["Alice Johnson met Bob Smith.", "They met in Paris."],
+    }).to_csv(p, index=False)
+    ds = read_csv_transcripts(p)
+    df = ds.to_pandas()
+    assert len(df) == 2 and set(df.columns) >= {"conv_id", "turn_idx",
+                                                "role", "text", "tool", "ts"}
+
+
+def test_write_naf_xml(ray_session, tmp_path):
+    import xml.dom.minidom as md
+
+    from pikes_ray.pipelines.kg import annotate_transcripts
+    from pikes_ray.sources.sinks import write_naf_xml
+
+    ann = annotate_transcripts(
+        rd.read_parquet(transcripts_dir("unit")).limit(6), concurrency=2)
+    out = str(tmp_path / "naf")
+    n = write_naf_xml(ann, out)
+    assert n == 6
+    files = glob.glob(os.path.join(out, "*.xml"))
+    assert files
+    first_doc = open(files[0]).read().splitlines()[0]
+    dom = md.parseString(first_doc)       # well-formed XML per line
+    assert dom.documentElement.tagName == "NAF"
+    assert dom.getElementsByTagName("wf")
