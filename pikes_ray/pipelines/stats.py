@@ -37,6 +37,31 @@ def corpus_statistics(annotated) -> pd.DataFrame:
     return pd.DataFrame([out])
 
 
+def triple_pr_by_namespace(predicted, gold,
+                           namespaces: tuple[str, ...] = (
+                               "pb:", "nb:", "vn:", "fn:", "sumo:",
+                               "dbyago:", "fb:", "sem:", "owl:", "rdf:",
+                           )) -> pd.DataFrame:
+    """Namespace-split evaluation report (≙ eval/Evaluation.java's
+    per-PB/NB/VN/FN precision tables): one triple_pr row per predicate
+    namespace prefix (rdf: rows are type facts split by OBJECT
+    namespace upstream of this helper — here they are reported as one
+    'rdf:' row), plus the global roll-up."""
+    import pyarrow.compute as pc
+
+    def only(ds, ns):
+        def pick(batch):
+            return batch.filter(pc.starts_with(batch["pred"], ns))
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    rows = []
+    for ns in namespaces:
+        r = triple_pr(only(predicted, ns), only(gold, ns))
+        rows.append({"namespace": ns, **r})
+    rows.append({"namespace": "ALL", **triple_pr(predicted, gold)})
+    return pd.DataFrame(rows)
+
+
 def opinion_pr(predicted, gold) -> dict:
     """E6 — opinion-layer P/R (≙ pikes-raid Evaluation.java): the
     generic triple P/R restricted to opinion facts (ks:Opinion types

@@ -194,3 +194,14 @@ def test_write_naf_xml(ray_session, tmp_path):
     dom = md.parseString(first_doc)       # well-formed XML per line
     assert dom.documentElement.tagName == "NAF"
     assert dom.getElementsByTagName("wf")
+
+
+def test_triple_pr_by_namespace(ray_session):
+    from pikes_ray.pipelines.kg import transcripts_to_graph
+    from pikes_ray.pipelines.stats import triple_pr_by_namespace
+
+    tr = transcripts_to_graph(transcripts_dir("unit"), concurrency=2).materialize()
+    df = triple_pr_by_namespace(tr, tr, namespaces=("pb:", "sem:", "owl:"))
+    assert list(df["namespace"]) == ["pb:", "sem:", "owl:", "ALL"]
+    assert (df["precision"] == 1.0).all() and (df["recall"] == 1.0).all()
+    assert df.set_index("namespace").loc["pb:", "n_gold"] > 0
