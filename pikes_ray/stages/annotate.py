@@ -473,8 +473,27 @@ class RuleAnnotator:
                 elif j >= 0 and toks[j].morphofeat == "CC" and sent in last_sbj:
                     deps.append((i2, last_sbj[sent], "SBJ"))
                 elif left is not None and not punct_between(left[1], i2):
-                    deps.append((i2, left[2], "SBJ"))
-                    last_sbj[sent] = left[2]
+                    # PP-skip: a chunk whose head is a preposition's
+                    # object is not the subject — "group with a stamp
+                    # of approval from Al Qaeda has become" walks back
+                    # over the PP chain to "group"
+                    sbj = left
+                    cands = [c for c in chunks
+                             if c[1] <= i2 and toks[c[2]].sent == sent]
+                    for c in reversed(cands):
+                        s0 = c[0]
+                        if s0 > 0 and toks[s0 - 1].morphofeat == "IN" \
+                                and not punct_between(c[1], i2) \
+                                and not any(toks[k].morphofeat.startswith("VB")
+                                            for k in range(c[1], i2)):
+                            continue          # PP object — keep walking left
+                        if not punct_between(c[1], i2) \
+                                and not any(toks[k].morphofeat.startswith("VB")
+                                            for k in range(c[1], i2)):
+                            sbj = c
+                        break
+                    deps.append((i2, sbj[2], "SBJ"))
+                    last_sbj[sent] = sbj[2]
                 elif left is not None:
                     # appositive skip: "[NP1], [NP2 …], VB" — the
                     # parenthetical between commas hides the true
