@@ -191,7 +191,13 @@ class RuleAnnotator:
                 tag, lemma = "NNP", f
             elif f[0].isupper() and low not in lx.ADJECTIVES:
                 tag, lemma = "NNP", f
-            elif low in lx.ADJECTIVES or (low.endswith("al") and len(low) > 4):
+            elif low in lx.ADJECTIVES:
+                tag, lemma = "JJ", low
+            elif low in lx.NOUN_FRAMES:
+                # known nominal roleset beats the -al suffix heuristic
+                # ("approval", "arrival" are nouns, not adjectives)
+                tag, lemma = "NN", low
+            elif low.endswith("al") and len(low) > 4:
                 tag, lemma = "JJ", low
             elif low.endswith("ly") and len(low) > 3:
                 tag, lemma = "RB", low
@@ -674,6 +680,13 @@ class RuleAnnotator:
                         if pm is not None:
                             s, e = span_of(pm)
                             p.roles.append(("AM-LOC", s, e, pm))
+                    # "approval from Al Qaeda" → A0 agentive source
+                    elif r == "NMOD" and d < len(toks) and toks[d].morphofeat == "IN" \
+                            and toks[d].lemma == "from":
+                        pm = next((dd for dd, rr in dep_by_gov.get(d, []) if rr == "PMOD"), None)
+                        if pm is not None:
+                            s, e = span_of(pm)
+                            p.roles.append(("A0", s, e, pm))
                     # direct JJ modifier → modifier argument: temporal
                     # adjectives AM-TMP, demonyms A1, roleset-specific
                     # override (NOUN_MOD_ARG), else AM-MNR

@@ -99,10 +99,11 @@ def test_our_pipeline_honest_score():
     assert df.loc["roles (PB)", "f1"] >= 0.54
     assert df.loc["roles (VN)", "f1"] >= 0.58
     assert df.loc["roles (FN)", "f1"] >= 0.52
+    assert df.loc["roles (NB)", "f1"] >= 0.56
     assert df.loc["owl:sameAs", "f1"] >= 0.60
     assert df.loc["edges", "f1"] >= 0.65
     # the headline: triples F1 above the reference's own published .628
-    assert df.loc["triples", "f1"] >= 0.67
+    assert df.loc["triples", "f1"] >= 0.69
     # every category must at least be reported
     assert {"edges", "roles (PB)", "types (PB)", "linking",
             "triples"} <= set(df.index)
