@@ -190,16 +190,109 @@ NOUN_SELF_ARGS: dict[str, tuple[list[int], list[int]]] = {
     "offshoot.01": ([0], [1]),
     "success.01": ([], [0]),    # a0 usually the possessor ("their successes")
     "government.01": ([0], []),
+    "sanction.01": ([1], []),
     "opposition.01": ([0], []),
     "weapon.01": ([2], []),
     "favor.02": ([1], []),
 }
 
-# NomBank modifier-argument mapping: which arg number a direct
-# adjective modifier of a nominal frame fills (default: AM-MNR)
-NOUN_MOD_ARG: dict[str, str] = {
-    "group.01": "A3", "force.01": "A3",
+# NomBank modifier-argument mapping: (role, models) a direct adjective
+# modifier of a nominal frame fills; models "" = all predicate models,
+# "nb" = NomBank row only (the gold graphs keep plain-quality
+# adjectives out of the PB/VN/FN projections — gold.5 offshoot_v
+# nb:am-mnr :direct with no pb: row).  Nominals NOT listed here get no
+# modifier role at all (the modifier surfaces as a ks:mod quality
+# instead, ≙ dul:hasQuality in the eval gold).
+NOUN_MOD_ARG: dict[str, tuple[str, str]] = {
+    "group.01": ("A3", "nb"), "force.01": ("A3", "nb"),
+    "challenge.01": ("AM-MNR", ""), "offshoot.01": ("AM-MNR", "nb"),
+    "dealing.01": ("AM-MNR", "nb"), "country.01": ("MOD", "nb"),
+    "way.01": ("A2", "nb"), "approval.01": ("AM-MNR", ""),
 }
+
+# demonym adjective → arg slot per nominal roleset (default A1):
+# "Iraqi officials" fills official.01's governed-entity A2 slot,
+# "our Syrian brothers" the descriptor-ish AM-LOC (gold.6 brothers_v)
+NOUN_DEMONYM_ARG: dict[str, tuple[str, str]] = {
+    "official.01": ("A2", ""), "president.01": ("A2", ""),
+    "brother.01": ("AM-LOC", "nb"),
+}
+# per-roleset FrameNet role override for demonym fillers (gold.1
+# ``:group nb:a1 :syrian ; fn:place :syrian``)
+NOUN_DEMONYM_FN: dict[str, str] = {
+    "group.01": "place", "brother.01": "descriptor",
+}
+# per-roleset FrameNet role override for compound noun premodifiers
+NOUN_PREMOD_FN: dict[str, str] = {
+    "group.01": "descriptor",
+}
+
+# named-entity premodifier → arg slot ("Syria president" → president.01
+# governed A2); rolesets not listed get no role from a NE premod
+NOUN_NE_PREMOD_ARG: dict[str, str] = {
+    "official.01": "A2", "president.01": "A2",
+}
+
+# possessive premodifier ("their successes", "the Front's efforts") →
+# arg slot, default A0 (the NomBank agentive possessor)
+NOUN_POSS_ARG: dict[str, str] = {
+    "brother.01": "A1",      # "our brothers": the possessor is the ego
+    "force.01": "A3",        # "the uprising's forces": descriptor slot
+}
+
+# non-deverbal noun premodifiers land in the descriptor slot for these
+# rolesets ("the uprising […] forces" → nb:a3); -ing premods keep the
+# domain A1 reading ("fighting forces")
+NOUN_PREMOD_NONDEVERBAL_ARG: dict[str, str] = {
+    "force.01": "A3",
+}
+
+# light verbs whose deverbal object nominal inherits the subject as its
+# agent ("have dealings", "pose a challenge")
+LIGHT_VERB_SENSES = frozenset({"have.03", "pose.02"})
+
+# preposition-governed arguments of nominal frames: (roleset, prep) →
+# (arg, models, fn override: "" = PredicateMatrix, "-" = none).
+# Unlisted (roleset, prep) pairs fall back to NOUN_PP_DEFAULT.
+NOUN_PP_ARG: dict[tuple[str, str], tuple[str, str, str]] = {
+    ("challenge.01", "to"): ("A1", "", ""),
+    ("favor.02", "to"): ("A2", "", "-"),
+    ("dealing.01", "with"): ("A1", "", "-"),
+    ("veteran.02", "of"): ("A2", "", ""),
+}
+NOUN_PP_DEFAULT: dict[str, str] = {
+    "of": "A1", "from": "A0", "in": "AM-LOC", "on": "AM-LOC",
+    "at": "AM-LOC",
+}
+
+# preposition-governed arguments of verbal frames overriding the
+# generic prep ladder: (sense, prep) → role
+VERB_PP_ARG: dict[tuple[str, str], str] = {
+    ("prompt.02", "from"): "A1",    # "prompting sanctions from Europe"
+    ("run.05", "for"): "A2",        # "running out for al-Assad"
+}
+
+# gerund-complement role ("prevent it FROM INHERITING…") per sense;
+# default A1
+VERB_GERUND_ARG: dict[str, str] = {
+    "prevent.01": "A2",
+}
+
+# verbs whose clausal complement is found by scanning for an embedded
+# finite clause (that-clause, quoted speech, bare ccomp): sense → role
+CCOMP_SENSES: dict[str, str] = {
+    "say.01": "A1", "sense.01": "A1",
+}
+
+# stative senses never take an AM-PNC purpose-infinitive role (the
+# subject still propagates into the infinitive: "have the skill to
+# storm" → storm.A0 = have.A0)
+STATIVE_SENSES = frozenset({"have.03", "be.01"})
+
+# support nouns: transparent heads whose of-complement nominal inherits
+# the host attachment and modifiers ("a stamp of approval from X on Y"
+# — NAFFilter-style support-chain walking)
+SUPPORT_NOUNS = frozenset({"stamp"})
 
 # temporal adjectives fill AM-TMP ("former insurgents")
 TEMPORAL_ADJ = frozenset({"former", "future", "past", "current", "late"})
@@ -230,15 +323,23 @@ DIR_PREP_SENSES = frozenset({"flow.01"})
 # "A2" for object-control push/prompt whose NP object is A1)
 CONTROL_SENSES: dict[str, str] = {
     "want.01": "A1", "hope.01": "A1", "plan.01": "A1", "try.01": "A1",
-    "help.01": "A1", "push.02": "A2", "prompt.02": "A2",
+    "help.01": "A1", "push.02": "A2", "prompt.02": "A2", "lead.03": "A2",
 }
 
-# NomBank self-arg number → PropBank arg number, where the two
-# models number the incorporated argument differently (default:
-# identity) — e.g. the offshoot is its own NB a0 but spin.02's a1
-SELF_ARG_PB_NUM: dict[str, dict[int, int]] = {
-    "offshoot.01": {0: 1},
+# control type: which of the controller's arguments binds the embedded
+# subject ("want to V" — the wanter Vs; "push X to V" — X Vs)
+SUBJECT_CONTROL = frozenset({"want.01", "hope.01", "plan.01", "try.01",
+                             "help.01"})
+OBJECT_CONTROL = frozenset({"push.02", "prompt.02", "lead.03", "make.02"})
+
+# NomBank arg number → PropBank arg number for rolesets where the two
+# models number the SAME argument differently (applied to every NB
+# role of the roleset) — the offshoot is its own NB a0 but spin.02's
+# a1, and its of-complement NB a1 is spin.02's a2
+NB_PB_NUM_REMAP: dict[str, dict[int, int]] = {
+    "offshoot.01": {0: 1, 1: 2},
 }
+SELF_ARG_PB_NUM = NB_PB_NUM_REMAP  # back-compat alias
 
 # irregular verb forms → lemma (rule-based lemmatizer backstop)
 IRREGULAR_LEMMA: dict[str, str] = {
@@ -274,6 +375,7 @@ CLOSED_CLASS: dict[str, str] = {
     "in": "IN", "on": "IN", "at": "IN", "of": "IN", "for": "IN",
     "from": "IN", "to": "IN", "with": "IN", "by": "IN", "about": "IN",
     "abroad": "RB", "very": "RB", "quite": "RB", "not": "RB",
+    "just": "RB", "out": "RB",
     "and": "CC", "or": "CC", "but": "CC",
     "like-minded": "JJ",
     "may": "MD", "might": "MD", "can": "MD", "could": "MD",
@@ -291,7 +393,7 @@ ADJECTIVES = {
     # gives them instances, matching the gold node inventory)
     "lone", "explicit", "stark", "effective", "direct", "simple",
     "similar", "illegal", "viable", "financial", "other", "most",
-    "more", "syrian", "iraqi", "islamic",
+    "more", "syrian", "iraqi", "islamic", "fortified", "alternative",
 }
 
 # spelled-out numbers (≙ NumberSpeller, resources/NumberSpeller.java:85-397)

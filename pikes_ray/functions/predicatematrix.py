@@ -49,6 +49,7 @@ PM: dict[str, tuple[str | None, str | None, str | None]] = {
     "inherit.01":    ("obtain-13.5.2", None, "Getting"),
     "isolate.01":    ("separate-16", None, None),
     "lead.01":       ("lead-51.7", "Leadership", "Leadership"),
+    "lead.03":       ("force-59", "Causation", None),
     "make.02":       ("dub-29.3", "Causation", None),
     "mount.02":      ("swarm-47.7", None, None),
     "oppose.01":     ("amalgamate-22.2-3", "Taking_sides", None),
@@ -97,6 +98,7 @@ PM: dict[str, tuple[str | None, str | None, str | None]] = {
     # --- nominal rolesets (NB) with no PB counterpart ---------------------
     "base.01":       (None, "Locale_by_use", None),
     "battalion.01":  (None, None, None),
+    "fighter.01":    ("fighter-36.3-2", "", None),
     "brother.01":    (None, "Kinship", None),
     "country.01":    (None, "Political_locales", None),
     "field.02":      (None, "Locale_by_use", None),
@@ -137,7 +139,7 @@ PM_ROLES: dict[tuple[str, str], tuple[str | None, str | None]] = {
     ("donate.01", "a2"):   ("recipient", "recipient"),
     ("fight.01", "a0"):    ("agent", "side_1"),
     ("fight.01", "a1"):    ("co-agent", "side_2"),
-    ("fight.01", "a2"):    ("agent", "side_1"),
+    ("fight.01", "a2"):    ("co-agent", "side_1"),
     ("fight.01", "am-loc"): (None, "place"),
     ("weapon.01", "a2"):   (None, "weapon"),
     ("flow.01", "a1"):     ("theme", "fluid"),
@@ -162,8 +164,12 @@ PM_ROLES: dict[tuple[str, str], tuple[str | None, str | None]] = {
     ("isolate.01", "a1"):  ("patient", None),
     ("lead.01", "a0"):     ("agent", "leader"),
     ("lead.01", "a1"):     ("theme", "activity"),
+    ("lead.03", "a0"):     ("agent", "cause"),
+    ("lead.03", "a1"):     ("patient", "affected"),
+    ("lead.03", "a2"):     ("result", "effect"),
     ("make.02", "a0"):     ("agent", "actor"),
-    ("make.02", "a1"):     ("result", "effect"),
+    ("make.02", "a1"):     ("theme", "effect"),
+    ("make.02", "am-prd"): ("result", "effect"),
     ("mount.02", "a1"):    ("theme", None),
     ("oppose.01", "a0"):   ("agent", "cognizer"),
     ("organize.01", "a0"): ("agent", None),
@@ -174,11 +180,11 @@ PM_ROLES: dict[tuple[str, str], tuple[str | None, str | None]] = {
     ("pose.02", "a1"):     ("topic", None),
     ("pose.02", "a2"):     ("recipient", None),
     ("prevent.01", "a0"):  ("agent", "preventing_cause"),
-    ("prevent.01", "a1"):  ("theme", "action"),
-    ("prevent.01", "a2"):  (None, "protagonist"),
+    ("prevent.01", "a1"):  ("theme", "protagonist"),
+    ("prevent.01", "a2"):  ("theme", "action"),
     ("prompt.02", "a0"):   ("agent", "cause"),
-    ("prompt.02", "a1"):   ("patient", "effect"),
-    ("prompt.02", "a2"):   ("result", None),
+    ("prompt.02", "a1"):   ("patient", ""),
+    ("prompt.02", "a2"):   ("result", "effect"),
     ("push.02", "a0"):     ("agent", "agent"),
     ("push.02", "a1"):     ("patient", "cognizer"),
     ("push.02", "a2"):     ("result", "action"),
@@ -218,16 +224,17 @@ PM_ROLES: dict[tuple[str, str], tuple[str | None, str | None]] = {
     ("buy.01", "a0"):      ("agent", "buyer"),
     ("buy.01", "a1"):      ("theme", "goods"),
     # nominal rolesets (role props in the NB model share arg numbering)
-    ("group.01", "a1"):    (None, "domain"),
     ("group.01", "a3"):    (None, "descriptor"),
     ("force.01", "a1"):    (None, "domain"),
     ("force.01", "a3"):    (None, "descriptor"),
     ("base.01", "a1"):     (None, "use"),
     ("field.02", "a1"):    (None, "use"),
     ("country.01", "mod"): (None, "descriptor"),
-    ("way.01", "a1"):      (None, "descriptor"),
-    ("way.01", "a2"):      (None, "purpose"),
+    ("way.01", "a1"):      (None, "purpose"),
+    ("way.01", "a2"):      (None, "descriptor"),
     ("brother.01", "a0"):  (None, "alter"),
+    ("fighter.01", "a0"):  ("agent", ""),
+    ("favor.02", "a1"):    ("theme", ""),
     ("brother.01", "a1"):  (None, "ego"),
     ("official.01", "a0"): (None, "leader"),
     ("official.01", "a2"): (None, "governed"),
@@ -238,20 +245,30 @@ PM_ROLES: dict[tuple[str, str], tuple[str | None, str | None]] = {
 }
 
 
+# FrameNet frame types the gold assigns directly to common-noun /
+# quality instances outside any roleset (WN→FN mappings in the full
+# PredicateMatrix): "other countries" → the Increment frame on "other"
+FN_NOUN_TYPES: dict[str, str] = {
+    "other": "Increment",
+    "position": "Locale_by_collocation",
+}
+
+
 def enrich(*senses: str) -> tuple[str | None, str | None, str | None]:
     """(vn, fn, eso) merged over the senses in preference order: each
     column takes the first non-None value (the reference prefers the
-    verbal reading but falls back per-resource —
-    AnnotationPipeline.java:581)."""
+    first-listed model's reading but falls back per-resource —
+    AnnotationPipeline.java:581).  An empty string "" in a PM row is an
+    explicit none: it blocks the fallback to later senses."""
     vn = fn = eso = None
     for s in senses:
         row = PM.get(s) if s else None
         if row is None:
             continue
-        vn = vn or row[0]
-        fn = fn or row[1]
-        eso = eso or row[2]
-    return (vn, fn, eso)
+        vn = row[0] if vn is None else vn
+        fn = row[1] if fn is None else fn
+        eso = row[2] if eso is None else eso
+    return (vn or None, fn or None, eso or None)
 
 
 def role_props(arg: str, *senses: str) -> tuple[str | None, str | None]:

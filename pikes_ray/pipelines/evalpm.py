@@ -110,10 +110,10 @@ def _rewrite(term: str, system: str) -> str:
             # our fused role CURIEs: pb:become.01-a1 → pb:a1,
             # pb:meet.01-amtmp → pb:am-tmp (extract.py t7_roles shape)
             ns, name = t[:3], t[3:]
-            m = re.match(r"^[a-z_\-]+\.\d+-(a[0-5]|am?([a-z]+))$", name)
+            m = re.match(r"^[a-z_\-]+\.\d+-(a[0-5]|neg|mod|am?([a-z]+))$", name)
             if m:
                 role = m.group(1)
-                if role.startswith("am"):
+                if role.startswith("am") and role != "am":
                     role = "am-" + role[2:]
                 return ns + role
         if t.startswith("dbr:"):
@@ -122,6 +122,11 @@ def _rewrite(term: str, system: str) -> str:
             return "dul:associatedWith"
     if system == "pikes" and t == "ks:mod":
         return "dul:associatedWith"
+    if t.startswith("fn:") and len(t) > 3:
+        # gold files are case-inconsistent for FN frames
+        # ("fn:organization" vs "fn:Organization") — normalize types;
+        # role properties normalize identically on both sides
+        t = "fn:" + t[3].upper() + t[4:] if t[3].isalpha() else t
     return t
 
 
@@ -531,7 +536,9 @@ def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
     # --- labelled roles per namespace -----------------------------------
     for ns in ROLE_NS:
         pr = acc[f"roles ({ns[:-1].upper()})" if ns != "owl:" else "owl:sameAs"]
-        gold_stmts = {(s, p, o) for s, p, o in gold.triples
+        sym = ns == "owl:"     # owl:sameAs is symmetric — normalize direction
+        gold_stmts = {(min(s, o), p, max(s, o)) if sym else (s, p, o)
+                      for s, p, o in gold.triples
                       if s in gold.nodes and o in gold.nodes and s != o
                       and p.startswith(ns)}
         tkeys: dict[tuple, bool] = {}
@@ -542,7 +549,9 @@ def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
             sm, om = mapping.get(s), mapping.get(o)
             if sm is not None and om is not None and sm == om:
                 continue
-            key = (sm if sm is not None else s, p, om if om is not None else o)
+            ks = sm if sm is not None else s
+            ko = om if om is not None else o
+            key = (min(ks, ko), p, max(ks, ko)) if sym else (ks, p, ko)
             extra = sm is None or om is None
             tkeys[key] = tkeys.get(key, True) and extra
         for gs in gold_stmts:
@@ -677,7 +686,8 @@ def evaluate_ours():
     # owl:sameAs dbpedia links intact, not smushed onto dbr: IRIs) and
     # no doc-local smushing (gold models coreference as separate nodes
     # joined by owl:sameAs — exactly the pre-smush graph)
-    stage = KGStage(static_canon=False, local_smush=False)
+    stage = KGStage(static_canon=False, local_smush=False,
+            per_mention=True)
     out = stage(batch).to_pandas()
 
     tests = []

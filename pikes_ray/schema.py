@@ -63,10 +63,15 @@ ENTITY_T = pa.struct(
 
 ROLE_T = pa.struct(
     [
-        ("sem_role", pa.string()),   # A0 A1 A2 AM-TMP AM-LOC
+        ("sem_role", pa.string()),   # A0 A1 A2 AM-TMP AM-LOC NEG MOD
         ("start", pa.int32()),
         ("end", pa.int32()),
         ("head", pa.int32()),        # head token index
+        # provenance/projection hints (≙ the reference's per-role
+        # ExternalRef provenance on kaflib Role objects):
+        ("prep", pa.string()),       # governing preposition ("" if none)
+        ("models", pa.string()),     # "" = all models | "nb" = NomBank only
+        ("fn_role", pa.string()),    # per-filler FrameNet role override
     ]
 )
 
@@ -80,6 +85,9 @@ PRED_T = pa.struct(
         ("sense", pa.string()),      # e.g. "acquire.01"
         ("source", pa.string()),     # "verbal" | "nominal"  (≙ mate/semafor provenance)
         ("copular", pa.bool_()),
+        ("variant", pa.int32()),     # >0: coordination-split duplicate frame
+                                     # over the same head term ("support the
+                                     # rebels but not extremists" → two frames)
         ("link", pa.string()),       # dbpedia-style IRI or "" (F5 promotion)
         ("link_conf", pa.float64()),
         ("roles", pa.list_(ROLE_T)),

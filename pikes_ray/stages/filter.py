@@ -120,13 +120,14 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
     # the same head term (Mate⊎Semafor merge analogue: union roles, the
     # verbal source wins the sense — NAFFilter.java:1044-1106).
     if cfg.srl_preprocess:
-        by_head: dict[int, dict] = {}
+        by_head: dict[tuple[int, int], dict] = {}
         for p in predicates:
             if p["head"] is None or p["head"] >= len(tokens):
                 continue
-            prev = by_head.get(p["head"])
+            key = (p["head"], p.get("variant", 0))
+            prev = by_head.get(key)
             if prev is None:
-                by_head[p["head"]] = dict(p, roles=list(p["roles"]))
+                by_head[key] = dict(p, roles=list(p["roles"]))
             else:
                 if prev["source"] != "verbal" and p["source"] == "verbal":
                     prev["sense"], prev["source"] = p["sense"], p["source"]
@@ -146,7 +147,9 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
             expected = lx.VERB_FRAMES.get(lemma)
             if expected is None and lemma in lx.NOUN_FRAMES:
                 expected = lx.NOUN_FRAMES[lemma][1]
-            if expected is None or expected == p["sense"]:
+            if expected is None or expected == p["sense"] \
+                    or (p["sense"] and "." in p["sense"] and "." in expected
+                        and p["sense"].split(".")[0] == expected.split(".")[0]):
                 ok.append(p)
         predicates = ok
 
@@ -167,13 +170,24 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
             if i in covered:
                 continue
             if t["morphofeat"].startswith("VB") and t["lemma"] in lx.VERB_FRAMES:
+                if t["lemma"] in ("have", "be"):
+                    # auxiliary: the following participle carries the
+                    # predicate ("has become", "may be running")
+                    nxt = i + 1
+                    while nxt < len(tokens) and tokens[nxt]["morphofeat"] in ("RB", "MD"):
+                        nxt += 1
+                    if nxt < len(tokens) \
+                            and tokens[nxt]["morphofeat"] in ("VB", "VBD", "VBN", "VBG") \
+                            and tokens[nxt]["lemma"] in lx.VERB_FRAMES:
+                        continue
                 predicates.append({"head": i, "sense": lx.VERB_FRAMES[t["lemma"]],
-                                   "source": "verbal",
+                                   "source": "verbal", "variant": 0,
                                    "copular": t["lemma"] == "be",
                                    "link": "", "link_conf": 0.0, "roles": []})
             elif t["morphofeat"] in ("NN", "NNS") and t["lemma"] in lx.NOUN_FRAMES:
                 predicates.append({"head": i, "sense": lx.NOUN_FRAMES[t["lemma"]][1],
                                    "source": "nominal", "copular": False,
+                                   "variant": 0,
                                    "link": "", "link_conf": 0.0, "roles": []})
         predicates.sort(key=lambda p: p["head"])
 
@@ -181,12 +195,9 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
     # (NAFFilter.java:1246-1308): for nominal predicates with a known
     # roleset, a self-role (role head == predicate term) whose arg
     # number is neither mandatory nor optional is dropped, and every
-    # missing MANDATORY self-arg is added as a role spanning the
-    # predicate's dependency subtree with the predicate term as head.
+    # missing MANDATORY self-arg is added as a role on the predicate
+    # term itself (the incorporated noun referent).
     if cfg.srl_self_arg_fixing:
-        from pikes_ray.functions.deppath import DepGraph
-
-        dg: DepGraph | None = None
         for p in predicates:
             if p["source"] != "nominal":
                 continue        # skip verbs (:1252-1255)
@@ -212,13 +223,10 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
             for arg in mandatory:
                 if arg == current:
                     continue
-                if dg is None:
-                    dg = DepGraph(ann["deps"], len(tokens))
-                span = sorted(dg.terms_by_dep_descendants({p["head"]}, ".*"))
                 p["roles"].append({"sem_role": f"A{arg}",
-                                   "start": span[0] if span else p["head"],
-                                   "end": (span[-1] + 1) if span else p["head"] + 1,
-                                   "head": p["head"]})
+                                   "start": p["head"], "end": p["head"] + 1,
+                                   "head": p["head"],
+                                   "prep": "", "models": "", "fn_role": ""})
 
     # F7 entityAddition — add an (unnamed) entity for every noun/pronoun
     # term not already covered by an entity or predicate head (:570-623).
@@ -231,7 +239,8 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
         for i, t in enumerate(tokens):
             if covered[i] or i in pred_heads:
                 continue
-            if t["morphofeat"] in ("NN", "NNS", "PRP", "PRP$", "WP", "WDT"):
+            if t["morphofeat"] in ("NN", "NNS", "PRP", "PRP$", "WP", "WDT") \
+                    and not (t["morphofeat"] == "WDT" and t["lemma"] == "that"):
                 entities.append({"etype": "", "start": i, "end": i + 1,
                                  "named": False, "link": "", "link_conf": 0.0,
                                  "norm": ""})

@@ -29,7 +29,9 @@ class KGStage:
 
     def __init__(self, cfg: FilterConfig | None = None,
                  max_text_len: int = DEFAULT_MAX_TEXT_LEN,
-                 local_smush: bool = True, static_canon: bool = True):
+                 local_smush: bool = True, static_canon: bool = True,
+                 per_mention: bool = False):
+        self.per_mention = per_mention
         self.model = RuleAnnotator()
         self.cfg = cfg or FilterConfig()
         self.max_text_len = max_text_len
@@ -73,7 +75,8 @@ class KGStage:
                    "text": t, "tool": tool[i], "ts": ts[i],
                    "quarantined": quarantined, **ann}
             ex = _DocExtractor(conv[i], turn[i], row,
-                               sense_completion=self.cfg.term_sense_completion)
+                               sense_completion=self.cfg.term_sense_completion,
+                               per_mention=self.per_mention)
             triples = ex.run()
             if triples:
                 s, p, o, g, c = zip(*triples)

@@ -48,9 +48,14 @@ def test_exact_dedup(unit_graph):
     assert not unit_graph.duplicated(["subj", "pred", "obj", "graph"]).any()
 
 
-def test_copular_suppressed(unit_graph):
-    # "X is the president of Y" must not create a be.01 event (T3 skip)
-    assert not (unit_graph["obj"] == "pb:be.01").any()
+def test_copular_identity_and_frame(unit_graph):
+    # "X is the president of Y": the copula with a predicate-nominal
+    # complement surfaces as a be.01 frame (gold.5/6 ":is a pb:be.01")
+    # carrying A1/A2 — but never a bare be.01 event without the A2
+    # complement (T3 suppression for auxiliary/verbless cases)
+    be_events = set(unit_graph[unit_graph["obj"] == "pb:be.01"]["subj"])
+    with_a2 = set(unit_graph[unit_graph["pred"].str.startswith("pb:be.01-a2")]["subj"])
+    assert be_events == with_a2
 
 
 def test_doc_local_smush_removes_pronoun_instances(unit_graph):
