@@ -166,6 +166,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kept = D.exact_dedup(_docs(sf_dir)).to_pandas()
         return kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
+    def doc_quality_ppm(sf_dir):
+        from pikes_ray.ops.text import quality_ppm
+
+        df = _docs(sf_dir).map_batches(quality_ppm, batch_format="pandas").to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def doc_quality(sf_dir):
         df = T.analyze(_docs(sf_dir)).to_pandas()
         cols = ["doc_id", "n_tokens", "punct_ratio", "stop_ratio", "quality",
@@ -247,6 +253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_segments": R.distinct_segments,
         "q_event_gaps": R.event_gaps,
         "q_customers_without_orders": R.customers_without_orders,
+        "q_brand_summary": R.lineitem_brand_summary,
+        "q_customers_per_region": R.customers_per_region,
+        "doc_quality_ppm": doc_quality_ppm,
         "doc_sentiment": doc_sentiment,
         "doc_token_stats": doc_token_stats,
         "doc_exact_dedup": doc_exact_dedup,
@@ -266,6 +275,8 @@ def oracle_sql() -> dict[str, str]:
 
     ws_tokens = ("CASE WHEN trim(text) = '' OR text IS NULL THEN 0 "
                  "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    from pikes_ray.functions.lexicon import STOPWORDS
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
     return {
         "t_turn_stats": f"""
@@ -341,6 +352,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
             ORDER BY c_custkey
+        """,
+        "q_brand_summary": """
+            SELECT p_brand,
+                   count(*)::BIGINT AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "q_customers_per_region": """
+            SELECT r_name,
+                   count(*)::BIGINT AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "doc_quality_ppm": f"""
+            SELECT doc_id,
+                   {ws_tokens}::BIGINT AS n_tokens,
+                   length(coalesce(text, ''))::BIGINT AS n_chars,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[!-/:-@\x5b-\x60{{-~]'))::BIGINT AS n_punct,
+                   len(list_filter(
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN []
+                            ELSE regexp_split_to_array(trim(text), '\s+') END,
+                       x -> lower(x) IN ({stop_list})))::BIGINT AS n_stop,
+                   (n_punct * 1000000) // greatest(n_chars, 1) AS punct_ppm,
+                   (n_stop * 1000000) // greatest(n_tokens, 1) AS stop_ppm
+            FROM documents ORDER BY doc_id
+        """,
+        "emb_near_dup": """
+            SELECT q.vec_id::BIGINT AS a, v.vec_id::BIGINT AS b
+            FROM embeddings q, embeddings v
+            WHERE q.vec_id < v.vec_id
+              AND list_cosine_similarity(q.embedding, v.embedding) >= 0.48
+            ORDER BY a, b
         """,
         "doc_token_stats": f"""
             SELECT lang,

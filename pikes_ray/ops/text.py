@@ -175,3 +175,28 @@ def sentiment(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     out = df.copy()
     out["polarity"] = df[col].fillna("").map(_score)
     return out
+
+
+_ASCII_PUNCT = re.compile(r"[!-/:-@\[-`{-~]")
+
+
+def quality_ppm(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Integer-exact quality features (parts-per-million ratios) so the
+    result is bit-identical to a SQL oracle: floats never cross the
+    comparison boundary.  Tokens are whitespace-split (same convention
+    as ``token_counts``), punctuation the explicit ASCII class."""
+    text = df[col].fillna("")
+    toks = text.str.findall(_WS_TOKEN)
+    n_tok = toks.str.len().astype("int64")
+    n_chars = text.str.len().astype("int64")
+    punct = text.str.count(_ASCII_PUNCT).astype("int64")
+    stop = toks.map(lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)) \
+        .astype("int64")
+    out = df[["doc_id"]].copy()
+    out["n_tokens"] = n_tok
+    out["n_chars"] = n_chars
+    out["n_punct"] = punct
+    out["n_stop"] = stop
+    out["punct_ppm"] = (punct * 1_000_000) // n_chars.clip(lower=1)
+    out["stop_ppm"] = (stop * 1_000_000) // n_tok.clip(lower=1)
+    return out

@@ -237,3 +237,65 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                              "c_name": pd.Series(dtype="object")})
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def lineitem_brand_summary(sf_dir: str) -> pd.DataFrame:
+    """Fact ⋈ dimension with pre-aggregation: lineitem joined to part
+    (p_partkey → p_brand broadcast via ``ray.put``), partial group-by
+    inside ``map_batches``, small final ``groupby`` — the canonical
+    star-join shape that avoids shuffling the fact table at 100 TB."""
+    part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    lookup = dict(zip(part["p_partkey"], part["p_brand"]))
+    ref = ray.put(lookup)
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        df = df.assign(p_brand=df["l_partkey"].map(m))
+        df = df.dropna(subset=["p_brand"])
+        return df.groupby("p_brand", as_index=False).agg(
+            n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby("p_brand").aggregate(
+        Sum("n_items", alias_name="n_items"), Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"))
+    df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)
+    df["n_items"] = df["n_items"].astype("int64")
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
+def customers_per_region(sf_dir: str) -> pd.DataFrame:
+    """Three-table dimension chain (region ← nation ← customer): the
+    two small dims join driver-side, broadcast once, and the customer
+    table streams through a counting ``map_batches``."""
+    nat = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    reg = pd.read_parquet(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    dim = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    lookup = dict(zip(dim["n_nationkey"], dim["r_name"]))
+    ref = ray.put(lookup)
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        df = df.assign(r_name=df["c_nationkey"].map(m))
+        df = df.dropna(subset=["r_name"])
+        return df.groupby("r_name", as_index=False).agg(
+            n_customers=("r_name", "size"), sum_acctbal=("c_acctbal", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby("r_name").aggregate(
+        Sum("n_customers", alias_name="n_customers"),
+        Sum("sum_acctbal", alias_name="sum_acctbal"))
+    df = out.to_pandas().sort_values("r_name").reset_index(drop=True)
+    df["n_customers"] = df["n_customers"].astype("int64")
+    df["sum_acctbal"] = df["sum_acctbal"].round(2)
+    return df
