@@ -41,8 +41,11 @@ def _shard_of(key: str, n: int) -> int:
     return zlib.crc32(key.encode("utf-8")) % n
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0)
 class QuadIndexShard:
+    # num_cpus=0: the index is memory-bound (lookups are dict hits) —
+    # reserving CPU would starve compute stages sharing the node; a
+    # production deployment sizes shards with ``memory=`` resources
     """One shard: key → interned quad list.  All state actor-local."""
 
     def __init__(self) -> None:
@@ -99,6 +102,13 @@ class QuadIndex:
     def __init__(self, n_shards: int = 8):
         self.n_shards = n_shards
         self.shards = [QuadIndexShard.remote() for _ in range(n_shards)]
+
+    def close(self) -> None:
+        """Release the shard actors (their state is lost — ``dump_parquet``
+        first to persist)."""
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
 
     # -- loading -----------------------------------------------------------
 

@@ -27,6 +27,7 @@ def test_build_and_point_lookup(ray_session, triples):
     assert all(len(q) == 3 for q in quads)
     assert {q[1] for q in quads} == {f"o:{3 + 40 * j}" for j in range(5)}
     assert idx.get("entity:absent") == []
+    idx.close()
 
 
 def test_get_many_and_stats(ray_session, triples):
@@ -39,6 +40,7 @@ def test_get_many_and_stats(ray_session, triples):
     # keys spread across shards by crc32 — no shard owns everything
     owners = {_shard_of(f"entity:e{i}", 3) for i in range(40)}
     assert len(owners) > 1
+    idx.close()
 
 
 def test_dump_and_reload(ray_session, triples, tmp_path):
@@ -48,3 +50,5 @@ def test_dump_and_reload(ray_session, triples, tmp_path):
     idx2 = QuadIndex.load_parquet(str(tmp_path / "qidx"), n_shards=4)
     assert idx2.stats()["quads"] == 200
     assert sorted(idx2.get("entity:e7")) == sorted(idx.get("entity:e7"))
+    idx.close()
+    idx2.close()
