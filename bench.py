@@ -51,6 +51,10 @@ def run_bench() -> dict:
 
     # warm the OS page cache (untimed) so we measure compute + shuffle
     n_turns = rd.read_parquet(tdir).count()
+    if not os.environ.get("GRAFT_BENCH_ONLY_KG"):
+        for t in ("documents", "embeddings", "lineitem", "orders",
+                  "customer", "events"):
+            rd.read_parquet(f"{sf_dir}/{t}.parquet").count()
     log(f"bench: sf={sf} turns={n_turns} cpus={ncpus}")
 
     queries: dict[str, float] = {}
