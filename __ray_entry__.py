@@ -178,6 +178,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "pred_lang", "fp"]
         return df[cols].sort_values("doc_id").reset_index(drop=True)
 
+    def doc_sentiment_counts(sf_dir):
+        from pikes_ray.ops.text import sentiment_counts
+
+        df = _docs(sf_dir).map_batches(sentiment_counts,
+                                       batch_format="pandas").to_pandas()
+        df[["n_pos", "n_neg", "sum_deci"]] = \
+            df[["n_pos", "n_neg", "sum_deci"]].astype("int64")
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def doc_sentiment(sf_dir):
         from pikes_ray.ops.text import sentiment
 
@@ -256,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_brand_summary": R.lineitem_brand_summary,
         "q_customers_per_region": R.customers_per_region,
         "doc_quality_ppm": doc_quality_ppm,
+        "doc_sentiment_counts": doc_sentiment_counts,
         "doc_sentiment": doc_sentiment,
         "doc_token_stats": doc_token_stats,
         "doc_exact_dedup": doc_exact_dedup,
@@ -277,6 +287,19 @@ def oracle_sql() -> dict[str, str]:
                  "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
     from pikes_ray.functions.lexicon import STOPWORDS
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+    # stem + polarity lexicon compiled to SQL from the SAME Python
+    # tables (ops/text._STEM_SUFFIXES / _SENTIMENT) — one source of truth
+    from pikes_ray.ops.text import _SENTIMENT, _STEM_SUFFIXES
+    stem_case = "CASE WHEN length(w) <= 3 THEN w "
+    for suf, repl in _STEM_SUFFIXES:
+        n = len(suf)
+        stem_case += (f"WHEN w LIKE '%{suf}' AND length(w) - {n} + {len(repl)} >= 3 "
+                      f"THEN substr(w, 1, length(w) - {n}) || '{repl}' ")
+    stem_case += "ELSE w END"
+    sent_case = "CASE " + " ".join(
+        f"WHEN s = '{word}' THEN {int(round(v * 10))}"
+        for word, v in sorted(_SENTIMENT.items())) + " ELSE 0 END"
 
     return {
         "t_turn_stats": f"""
@@ -383,6 +406,23 @@ def oracle_sql() -> dict[str, str]:
                    (n_punct * 1000000) // greatest(n_chars, 1) AS punct_ppm,
                    (n_stop * 1000000) // greatest(n_tokens, 1) AS stop_ppm
             FROM documents ORDER BY doc_id
+        """,
+        "doc_sentiment_counts": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN trim(coalesce(text, '')) = '' THEN []
+                              ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                              END) AS w
+                FROM documents),
+            scored AS (
+                SELECT doc_id, ({sent_case}) AS deci
+                FROM (SELECT doc_id, ({stem_case}) AS s FROM toks))
+            SELECT d.doc_id,
+                   coalesce(sum(CASE WHEN deci > 0 THEN 1 ELSE 0 END), 0)::BIGINT AS n_pos,
+                   coalesce(sum(CASE WHEN deci < 0 THEN 1 ELSE 0 END), 0)::BIGINT AS n_neg,
+                   coalesce(sum(deci), 0)::BIGINT AS sum_deci
+            FROM documents d LEFT JOIN scored USING (doc_id)
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "emb_near_dup": """
             SELECT q.vec_id::BIGINT AS a, v.vec_id::BIGINT AS b

@@ -200,3 +200,31 @@ def quality_ppm(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     out["punct_ppm"] = (punct * 1_000_000) // n_chars.clip(lower=1)
     out["stop_ppm"] = (stop * 1_000_000) // n_tok.clip(lower=1)
     return out
+
+
+def sentiment_counts(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Integer-exact opinion-lexicon counts per document (SQL-oracle
+    companion of ``sentiment``): positive/negative token counts and the
+    deci-score sum over stemmed tokens — no float division crosses the
+    comparison boundary."""
+    def _count(t: str) -> tuple[int, int, int]:
+        ws = _WS_TOKEN.findall(t.lower()) if t else []
+        pos = neg = sum_deci = 0
+        for w in ws:
+            v = _SENTIMENT.get(stem(w))
+            if v is None:
+                continue
+            d = int(round(v * 10))
+            sum_deci += d
+            if d > 0:
+                pos += 1
+            else:
+                neg += 1
+        return pos, neg, sum_deci
+
+    vals = [_count(t) for t in df[col].fillna("")]
+    out = df[["doc_id"]].copy()
+    out["n_pos"] = [v[0] for v in vals]
+    out["n_neg"] = [v[1] for v in vals]
+    out["sum_deci"] = [v[2] for v in vals]
+    return out
