@@ -253,6 +253,12 @@ FN_NOUN_TYPES: dict[str, str] = {
     "position": "Locale_by_collocation",
 }
 
+# FrameNet role a quality modifier fills on these plain nouns
+# (gold.3 ":positions fn:inherent_purpose :fortified")
+FN_NOUN_MOD_ROLE: dict[str, str] = {
+    "position": "inherent_purpose",
+}
+
 
 def enrich(*senses: str) -> tuple[str | None, str | None, str | None]:
     """(vn, fn, eso) merged over the senses in preference order: each

@@ -862,7 +862,14 @@ class RuleAnnotator:
                         if toks[d].lemma in lx.NOUN_FRAMES:
                             continue
                         prole = "A1"
-                        if not toks[d].lemma.endswith("ing"):
+                        separated = any(toks[k].morphofeat == "JJ"
+                                        for k in range(d + 1, i))
+                        if separated or not toks[d].lemma.endswith("ing"):
+                            # adjacent activity premod fills the domain
+                            # slot ("fighting forces"); a premod set off
+                            # by adjectives is a descriptor/possessor
+                            # ("the uprising['s] most effective …
+                            # forces" → nb:a3, gold.1)
                             prole = lx.NOUN_PREMOD_NONDEVERBAL_ARG.get(nb_id, "A1")
                         p.roles.append(role(prole, d, d + 1, d, models="nb",
                                             fn_role=lx.NOUN_PREMOD_FN.get(nb_id, "")))
@@ -1277,6 +1284,13 @@ class RuleAnnotator:
                              and (e.end - 1) not in say_subj_heads]
                     if ecand:
                         a = ecand[-1]
+                        # "Al Qaeda in Iraq" — step back over the
+                        # in-PP tail of a composite name to its head
+                        by_end = {e.end: e for e in named}
+                        while a.start >= 2 \
+                                and toks[a.start - 1].lemma == "in" \
+                                and (a.start - 1) in by_end:
+                            a = by_end[a.start - 1]
                         nb = (a.start, a.end, a.end - 1)
                 if nb is None:
                     nb = nounish_before(i, skip_pp=True)

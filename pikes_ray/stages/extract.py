@@ -620,7 +620,28 @@ class _DocExtractor:
 
         dg = DepGraph(self.deps, len(self.tokens))
         adv_of_adj = {d["frm"]: d["to"] for d in self.deps if d["rfunc"] == "AMOD"}
-        from pikes_ray.functions.predicatematrix import FN_NOUN_TYPES
+        from pikes_ray.functions.predicatematrix import (
+            FN_NOUN_MOD_ROLE, FN_NOUN_TYPES)
+
+        # a compound premodifier that is itself a roleset noun is a
+        # quality of the head noun's referent, not a role filler
+        # ("contributed veteran fighters" → fighters hasQuality veteran)
+        premod_q = {}
+        for d in self.deps:
+            if d["rfunc"] != "NMOD":
+                continue
+            g, m = d["frm"], d["to"]
+            if g in self.nominal_heads and m == g - 1 \
+                    and self.tokens[m]["morphofeat"] in ("NN", "NNS") \
+                    and self.tokens[m]["lemma"] in lx.NOUN_FRAMES:
+                premod_q[g] = m
+        for g, m in premod_q.items():
+            gi = self._self_arg_instance(g)
+            mi = self.inst_of_head.get(m)
+            if mi is not None and m in self.nominal_heads:
+                mi = self._self_arg_instance(m)
+            if mi is not None:
+                self.fact(gi, "ks:mod", mi)
 
         for head, inst in sorted(self.inst_of_head.items()):
             adjs = [
@@ -657,6 +678,9 @@ class _DocExtractor:
                     self.fact(attr, "rdfs:label", _lit(value))
                     self.mention(attr, adj, adj + 1)
                 self.fact(inst, "ks:mod", attr)
+                fnr = FN_NOUN_MOD_ROLE.get(self.tokens[head]["lemma"])
+                if fnr and self.sense_completion:
+                    self.fact(inst, f"fn:{fnr}", attr)
 
     def t6_coref_and_coordination(self) -> None:
         # coref clusters → consecutive owl:sameAs, ordered by position

@@ -26,7 +26,8 @@ def main():
              "tool": "", "ts": dt.datetime(2015, 11, 6)}
             for i, t in enumerate(texts)]
     batch = pa.Table.from_pylist(rows, schema=TRANSCRIPT_SCHEMA)
-    out = KGStage(static_canon=False, local_smush=False)(batch).to_pandas()
+    out = KGStage(static_canon=False, local_smush=False,
+              per_mention=True)(batch).to_pandas()
 
     for i, (text, gold) in enumerate(zip(texts, golds)):
         if only is not None and i + 1 != only:
