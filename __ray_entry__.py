@@ -100,6 +100,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return transcripts_to_graph(read_documents_as_transcripts(sf_dir),
                                     concurrency=(2, 8))
 
+    def kg_entity_quads(sf_dir):
+        """S8 surface: bulk-load the corpus triples into the sharded
+        actor quad index, then point-lookup the top-degree entities
+        (rows-only check: index round-trip + lookup shape)."""
+        from pikes_ray.pipelines.stats import entity_degree
+        from pikes_ray.state.quadindex import QuadIndex
+
+        tr = _kg_triples(sf_dir)
+        idx = QuadIndex(n_shards=4)
+        idx.build_from_dataset(tr)
+        top = entity_degree(tr, k=20)
+        keys = top["entity"].tolist() if "entity" in top else top.iloc[:, 0].tolist()
+        quads = idx.get_many(keys)
+        rows = [{"key": k, "n_quads": len(v)} for k, v in sorted(quads.items())]
+        idx.close()
+        return pd.DataFrame(rows, columns=["key", "n_quads"])
+
     def kg_sameas_links(sf_dir):
         from pikes_ray.pipelines.stats import sameas_links
 
@@ -250,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_degree": kg_entity_degree,
         "kg_type_counts": kg_type_counts,
         "kg_sameas_links": kg_sameas_links,
+        "kg_entity_quads": kg_entity_quads,
         "kg_docs_triples": kg_docs_triples,
         "t_turn_stats": t_turn_stats,
         "t_conv_turns": t_conv_turns,
