@@ -239,6 +239,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["query_id", "vec_id", "rank"]].astype("int64")
         return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
+    def emb_knn_ivf(sf_dir):
+        Q, qids = _queries_mat(sf_dir)
+        out = K.knn_ivf(_embs(sf_dir), Q, qids, k=10,
+                        n_clusters=16, nprobe=4).to_pandas()
+        out = out[["query_id", "vec_id", "rank"]].astype("int64")
+        return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
     def emb_knn_lsh(sf_dir):
         Q, qids = _queries_mat(sf_dir)
         out = K.knn_lsh(_embs(sf_dir), Q, qids, k=10, multiprobe=2).to_pandas()
@@ -293,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": emb_near_dup,
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
+        "emb_knn_ivf": emb_knn_ivf,
     }
 
 

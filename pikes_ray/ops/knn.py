@@ -110,3 +110,88 @@ def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def _kmeans(X: np.ndarray, n_clusters: int, seed: int = 42,
+            iters: int = 10) -> np.ndarray:
+    """Small deterministic Lloyd's k-means (numpy; kmeans++-style
+    seeded init) for the IVF coarse quantizer."""
+    rng = np.random.RandomState(seed)
+    Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-9, None)
+    C = [Xn[rng.randint(len(Xn))]]
+    for _ in range(n_clusters - 1):
+        d = 1 - np.max(np.stack([Xn @ c for c in C]), axis=0)
+        d = np.clip(d, 0, None)
+        p = d / d.sum() if d.sum() > 0 else None
+        C.append(Xn[rng.choice(len(Xn), p=p)])
+    C = np.stack(C)
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(n_clusters):
+            m = assign == j
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-9)
+    return C
+
+
+def knn_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            n_clusters: int = 16, nprobe: int = 4,
+            train_sample: int = 2048, seed: int = 42):
+    """IVF-style approximate top-k — the clustered scale path.
+
+    1. A coarse quantizer (k-means over a bounded driver-side sample)
+       is trained once and broadcast via ``ray.put`` — the sample is
+       ``limit(train_sample)``, so training cost is independent of
+       corpus size.
+    2. Each corpus batch assigns its vectors to their nearest centroid
+       (one matmul) and scans ONLY the cells the queries probe —
+       per-batch work scales with nprobe/n_clusters of the corpus.
+    3. Per-query partials merge in one small groupby (same combiner
+       shape as ``knn_brute``: the shuffle moves O(queries × k ×
+       blocks) rows, never vectors).
+
+    Recall < 1 by design (cell-boundary misses); raise ``nprobe``
+    toward ``n_clusters`` to trade speed back toward exactness.
+    """
+    import pandas as _pd
+
+    sample = ds.limit(train_sample).to_pandas()
+    X = np.asarray(sample[vec_col].tolist(), dtype=np.float64)
+    n_clusters = min(n_clusters, len(X))
+    C = _kmeans(X, n_clusters, seed)
+
+    Q = np.asarray(queries, dtype=np.float64)
+    Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-9, None)
+    probe_order = np.argsort(-(Qn @ C.T), axis=1)[:, :min(nprobe, n_clusters)]
+    cell_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probe_order):
+        for c in cells:
+            cell_queries.setdefault(int(c), []).append(qi)
+    qref = ray.put((Q, np.asarray(query_ids), C, cell_queries))
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        Qm, qids, cents, cq = ray.get(qref)
+        V = np.asarray(df[vec_col].tolist(), dtype=np.float64)
+        Vn = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-9, None)
+        assign = np.argmax(Vn @ cents.T, axis=1)
+        outs = []
+        for c, qidx in cq.items():
+            m = assign == c
+            if not m.any():
+                continue
+            outs.append(_topk_partial(V[m], df[id_col].values[m],
+                                      Qm[qidx], qids[qidx], k))
+        if not outs:
+            return _pd.DataFrame({"query_id": [], "vec_id": [], "cos": []})
+        return _pd.concat(outs, ignore_index=True)
+
+    def merge(g: _pd.DataFrame) -> _pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -249,3 +249,29 @@ def test_minhash_dedup_auto_switches_to_distributed(ray_session, docs):
     b = D.minhash_dedup(docs, threshold=0.5,
                         distributed_cc=False).to_pandas()     # driver union-find
     assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_knn_ivf_self_and_recall(ray_session):
+    rng = np.random.RandomState(3)
+    V = rng.standard_normal((300, 8)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": range(300), "embedding": [v.tolist() for v in V]}))
+    Q, qids = V[:5].astype(np.float64), np.arange(5)
+    ivf = K.knn_ivf(ds, Q, qids, k=10, n_clusters=8, nprobe=3).to_pandas()
+    for q in range(5):
+        mine = ivf[(ivf["query_id"] == q) & (ivf["rank"] == 0)]
+        assert len(mine) == 1 and mine["vec_id"].iloc[0] == q
+    # probing every cell is exhaustive → must equal brute force
+    brute = K.knn_brute(ds, Q, qids, k=10).to_pandas()
+    full = K.knn_ivf(ds, Q, qids, k=10, n_clusters=8, nprobe=8).to_pandas()
+    for q in range(5):
+        b = brute[brute["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        f = full[full["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        assert b == f
+    # partial probing keeps decent recall on this data
+    hits = 0
+    for q in range(5):
+        b = set(brute[brute["query_id"] == q]["vec_id"])
+        i = set(ivf[ivf["query_id"] == q]["vec_id"])
+        hits += len(b & i)
+    assert hits >= 25   # >= 50% recall at nprobe=3/8
