@@ -38,13 +38,18 @@ def read_jsonl_transcripts(paths):
 
 def read_text_documents(paths):
     """Plain-text files → one single-turn conversation per file
-    (≙ TxtToNaf.java).  conv_id = file path, turn_idx = 0."""
-    ds = rd.read_text(paths, include_paths=True)
+    (≙ TxtToNaf.java).  conv_id = file path, turn_idx = 0.
+
+    ``read_binary_files`` yields one row per FILE (``read_text`` would
+    split a file's lines across blocks and need a reassembly shuffle)."""
+    ds = rd.read_binary_files(paths, include_paths=True)
 
     def conform(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("path", as_index=False).agg(text=("text", "\n".join))
-        g = g.rename(columns={"path": "conv_id"})
-        return _conform(g)
+        out = pd.DataFrame({
+            "conv_id": df["path"],
+            "text": [b.decode("utf-8", "replace") for b in df["bytes"]],
+        })
+        return _conform(out)
 
     return ds.map_batches(conform, batch_format="pandas")
 
@@ -73,3 +78,77 @@ def read_csv_transcripts(paths):
     canonical transcript Dataset (generic tabular-corpus recipe, the
     S4 converter family's CSV member)."""
     return rd.read_csv(paths).map_batches(_conform, batch_format="pandas")
+
+
+def read_email_transcripts(paths):
+    """RFC-822-style email files → one conversation per message
+    (≙ enronEmailDataset/Email2NAF.java:44-233): headers parsed with the
+    stdlib ``email`` package, Subject + From land in the metadata
+    columns, the body is the turn text, Date (when parseable) the ts.
+    conv_id = Message-ID (file path fallback)."""
+    import email
+    import email.utils
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def conform(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for path, data in zip(df["path"], df["bytes"]):
+            msg = email.message_from_string(data.decode("utf-8", "replace"))
+            body = msg.get_payload()
+            if isinstance(body, list):      # multipart: first text part
+                body = next((p.get_payload() for p in body
+                             if p.get_content_type() == "text/plain"), "")
+            ts = None
+            if msg.get("Date"):
+                try:
+                    ts = email.utils.parsedate_to_datetime(msg["Date"]) \
+                        .replace(tzinfo=None)
+                except (TypeError, ValueError):
+                    ts = None
+            rows.append({
+                "conv_id": msg.get("Message-ID") or path,
+                "turn_idx": 0,
+                "role": msg.get("From") or "user",
+                "text": (f"{msg.get('Subject')}\n{body}"
+                         if msg.get("Subject") else str(body)),
+                "tool": "email",
+                "ts": ts or _EPOCH,
+            })
+        if not rows:
+            return TRANSCRIPT_SCHEMA.empty_table()
+        return _conform(pd.DataFrame(rows))
+
+    return ds.map_batches(conform, batch_format="pandas")
+
+
+def read_sgml_documents(paths):
+    """TREC-style SGML corpora — ``<DOC><DOCNO>…</DOCNO><TEXT>…</TEXT>
+    </DOC>`` blocks (≙ trec/FBIS.java and siblings): one single-turn
+    conversation per DOC, conv_id = DOCNO."""
+    import re as _re
+
+    _doc = _re.compile(r"<DOC>(.*?)</DOC>", _re.S | _re.I)
+    _docno = _re.compile(r"<DOCNO>\s*(.*?)\s*</DOCNO>", _re.S | _re.I)
+    _text = _re.compile(r"<TEXT>(.*?)</TEXT>", _re.S | _re.I)
+    _tag = _re.compile(r"<[^>]+>")
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def conform(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for path, data in zip(df["path"], df["bytes"]):
+            raw = data.decode("utf-8", "replace")
+            for block in _doc.findall(raw):
+                dn = _docno.search(block)
+                tx = _text.search(block)
+                body = _tag.sub(" ", tx.group(1)).strip() if tx else ""
+                rows.append({
+                    "conv_id": dn.group(1) if dn else path,
+                    "turn_idx": 0, "role": "user", "text": body, "tool": "",
+                })
+        if not rows:
+            return TRANSCRIPT_SCHEMA.empty_table()
+        return _conform(pd.DataFrame(rows))
+
+    return ds.map_batches(conform, batch_format="pandas")

@@ -205,3 +205,37 @@ def test_triple_pr_by_namespace(ray_session):
     assert list(df["namespace"]) == ["pb:", "sem:", "owl:", "ALL"]
     assert (df["precision"] == 1.0).all() and (df["recall"] == 1.0).all()
     assert df.set_index("namespace").loc["pb:", "n_gold"] > 0
+
+
+def test_read_email_transcripts(ray_session, tmp_path):
+    from pikes_ray.sources.ingest import read_email_transcripts
+
+    p = str(tmp_path / "m1.eml")
+    with open(p, "w") as f:
+        f.write("Message-ID: <42@example>\n"
+                "From: alice@example.com\n"
+                "Subject: Quarterly report\n"
+                "Date: Mon, 2 Feb 2015 10:00:00 +0000\n"
+                "\n"
+                "Acme Corp acquired Beta LLC.\n")
+    df = read_email_transcripts(p).to_pandas()
+    assert len(df) == 1
+    assert df["conv_id"].iloc[0] == "<42@example>"
+    assert df["role"].iloc[0] == "alice@example.com"
+    assert "Quarterly report" in df["text"].iloc[0]
+    assert "Acme Corp" in df["text"].iloc[0]
+    assert str(df["ts"].iloc[0]).startswith("2015-02-02")
+
+
+def test_read_sgml_documents(ray_session, tmp_path):
+    from pikes_ray.sources.ingest import read_sgml_documents
+
+    p = str(tmp_path / "fbis.sgml")
+    with open(p, "w") as f:
+        f.write("<DOC><DOCNO>FBIS-1</DOCNO>\n"
+                "<TEXT>Alice Johnson met Bob Smith in <B>Paris</B>.</TEXT>"
+                "</DOC>\n"
+                "<DOC><DOCNO>FBIS-2</DOCNO><TEXT>Second doc.</TEXT></DOC>\n")
+    df = read_sgml_documents(p).to_pandas().sort_values("conv_id")
+    assert list(df["conv_id"]) == ["FBIS-1", "FBIS-2"]
+    assert "Paris" in df["text"].iloc[0] and "<B>" not in df["text"].iloc[0]
