@@ -195,6 +195,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "pred_lang", "fp"]
         return df[cols].sort_values("doc_id").reset_index(drop=True)
 
+    def doc_langid(sf_dir):
+        from pikes_ray.ops.text import lang_id
+
+        df = _docs(sf_dir).map_batches(lang_id, batch_format="pandas").to_pandas()
+        return df[["doc_id", "pred_lang"]].sort_values("doc_id") \
+            .reset_index(drop=True)
+
     def doc_sentiment_counts(sf_dir):
         from pikes_ray.ops.text import sentiment_counts
 
@@ -291,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customers_per_region": R.customers_per_region,
         "doc_quality_ppm": doc_quality_ppm,
         "doc_sentiment_counts": doc_sentiment_counts,
+        "doc_langid": doc_langid,
         "doc_sentiment": doc_sentiment,
         "doc_token_stats": doc_token_stats,
         "doc_exact_dedup": doc_exact_dedup,
@@ -323,6 +331,18 @@ def oracle_sql() -> dict[str, str]:
         stem_case += (f"WHEN w LIKE '%{suf}' AND length(w) - {n} + {len(repl)} >= 3 "
                       f"THEN substr(w, 1, length(w) - {n}) || '{repl}' ")
     stem_case += "ELSE w END"
+    # language-ID profiles compiled to SQL (ops/text._LANG_PROFILES):
+    # integer stopword-hit counts share one denominator, so the argmax
+    # and the 2% threshold compare exactly
+    from pikes_ray.ops.text import _LANG_PROFILES
+    langs = [l for l, prof in _LANG_PROFILES.items() if prof]
+    lang_counts = ", ".join(
+        "len(list_filter(ws, x -> x IN ({}))) AS c_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(prof)), l)
+        for l, prof in _LANG_PROFILES.items() if prof)
+    best = "greatest({})".format(", ".join(f"c_{l}" for l in langs))
+    lang_pick = "CASE " + " ".join(
+        f"WHEN c_{l} = {best} THEN '{l}'" for l in langs) + " END"
     sent_case = "CASE " + " ".join(
         f"WHEN s = '{word}' THEN {int(round(v * 10))}"
         for word, v in sorted(_SENTIMENT.items())) + " ELSE 0 END"
@@ -432,6 +452,24 @@ def oracle_sql() -> dict[str, str]:
                    (n_punct * 1000000) // greatest(n_chars, 1) AS punct_ppm,
                    (n_stop * 1000000) // greatest(n_tokens, 1) AS stop_ppm
             FROM documents ORDER BY doc_id
+        """,
+        "doc_langid": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN []
+                            ELSE list_transform(
+                                list_slice(regexp_split_to_array(
+                                    trim(text), '\\s+'), 1, 200),
+                                x -> lower(x)) END AS ws,
+                       regexp_matches(coalesce(text, ''), '[一-鿿]') AS han
+                FROM documents),
+            scored AS (SELECT doc_id, ws, han, {lang_counts} FROM toks)
+            SELECT doc_id,
+                   CASE WHEN han THEN 'zh'
+                        WHEN len(ws) = 0 THEN 'und'
+                        WHEN {best} * 50 > len(ws) THEN {lang_pick}
+                        ELSE 'und' END AS pred_lang
+            FROM scored ORDER BY doc_id
         """,
         "doc_sentiment_counts": f"""
             WITH toks AS (
