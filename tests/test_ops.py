@@ -275,3 +275,44 @@ def test_knn_ivf_self_and_recall(ray_session):
         i = set(ivf[ivf["query_id"] == q]["vec_id"])
         hits += len(b & i)
     assert hits >= 25   # >= 50% recall at nprobe=3/8
+
+
+def test_multimodal_real_bmp_decode(ray_session):
+    from pikes_ray.ops.multimodal import DecodeImageStage, encode_bmp
+
+    rng = np.random.RandomState(7)
+    imgs = [rng.randint(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(4)]
+    import pyarrow as pa
+    t = pa.table({"img_id": list(range(4)),
+                  "payload": [encode_bmp(im) for im in imgs]})
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(DecodeImageStage, concurrency=1,
+                         batch_size=2, batch_format="pyarrow").to_pandas()
+    assert (out["decode_error"] == "").all()
+    assert all(m["format"] == "bmp" and m["width"] == 16
+               for m in out["image_meta"])
+    assert all(len(f) == 3 * 8 for f in out["feat"])   # 3 channels × 8 bins
+    # histogram features reflect real pixel content, not a hash
+    h0 = np.histogram(imgs[0][..., 0], bins=8, range=(0, 256))[0] / 256
+    assert np.allclose(out["feat"].iloc[0][:8], h0, atol=1e-6)
+
+
+def test_multimodal_real_wav_decode(ray_session):
+    from pikes_ray.ops.multimodal import DecodeAudioStage, encode_wav
+
+    sr = 8000
+    tt = np.arange(sr) / sr
+    low = np.sin(2 * np.pi * 200 * tt)      # energy in a low band
+    high = np.sin(2 * np.pi * 3000 * tt)    # energy in a high band
+    import pyarrow as pa
+    t = pa.table({"clip_id": [0, 1, 2],
+                  "payload": [encode_wav(low, sr), encode_wav(high, sr),
+                              b"not audio"]})
+    out = rd.from_arrow(t).map_batches(
+        DecodeAudioStage, concurrency=1, batch_format="pyarrow").to_pandas()
+    assert out["decode_error"].iloc[0] == "" and out["decode_error"].iloc[1] == ""
+    assert "WAV" in out["decode_error"].iloc[2] or "payload" in out["decode_error"].iloc[2]
+    f_low = np.array(out["feat"].iloc[0])
+    f_high = np.array(out["feat"].iloc[1])
+    assert f_low.argmax() < f_high.argmax()      # spectral bands are real
+    assert out["audio_meta"].iloc[0]["duration_ms"] == 1000
