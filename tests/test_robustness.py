@@ -91,10 +91,11 @@ def test_connected_components_long_chain_converges(ray_session):
 
     from pikes_ray.pipelines.shuffle import connected_components
 
-    n = 15                      # diameter 15 chain: 0-1-...-15
+    n = 60                      # diameter-60 chain: 0-1-...-60
     edges = rd.from_pandas(pd.DataFrame({"a": list(range(n)),
                                          "b": list(range(1, n + 1))}))
-    out = connected_components(edges, max_rounds=25, n_parts=4).to_pandas()
+    # pointer-doubling flatten → O(log diameter) rounds, not O(diameter)
+    out = connected_components(edges, max_rounds=12, n_parts=4).to_pandas()
     assert set(out["label"].astype(int)) == {0}
 
 
@@ -105,13 +106,13 @@ def test_connected_components_nonconvergence_raises(ray_session):
 
     from pikes_ray.pipelines.shuffle import connected_components
 
-    n = 8
+    n = 120                    # deep enough that 2 rounds cannot finish
     edges = rd.from_pandas(pd.DataFrame({"a": list(range(n)),
                                          "b": list(range(1, n + 1))}))
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_rounds=3, n_parts=4)
+        connected_components(edges, max_rounds=2, n_parts=4)
     with pytest.warns(UserWarning, match="did not converge"):
-        connected_components(edges, max_rounds=3, n_parts=4, strict=False)
+        connected_components(edges, max_rounds=2, n_parts=4, strict=False)
 
 
 def test_partitioned_group_map_empty_output_schema(ray_session):
