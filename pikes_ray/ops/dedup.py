@@ -67,16 +67,31 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
 # shingles + MinHash
 # --------------------------------------------------------------------------
 
+_SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """crc32 hashes of word k-grams (process-stable)."""
+    """Hashes of word k-grams (process-stable).
+
+    Tokens hash once each (crc32 — the only per-string work), k-gram
+    hashes combine them with a vectorized polynomial roll (uint64
+    wraparound) — no per-gram string building, so the hot loop is
+    O(tokens) Python + O(tokens × 1) numpy instead of O(grams) string
+    joins.  Identical word sequences still hash identically."""
     ws = _WS_TOKEN.findall(text.lower()) if text else []
     if not ws:
         return np.empty(0, dtype=np.uint64)
-    if len(ws) < k:
-        grams = [" ".join(ws)]
-    else:
-        grams = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
-    return np.unique(np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.uint64))
+    th = np.array([zlib.crc32(w.encode()) for w in ws], dtype=np.uint64)
+    kk = min(k, len(th))
+    n = len(th) - kk + 1
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n, dtype=np.uint64)
+        for i in range(kk):
+            acc = acc * _SHINGLE_P + th[i : i + n]
+    # fold to 32 bits: keeps the universal-hash statistics of the
+    # original crc32-per-gram scheme (the minhash coefficients assume
+    # inputs < 2^32)
+    return np.unique((acc ^ (acc >> np.uint64(32))) & np.uint64(0xFFFFFFFF))
 
 
 class _MinHasher:
