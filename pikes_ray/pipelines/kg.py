@@ -84,6 +84,12 @@ def _auto_concurrency() -> int:
     return max(2, cpus - 2)   # leave headroom for read/shuffle stages
 
 
+# above this input size the pinned triple set stops being an in-memory
+# affair: the object store will spill anyway, and a parquet-backed spill
+# (or the checkpointed build) is the intended layout
+_SPILL_ADVICE_BYTES = 50 << 30
+
+
 def transcripts_to_graph(
     source,
     cfg: FilterConfig | None = None,
@@ -92,15 +98,37 @@ def transcripts_to_graph(
     concurrency: int | tuple[int, int] | None = None,
     fused: bool = True,
     batch_size: int = 256,
+    spill_dir: str | None = None,
 ):
-    """Full in-memory pipeline. ``source`` = Dataset or parquet dir.
+    """Full pipeline. ``source`` = Dataset or parquet dir.
 
     ``fused=True`` (default) runs the single-pass KGStage actor pool;
     ``fused=False`` runs the composable per-layer stages (same output).
     A fixed-size pool (int concurrency) is used by default — autoscaling
     pools ramp too slowly for short batch jobs.
+
+    The dedup stage consumes the extracted triples twice, so they must
+    be pinned: by default in the object store (``materialize`` — Ray
+    spills blocks under memory pressure), or to partitioned parquet
+    when ``spill_dir`` is given (bounded object-store footprint; the
+    fully resumable variant is ``build_graph_checkpointed``).  Inputs
+    larger than ~50 GB log an advisory to use one of the spill paths.
     """
     ds = rd.read_parquet(source) if isinstance(source, str) else source
+    if isinstance(source, str) and spill_dir is None:
+        try:
+            nbytes = sum(os.path.getsize(p) for p in
+                         glob.glob(os.path.join(source, "*.parquet")))
+        except OSError:
+            nbytes = 0
+        if nbytes > _SPILL_ADVICE_BYTES:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "transcripts_to_graph: input is %.0f GB — pass spill_dir= "
+                "or use build_graph_checkpointed so the pinned triple set "
+                "lives in parquet instead of the object store",
+                nbytes / 2**30)
     if concurrency is None:
         concurrency = _auto_concurrency()
     if fused:
@@ -132,13 +160,27 @@ def transcripts_to_graph(
         if dedup:
             # dedup_exact consumes its input twice (bypass + combiner
             # branches) — pin the extracted triples so annotation runs
-            # exactly once.  (The checkpointed build passes parquet-backed
+            # exactly once: object store by default, parquet when
+            # spilling.  (The checkpointed build passes parquet-backed
             # shards instead.)
-            tr = tr.materialize()
+            tr = _pin(tr, spill_dir)
             tr = dedup_exact(tr)
         return tr
     ds = annotate_transcripts(ds, cfg, concurrency=concurrency)
     return extract_graph(ds, canonicalize=canonicalize, dedup=dedup)
+
+
+def _pin(tr, spill_dir: str | None):
+    """Pin a Dataset for multi-consumption: ``materialize`` (default) or
+    partitioned-parquet spill + re-read (bounded object-store use)."""
+    if spill_dir is None:
+        return tr.materialize()
+    import shutil
+
+    if os.path.isdir(spill_dir):
+        shutil.rmtree(spill_dir)
+    tr.write_parquet(spill_dir)
+    return rd.read_parquet(spill_dir)
 
 
 def build_graph_checkpointed(

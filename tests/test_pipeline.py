@@ -155,3 +155,19 @@ def test_fused_equals_staged(ray_session):
     fused = triple_set(transcripts_to_graph(src, concurrency=2, fused=True))
     staged = triple_set(transcripts_to_graph(src, concurrency=2, fused=False))
     assert fused == staged
+
+
+def test_spill_dir_pin_equals_materialize(ray_session, tmp_path):
+    """transcripts_to_graph(spill_dir=...) pins the triple set to
+    parquet instead of the object store — identical output."""
+    from pikes_ray.pipelines.kg import transcripts_to_graph
+    from pikes_ray.sources.transcripts import transcripts_dir
+
+    src = transcripts_dir("unit")
+    a = transcripts_to_graph(src, concurrency=2).to_pandas()
+    b = transcripts_to_graph(src, concurrency=2,
+                             spill_dir=str(tmp_path / "spill")).to_pandas()
+    key = ["subj", "pred", "obj", "graph"]
+    pa_ = a[key].sort_values(key).reset_index(drop=True)
+    pb_ = b[key].sort_values(key).reset_index(drop=True)
+    assert pa_.equals(pb_)
