@@ -1416,7 +1416,13 @@ class AnnotatorStage:
         quarantined = batch["quarantined"].to_pylist()
         layers = {k: [] for k in _EMPTY}
         for text, q in zip(texts, quarantined):
-            ann = _EMPTY if (q or not text or not text.strip()) else self.model.annotate(text)
+            if q or not text or not text.strip():
+                ann = _EMPTY
+            else:
+                try:
+                    ann = self.model.annotate(text)
+                except Exception:
+                    ann = _EMPTY          # poison row -> quarantine channel
             for k in layers:
                 layers[k].append(ann[k])
         batch = batch.append_column("tokens", pa.array(layers["tokens"], type=pa.large_list(TOKEN_T)))

@@ -65,19 +65,34 @@ class KGStage:
             if "&" in t:
                 t = html.unescape(t)            # M1 normalize
             quarantined = len(t) > self.max_text_len
+            empty_ann = {"tokens": [], "deps": [], "entities": [],
+                         "predicates": [], "corefs": []}
             if quarantined or not t.strip():
-                ann = {"tokens": [], "deps": [], "entities": [],
-                       "predicates": [], "corefs": []}
+                ann = empty_ann
             else:
-                ann = self.model.annotate(t)
-                ann = filter_document(ann, self.cfg)
+                try:
+                    ann = self.model.annotate(t)
+                    ann = filter_document(ann, self.cfg)
+                except Exception:
+                    # poison-row channel (SURVEY §4): an annotator crash
+                    # on adversarial text quarantines THIS document —
+                    # never the whole batch/shard
+                    quarantined = True
+                    ann = empty_ann
             row = {"conv_id": conv[i], "turn_idx": turn[i], "role": role[i],
                    "text": t, "tool": tool[i], "ts": ts[i],
                    "quarantined": quarantined, **ann}
             ex = _DocExtractor(conv[i], turn[i], row,
                                sense_completion=self.cfg.term_sense_completion,
                                per_mention=self.per_mention)
-            triples = ex.run()
+            try:
+                triples = ex.run()
+            except Exception:
+                row["quarantined"] = True
+                ex = _DocExtractor(conv[i], turn[i],
+                                   {**row, **empty_ann},
+                                   sense_completion=False)
+                triples = ex.run()
             if triples:
                 s, p, o, g, c = zip(*triples)
                 cols_conv.extend([conv[i]] * len(triples))
