@@ -102,6 +102,7 @@ PM: dict[str, tuple[str | None, str | None, str | None]] = {
     "brother.01":    (None, "Kinship", None),
     "country.01":    (None, "Political_locales", None),
     "field.02":      (None, "Locale_by_use", None),
+    "favor.02":      (None, "", None),
     "force.01":      (None, "Military", None),
     "group.01":      (None, "Organization", None),
     "land.02":       (None, "Political_locales", None),

@@ -838,6 +838,18 @@ class RuleAnnotator:
                         j += 1
                 preds.append(p)
             elif t.morphofeat in ("NN", "NNS") and t.lemma in lx.NOUN_FRAMES:
+                # a compound premodifier of another roleset noun is a
+                # quality, not a frame ("veteran fighters" — gold.5 has
+                # a plain :veteran, the frame node only for head uses)
+                headed = None
+                for (s0, e0, h0) in chunks:
+                    if s0 <= i < e0:
+                        headed = h0
+                        break
+                if headed is not None and headed != i \
+                        and toks[headed].morphofeat in ("NN", "NNS") \
+                        and toks[headed].lemma in lx.NOUN_FRAMES:
+                    continue
                 nb_id, pb_id = lx.NOUN_FRAMES[t.lemma]
                 p = Pred(i, pb_id, "nominal")
                 self_args = lx.NOUN_SELF_ARGS.get(nb_id, ([], []))

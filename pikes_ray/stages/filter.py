@@ -111,7 +111,14 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
                 e["link"], e["link_conf"] = got
             elif e["link"] == got[0] and e["link_conf"] < got[1]:
                 e["link_conf"] = got[1]
+        named_heads = {e["end"] - 1 for e in entities
+                       if e["named"] and e["link"]}
         for p in predicates:
+            if p["source"] == "nominal" and p["head"] in named_heads:
+                # the head noun of a linked named entity ("the Syrian
+                # opposition") — the dbpedia link belongs to the entity
+                # instance, not the opposition_v frame (gold.8)
+                continue
             got = link_of_head.get(p["head"])
             if got is not None and not p["link"]:
                 p["link"], p["link_conf"] = got
@@ -185,6 +192,14 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
                                    "copular": t["lemma"] == "be",
                                    "link": "", "link_conf": 0.0, "roles": []})
             elif t["morphofeat"] in ("NN", "NNS") and t["lemma"] in lx.NOUN_FRAMES:
+                # same premod exception as the annotator: an NMOD
+                # premodifier of another roleset noun stays a quality
+                gov = next((d["frm"] for d in ann["deps"]
+                            if d["to"] == i and d["rfunc"] == "NMOD"), None)
+                if gov is not None and gov < len(tokens) \
+                        and tokens[gov]["morphofeat"] in ("NN", "NNS") \
+                        and tokens[gov]["lemma"] in lx.NOUN_FRAMES:
+                    continue
                 predicates.append({"head": i, "sense": lx.NOUN_FRAMES[t["lemma"]][1],
                                    "source": "nominal", "copular": False,
                                    "variant": 0,
