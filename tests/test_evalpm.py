@@ -106,7 +106,7 @@ def test_our_pipeline_honest_score():
     # above the north-rule conformance bar (P/R >= 0.95)
     assert df.loc["triples", "precision"] >= 0.95
     assert df.loc["triples", "recall"] >= 0.95
-    assert df.loc["triples", "f1"] >= 0.99
+    assert df.loc["triples", "f1"] >= 0.995
     # every category must at least be reported
     assert {"edges", "roles (PB)", "types (PB)", "linking",
             "triples"} <= set(df.index)
