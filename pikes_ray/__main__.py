@@ -9,6 +9,7 @@ pikes-rdf/.../Main.java:94-99 and the tintop server/orchestrator mains).
     python -m pikes_ray eval       --pred DIR --gold DIR
     python -m pikes_ray stats      --input DIR
     python -m pikes_ray bench      [--sf-dir DIR]
+    python -m pikes_ray serve      [--port P]
 
 Owns a Ray session (scripts only — library code never calls ray.init).
 """
@@ -37,7 +38,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="pikes_ray")
     p.add_argument("command", choices=["ingest", "annotate", "extract",
                                        "canonicalize", "materialize", "eval",
-                                       "stats", "bench"])
+                                       "stats", "bench", "serve"])
     p.add_argument("--input")
     p.add_argument("--out")
     p.add_argument("--pred")
@@ -46,7 +47,20 @@ def main(argv=None):
     p.add_argument("--shards", type=int, default=8)
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--ntriples", action="store_true")
+    p.add_argument("--port", type=int, default=8011)
     args = p.parse_args(argv)
+
+    if args.command == "serve":
+        # no Ray session needed: per-request annotation is single-doc
+        import threading
+
+        from pikes_ray.sources.server import PipelineServer
+
+        with PipelineServer(port=args.port) as url:
+            print(f"pikes_ray server on {url} (endpoints: /json /triples /naf)",
+                  flush=True)
+            threading.Event().wait()
+        return 0
 
     ray = _init_ray(args.num_cpus)
     import ray.data as rd
