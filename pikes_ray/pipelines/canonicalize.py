@@ -308,6 +308,14 @@ def dedup_exact(triples, n_parts: int = 64):
     deduped = deduped.map_batches(
         lambda t: t.select(TRIPLES_SCHEMA.names).cast(TRIPLES_SCHEMA),
         batch_format="pyarrow")
+    # materialize the deduped facts BEFORE the union: they are bounded
+    # by the unique corpus-fact vocabulary (tiny next to the bypass
+    # stream), and composing Union with a live all-to-all Sort in one
+    # streaming graph stalls the executor under object-store pressure
+    # at ~100M-row inputs (observed at sf1.0: idle workers, spinning
+    # scheduler).  With the sort finished first, the union is a pure
+    # streaming concat of a small pinned set and the bypass filter.
+    deduped = deduped.materialize()
     return deduped.union(meta)
 
 

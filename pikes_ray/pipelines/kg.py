@@ -84,10 +84,42 @@ def _auto_concurrency() -> int:
     return max(2, cpus - 2)   # leave headroom for read/shuffle stages
 
 
-# above this input size the pinned triple set stops being an in-memory
-# affair: the object store will spill anyway, and a parquet-backed spill
-# (or the checkpointed build) is the intended layout
-_SPILL_ADVICE_BYTES = 50 << 30
+# parquet transcripts explode ~600x into in-memory Arrow triples
+# (measured: 37 MB parquet at sf1.0 → ~23 GB materialized triple set).
+# Pinning more than ~40% of the object store deadlocks the dedup stage
+# (its two consuming branches leave no budget for new task outputs and
+# the executor stalls with idle workers), so past that point the pin
+# goes to parquet automatically.
+_TRIPLE_EXPANSION = 600
+
+
+def _auto_spill_dir(source) -> str | None:
+    if not isinstance(source, str):
+        return None
+    try:
+        nbytes = sum(os.path.getsize(p) for p in
+                     glob.glob(os.path.join(source, "*.parquet")))
+    except OSError:
+        return None
+    try:
+        import ray
+
+        store = ray.cluster_resources().get("object_store_memory", 0)
+    except Exception:
+        store = 0
+    if not store or nbytes * _TRIPLE_EXPANSION <= 0.4 * store:
+        return None
+    import logging
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pikes_ray_spill_")
+    logging.getLogger(__name__).warning(
+        "transcripts_to_graph: estimated triple set (~%.0f GB) exceeds 40%% "
+        "of the object store (%.0f GB) — pinning to parquet at %s (pass "
+        "spill_dir=/path to control placement, or use "
+        "build_graph_checkpointed for resumability)",
+        nbytes * _TRIPLE_EXPANSION / 2**30, store / 2**30, d)
+    return d
 
 
 def transcripts_to_graph(
@@ -108,27 +140,15 @@ def transcripts_to_graph(
     pools ramp too slowly for short batch jobs.
 
     The dedup stage consumes the extracted triples twice, so they must
-    be pinned: by default in the object store (``materialize`` — Ray
-    spills blocks under memory pressure), or to partitioned parquet
-    when ``spill_dir`` is given (bounded object-store footprint; the
-    fully resumable variant is ``build_graph_checkpointed``).  Inputs
-    larger than ~50 GB log an advisory to use one of the spill paths.
+    be pinned: in the object store (``materialize``) while the
+    estimated triple set fits comfortably, and to partitioned parquet
+    otherwise — chosen automatically from the input size (override
+    with ``spill_dir=``); the fully resumable variant is
+    ``build_graph_checkpointed``.
     """
     ds = rd.read_parquet(source) if isinstance(source, str) else source
-    if isinstance(source, str) and spill_dir is None:
-        try:
-            nbytes = sum(os.path.getsize(p) for p in
-                         glob.glob(os.path.join(source, "*.parquet")))
-        except OSError:
-            nbytes = 0
-        if nbytes > _SPILL_ADVICE_BYTES:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "transcripts_to_graph: input is %.0f GB — pass spill_dir= "
-                "or use build_graph_checkpointed so the pinned triple set "
-                "lives in parquet instead of the object store",
-                nbytes / 2**30)
+    if spill_dir is None and dedup:
+        spill_dir = _auto_spill_dir(source)
     if concurrency is None:
         concurrency = _auto_concurrency()
     if fused:
