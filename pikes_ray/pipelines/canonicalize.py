@@ -379,6 +379,10 @@ def canonicalize_and_dedup(tr, n_parts: int = 64):
     deduped = deduped.map_batches(
         lambda t: t.select(TRIPLES_SCHEMA.names).cast(TRIPLES_SCHEMA),
         batch_format="pyarrow")
+    # finish the sort before the union (same executor-stall avoidance
+    # as dedup_exact: a live AllToAll composed with Union stalls under
+    # object-store pressure at ~100M-row inputs)
+    deduped = deduped.materialize()
     out = deduped.union(meta)
     alias_rows = [
         {"conv_id": "", "turn_idx": -1, "subj": alias, "pred": _SAMEAS,

@@ -13,6 +13,12 @@ The bucket key is a stable content hash (uniform ⇒ unskewed even when
 the key distribution is Zipf-hot); within a bucket, pandas'
 ``groupby`` is C-level.  ``n_parts`` bounds reducer parallelism and
 per-reducer memory — size it to cluster cores at real scale.
+
+Composition caveat (observed at ~120M-row inputs): do not feed the
+grouped output into a ``union`` with another live branch of the same
+streaming graph — the Union+AllToAll composition can stall the
+executor under object-store pressure.  Materialize the (small) grouped
+side first; see canonicalize.dedup_exact.
 """
 
 from __future__ import annotations
