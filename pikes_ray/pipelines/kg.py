@@ -6,7 +6,9 @@ Fused fast path (default):
     tr = map_batches(kg_stage_task)                 # M1+A1-A5+F1-F17+T0-T8
                                                     #  + E2 doc-local closure
                                                     #  + E2 static broadcast canon
-    tr = tr.materialize()                           # pin: dedup reads twice
+    tr = _pin(tr, spill_dir)                        # pin: dedup reads twice
+                                                    #  (object store, or parquet
+                                                    #  auto-chosen at scale)
     tr = dedup_exact(tr)                            # E1: doc-scoped bypass +
                                                     #  corpus-fact shuffle
 Staged path (``fused=False`` — same output, asserted by tests):
