@@ -192,22 +192,33 @@ def transcripts_dir(sf_dir_or_tag: str, n_fragments: int = 8) -> str:
     out = os.path.join(CACHE_ROOT, "transcripts", GENERATOR_VERSION, tag)
     if os.path.isdir(out) and os.listdir(out):
         return out
-    rows = list(generate_turns(n_conv))
     tmp = out + f".tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     # conv-range sharding: fragments are internally sorted AND file-name
-    # order preserves the global (conv_id, turn_idx) order.
+    # order preserves the global (conv_id, turn_idx) order.  One
+    # streaming pass over the generator, cutting at conv boundaries
+    # (the old collect-then-refilter was O(fragments × rows) and
+    # dominated synthesis above ~1M turns).
     n_fragments = min(n_fragments, max(1, n_conv))
     per = (n_conv + n_fragments - 1) // n_fragments
-    frag, lo = 0, 0
-    while lo < n_conv:
-        hi_conv = f"conv-{min(lo + per, n_conv):06d}"
-        lo_conv = f"conv-{lo:06d}"
-        chunk = [r for r in rows if lo_conv <= r["conv_id"] < hi_conv]
+    frag = 0
+    chunk: list[dict] = []
+    cut = f"conv-{min(per, n_conv):06d}"
+
+    def flush():
+        nonlocal frag, chunk, cut
         tbl = pa.Table.from_pylist(chunk, schema=TRANSCRIPT_SCHEMA)
         pq.write_table(tbl, os.path.join(tmp, f"part-{frag:05d}.parquet"))
         frag += 1
-        lo += per
+        chunk = []
+        cut = f"conv-{min((frag + 1) * per, n_conv):06d}"
+
+    for r in generate_turns(n_conv):
+        if r["conv_id"] >= cut:
+            flush()
+        chunk.append(r)
+    if chunk or frag == 0:
+        flush()
     try:
         os.rename(tmp, out)           # atomic publish
     except OSError:                   # lost the race — someone else published
