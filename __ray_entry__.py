@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customers_without_orders": R.customers_without_orders,
         "q_brand_summary": R.lineitem_brand_summary,
         "q_customers_per_region": R.customers_per_region,
+        "q_asof_purchase_view": R.purchase_view_attribution,
+        "q_range_error_clicks": R.error_click_window,
         "doc_quality_ppm": doc_quality_ppm,
         "doc_sentiment_counts": doc_sentiment_counts,
         "doc_langid": doc_langid,
@@ -518,6 +520,35 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 5)
             WHERE rank < 10
             ORDER BY query_id, rank
+        """,
+        "q_asof_purchase_view": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 v AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+                 j AS (SELECT p.event_id, p.user_id,
+                              v.event_id AS view_event_id,
+                              date_diff('microsecond', v.ts, p.ts) AS gap_us,
+                              row_number() OVER (
+                                  PARTITION BY p.event_id
+                                  ORDER BY v.ts DESC, v.event_id DESC) AS rn
+                       FROM p JOIN v
+                         ON p.user_id = v.user_id AND v.ts <= p.ts)
+            SELECT event_id, user_id, view_event_id, gap_us
+            FROM j WHERE rn = 1 ORDER BY event_id
+        """,
+        "q_range_error_clicks": """
+            WITH e AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'error'),
+                 c AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'click')
+            SELECT e.event_id, e.user_id,
+                   count(c.ts)::BIGINT AS n_clicks,
+                   round(coalesce(sum(c.value), 0), 6) AS sum_value
+            FROM e LEFT JOIN c
+              ON c.user_id = e.user_id
+             AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+            GROUP BY e.event_id, e.user_id ORDER BY e.event_id
         """,
         # kg_*, doc_quality, doc_minhash_dedup, doc_simhash_pairs,
         # emb_near_dup, emb_knn_lsh: non-SQL-expressible (stateful NLP /

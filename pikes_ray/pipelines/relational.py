@@ -299,3 +299,50 @@ def customers_per_region(sf_dir: str) -> pd.DataFrame:
     df["n_customers"] = df["n_customers"].astype("int64")
     df["sum_acctbal"] = df["sum_acctbal"].round(2)
     return df
+
+
+# --------------------------------------------------------------------------
+# temporal joins over the events table (ops/joins.py operators)
+# --------------------------------------------------------------------------
+
+def _events_side(sf_dir: str, event_type: str, cols: list[str]) -> rd.Dataset:
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=list(dict.fromkeys(cols + ["event_type"])))
+    return ds.filter(expr=f"event_type == '{event_type}'").drop_columns(
+        ["event_type"])
+
+
+def purchase_view_attribution(sf_dir: str) -> pd.DataFrame:
+    """As-of join: attribute each purchase event to the latest view
+    event of the same user at-or-before it (timestamp ties → greatest
+    view id), with the exact microsecond gap.  Purchases with no prior
+    view are dropped (inner as-of)."""
+    from pikes_ray.ops.joins import asof_join
+
+    p = _events_side(sf_dir, "purchase", ["event_id", "user_id", "ts"])
+    v = _events_side(sf_dir, "view", ["event_id", "user_id", "ts"])
+    out = asof_join(p, v, key="user_id", left_on="ts", right_on="ts",
+                    right_cols=["event_id", "ts"], n_parts=32).to_pandas()
+    out = out.rename(columns={"event_id_r": "view_event_id"})
+    out["gap_us"] = (out["ts"].values - out["ts_r"].values).astype(
+        "timedelta64[us]").astype("int64")
+    return (out[["event_id", "user_id", "view_event_id", "gap_us"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def error_click_window(sf_dir: str) -> pd.DataFrame:
+    """Range-join aggregate: for every error event, the count and
+    summed value of click events by the same user in the follow window
+    (ts, ts + 10 min].  Errors with no follow-up clicks keep count 0
+    (left-join semantics)."""
+    from pikes_ray.ops.joins import range_join_agg
+
+    e = _events_side(sf_dir, "error", ["event_id", "user_id", "ts"])
+    c = _events_side(sf_dir, "click", ["user_id", "ts", "value"])
+    out = range_join_agg(e, c, key="user_id", left_on="ts", right_on="ts",
+                         lo=pd.Timedelta(0), hi=pd.Timedelta(minutes=10),
+                         sum_col="value", count_as="n_clicks",
+                         sum_as="sum_value", n_parts=32).to_pandas()
+    out["sum_value"] = out["sum_value"].round(6)
+    return (out[["event_id", "user_id", "n_clicks", "sum_value"]]
+            .sort_values("event_id").reset_index(drop=True))

@@ -1,0 +1,108 @@
+"""Temporal join operators (ops/joins.py): as-of + range-join-agg.
+
+Semantics pinned here: deterministic timestamp tie-break (greatest
+right id), inner as-of drops unmatched left rows, the follow window is
+half-open (t+lo, t+hi], and zero-match left rows keep count 0.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from pikes_ray.ops.joins import asof_join, range_join_agg
+
+
+def _ts(*secs):
+    return pd.to_datetime(["2024-01-01"]).repeat(len(secs)) + pd.to_timedelta(
+        list(secs), unit="s")
+
+
+@pytest.fixture()
+def sides(ray_session):
+    left = pd.DataFrame({
+        "lid": [1, 2, 3],
+        "k": [7, 7, 8],
+        "t": _ts(10, 20, 30),
+    })
+    right = pd.DataFrame({
+        "rid": [100, 101, 102, 103],
+        "k": [7, 7, 7, 9],
+        "t": _ts(5, 5, 15, 1),
+        "val": [1.0, 2.0, 4.0, 8.0],
+    })
+    return rd.from_pandas(left), rd.from_pandas(right)
+
+
+def test_asof_tie_break_and_inner(sides):
+    l, r = sides
+    out = (asof_join(l, r, key="k", left_on="t", right_on="t",
+                     right_cols=["rid"], n_parts=4)
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+    # lid=1 (t=10): two right rows at t=5 — tie resolves to rid 101
+    # lid=2 (t=20): latest at t=15 → rid 102
+    # lid=3 (k=8): no right rows for its key → dropped (inner)
+    assert out["lid"].tolist() == [1, 2]
+    assert out["rid"].tolist() == [101, 102]
+    assert str(out["rid"].dtype) == "int64"
+
+
+def test_asof_exact_match_toggle(sides):
+    l, r = sides
+    lx = rd.from_pandas(pd.DataFrame({
+        "lid": [9], "k": [7], "t": _ts(15)}))
+    on = asof_join(lx, r, key="k", left_on="t", right_on="t",
+                   right_cols=["rid"], allow_exact=True, n_parts=2).to_pandas()
+    off = asof_join(lx, r, key="k", left_on="t", right_on="t",
+                    right_cols=["rid"], allow_exact=False, n_parts=2).to_pandas()
+    assert on["rid"].tolist() == [102]   # t=15 itself
+    assert off["rid"].tolist() == [101]  # strictly before → tie at t=5
+
+
+def test_range_window_half_open(sides):
+    l, r = sides
+    out = (range_join_agg(l, r, key="k", left_on="t", right_on="t",
+                          lo=pd.Timedelta(seconds=0), hi=pd.Timedelta(seconds=5),
+                          sum_col="val", count_as="n", sum_as="s", n_parts=4)
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+    # lid=1 (t=10, window (10,15]): right t=15 is INSIDE (hi inclusive),
+    # right t=5 outside, t=10 would be excluded (lo exclusive) → n=1
+    # lid=2 (t=20, window (20,25]): nothing → 0
+    # lid=3 (k=8): no right key rows → 0 (left-join semantics)
+    assert out["lid"].tolist() == [1, 2, 3]
+    assert out["n"].tolist() == [1, 0, 0]
+    assert out["s"].tolist() == [4.0, 0.0, 0.0]
+
+
+def test_joins_match_duckdb_sf0001(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from pikes_ray.pipelines.relational import (
+        error_click_window, purchase_view_attribution)
+
+    sf = "/root/testdata/sf0.001"
+    got = purchase_view_attribution(sf)
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT * FROM '{sf}/events.parquet'),
+        p AS (SELECT event_id,user_id,ts FROM e WHERE event_type='purchase'),
+        v AS (SELECT event_id,user_id,ts FROM e WHERE event_type='view'),
+        j AS (SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
+               date_diff('microsecond', v.ts, p.ts) AS gap_us,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.ts DESC, v.event_id DESC) rn
+              FROM p JOIN v ON p.user_id=v.user_id AND v.ts <= p.ts)
+        SELECT event_id,user_id,view_event_id,gap_us FROM j
+        WHERE rn=1 ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+    got2 = error_click_window(sf)
+    want2 = duckdb.sql(f"""
+        WITH ev AS (SELECT * FROM '{sf}/events.parquet'),
+        e AS (SELECT event_id,user_id,ts FROM ev WHERE event_type='error'),
+        c AS (SELECT user_id,ts,value FROM ev WHERE event_type='click')
+        SELECT e.event_id, e.user_id, count(c.ts)::BIGINT AS n_clicks,
+               round(coalesce(sum(c.value),0),6) AS sum_value
+        FROM e LEFT JOIN c ON c.user_id=e.user_id
+         AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+        GROUP BY e.event_id, e.user_id ORDER BY e.event_id""").df()
+    pd.testing.assert_frame_equal(got2, want2.astype(got2.dtypes.to_dict()))
