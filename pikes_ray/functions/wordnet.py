@@ -14,8 +14,17 @@ reference emits (a node typed sumo:Group also gets Collection, Object,
 Physical, Entity, Agent — cf. the sumo:* type sets in
 docs/eval-pm/pikes/pikes.1.ttl).
 
-Disambiguation is static first-sense (the reference's fallback when UKB
-confidence is low — the E5 most-frequent-sense policy)."""
+Disambiguation (A4/E5): ranked-sense.  ``WN`` pins the most-frequent
+sense per lemma (the reference's fallback when UKB confidence is low —
+the E5 most-frequent-sense policy); ``WN_EXTRA_SENSES`` adds the
+lower-frequency senses for the ambiguous lemmas, and ``rank_senses``
+re-ranks them against the document context the way UKB does at full
+scale (UKB runs personalized PageRank over the whole WordNet graph;
+the mini version scores each sense by topical-neighbor overlap with
+the context's unambiguous sense set plus a frequency prior, which is
+the same signal at one propagation step).  Deterministic: a context
+flip needs strictly more neighbor hits than the frequency-prior gap,
+ties keep the more frequent sense."""
 
 from __future__ import annotations
 
@@ -65,7 +74,36 @@ WN: dict[str, tuple[str, str, str | None, str | None]] = {
     "report":       ("06681551-n", "noun.communication", "Report", None),
     "agreement":    ("07175241-n", "noun.communication", "Agreement", None),
     "offshoot":     ("13084834-n", "noun.plant", "Organization", None),
+    "bank":         ("08420278-n", "noun.group", "FinancialOrganization", "Bank108420278"),
+    "market":       ("01097292-n", "noun.act", "FinancialTransaction", None),
 }
+
+# lower-frequency senses for ambiguous lemmas, in descending WN
+# frequency order after the WN (most-frequent) row
+WN_EXTRA_SENSES: dict[str, list[tuple[str, str, str | None, str | None]]] = {
+    "bank":     [("09213565-n", "noun.object", "LandArea", "Bank109213565")],
+    "market":   [("08424951-n", "noun.location", "Region", None)],
+    "field":    [("05996646-n", "noun.cognition", "FieldOfStudy", None)],
+    "position": [("00586262-n", "noun.act", "Position", None)],
+}
+
+# synset-level topical edges (mini UKB graph; symmetrized at load).
+# A sense with no edges can never win a context flip — honest for
+# senses whose topic anchors aren't in the mini inventory.
+WN_RELATED: dict[str, tuple[str, ...]] = {
+    "08420278-n": ("13384557-n", "13333237-n", "01106808-n", "00077419-n",
+                   "01097292-n"),                      # bank(fin) ~ money/invest/dealing/acquisition/market
+    "09213565-n": ("08552138-n", "08569998-n", "08544813-n"),  # bank(river) ~ land/field/country
+    "01097292-n": ("13384557-n", "13333237-n", "01106808-n"),  # market(trade) ~ money/invest/dealing
+    "08424951-n": ("08621598-n", "08552138-n", "08494231-n"),  # market(place) ~ position/land/base
+    "05996646-n": ("05616246-n", "09791816-n"),                # field(study) ~ skill/analyst
+    "00586262-n": ("10372373-n", "10467179-n"),                # position(post) ~ official/president
+}
+_SYM_RELATED: dict[str, set[str]] = {}
+for _a, _bs in WN_RELATED.items():
+    for _b in _bs:
+        _SYM_RELATED.setdefault(_a, set()).add(_b)
+        _SYM_RELATED.setdefault(_b, set()).add(_a)
 
 # NE class → (SUMO class, YAGO class) — the DEFAULT_TYPE_MAP extension
 NE_SUMO: dict[str, tuple[str, str]] = {
@@ -110,6 +148,10 @@ SUMO_PARENTS: dict[str, list[str]] = {
     "Agreement": ["Communication"],
     "Attribute": ["Entity"],
     "TraitAttribute": ["Attribute"],
+    "FinancialOrganization": ["Organization"],
+    "FieldOfStudy": ["Proposition"],
+    "Proposition": ["Entity"],
+    "Position": ["Attribute"],
 }
 
 
@@ -138,6 +180,55 @@ def noun_types(lemma: str) -> tuple[str | None, str | None, list[str], str | Non
     if row is None:
         return None, None, [], None
     syn, sst, sumo, yago = row
+    return syn, sst, sumo_closure(sumo) if sumo else [], yago
+
+
+def senses(lemma: str) -> list[tuple[str, str, str | None, str | None]]:
+    """All senses of a lemma, most-frequent first (empty if unmapped)."""
+    mfs = WN.get(lemma)
+    if mfs is None:
+        return []
+    return [mfs] + WN_EXTRA_SENSES.get(lemma, [])
+
+
+def context_synsets(lemmas) -> frozenset[str]:
+    """UKB-style context seed: the synsets of the UNAMBIGUOUS mapped
+    lemmas in the document (ambiguous ones would beg the question)."""
+    out = set()
+    for l in lemmas:
+        row = WN.get(l)
+        if row is not None and l not in WN_EXTRA_SENSES:
+            out.add(row[0])
+    return frozenset(out)
+
+
+def rank_senses(lemma: str, context: frozenset[str] = frozenset()
+                ) -> list[tuple[str, str, str | None, str | None]]:
+    """Senses re-ranked against the context (A4 ranked-sense WSD).
+
+    score = |topical neighbors ∩ context| + 0.5 / (1 + frequency rank);
+    a lower-frequency sense therefore needs strictly more context
+    support than the more frequent one to win.  Stable, deterministic.
+    """
+    ss = senses(lemma)
+    if len(ss) <= 1 or not context:
+        return ss
+    scored = []
+    for rank, row in enumerate(ss):
+        nbrs = _SYM_RELATED.get(row[0], ())
+        score = sum(1 for n in nbrs if n in context) + 0.5 / (1 + rank)
+        scored.append((-score, rank, row))
+    scored.sort()
+    return [row for _, _, row in scored]
+
+
+def noun_types_ctx(lemma: str, context: frozenset[str] = frozenset()
+                   ) -> tuple[str | None, str | None, list[str], str | None]:
+    """Context-disambiguated (synset, supersense, sumo closure, yago)."""
+    ss = rank_senses(lemma, context)
+    if not ss:
+        return None, None, [], None
+    syn, sst, sumo, yago = ss[0]
     return syn, sst, sumo_closure(sumo) if sumo else [], yago
 
 

@@ -27,7 +27,7 @@ from pikes_ray.functions.hashing import fact_graph_iri, text_hash
 from pikes_ray.functions.iri import MintTable, doc_iri, entity_iri, mention_iri
 from pikes_ray.functions.owltime import timex_triples
 from pikes_ray.functions.predicatematrix import enrich, role_props
-from pikes_ray.functions.wordnet import ne_types, noun_types
+from pikes_ray.functions.wordnet import context_synsets, ne_types, noun_types_ctx
 from pikes_ray.schema import TRIPLES_SCHEMA
 
 # NER type → class IRI (≙ DEFAULT_TYPE_MAP, RDFGenerator.java:112-126)
@@ -97,6 +97,10 @@ class _DocExtractor:
                               if p["source"] == "nominal" and not p["copular"]
                               and _mand(p["head"])}
         self.tokens = row["tokens"]
+        # A4 ranked-sense WSD: one context seed per document (the turn
+        # is the reference's document unit), reused by every noun lookup
+        self.wn_ctx = (context_synsets(t["lemma"] for t in row["tokens"])
+                       if sense_completion else frozenset())
         self.entities = row["entities"]
         self.predicates = row["predicates"]
         self.corefs = row["corefs"]
@@ -316,7 +320,7 @@ class _DocExtractor:
             return
         from pikes_ray.functions.predicatematrix import FN_NOUN_TYPES
 
-        _syn, _sst, sumo, yago = noun_types(lemma)
+        _syn, _sst, sumo, yago = noun_types_ctx(lemma, self.wn_ctx)
         for c in sumo:
             self.fact(inst, "rdf:type", f"sumo:{c}")
         if yago:
@@ -334,7 +338,7 @@ class _DocExtractor:
         toks = self.tokens[start:end]
         if not toks:
             return
-        syn, sst, _sumo, _yago = noun_types(toks[-1]["lemma"])
+        syn, sst, _sumo, _yago = noun_types_ctx(toks[-1]["lemma"], self.wn_ctx)
         if syn is None:
             return
         b = toks[0]["offset"]

@@ -303,3 +303,42 @@ def test_f19_coref_span_fixing_flag(model):
     assert all(len(c) >= 2 for c in on["corefs"])
     assert all(s["end"] <= n_tok for c in on["corefs"] for s in c)
     assert any(len(c) == 1 for c in off["corefs"])
+
+
+def test_a4_ranked_sense_wsd(model):
+    """A4 ranked-sense WSD: the same ambiguous noun resolves to
+    different synsets (and SUMO types) under different document
+    contexts; no context → most-frequent sense (E5 policy)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from pikes_ray.functions.wordnet import (context_synsets,
+                                             noun_types_ctx, rank_senses)
+    from pikes_ray.schema import TRANSCRIPT_SCHEMA
+    from pikes_ray.stages.fused import KGStage
+
+    # function level: context flips, prior wins ties, determinism
+    fin = context_synsets(["money", "investment"])
+    riv = context_synsets(["land", "country"])
+    assert noun_types_ctx("bank", fin)[0] == "08420278-n"
+    assert noun_types_ctx("bank", riv)[0] == "09213565-n"
+    assert noun_types_ctx("bank")[0] == "08420278-n"           # MFS
+    assert rank_senses("bank", fin) == rank_senses("bank", fin)
+    # one neighbor hit each way → frequency prior breaks the tie
+    mixed = context_synsets(["money", "land"])
+    assert noun_types_ctx("bank", mixed)[0] == "08420278-n"
+
+    # end-to-end: the flip shows up in the emitted sumo: types
+    def triples(text):
+        b = pa.Table.from_pylist([{
+            "conv_id": "c", "turn_idx": 0, "role": "user", "text": text,
+            "tool": "", "ts": dt.datetime(2024, 1, 1)}],
+            schema=TRANSCRIPT_SCHEMA)
+        return KGStage(static_canon=False)(b).to_pandas()
+
+    fin_t = triples("The bank approved the investment of the money.")
+    riv_t = triples("The bank of the land in this country is wide.")
+    assert "sumo:FinancialOrganization" in set(fin_t.obj)
+    assert "sumo:LandArea" in set(riv_t.obj)
+    assert "sumo:FinancialOrganization" not in set(riv_t.obj)
