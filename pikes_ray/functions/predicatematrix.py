@@ -246,6 +246,32 @@ PM_ROLES: dict[tuple[str, str], tuple[str | None, str | None]] = {
 }
 
 
+# M7 — the second (Semafor-analogue) frame source's trigger lexicon:
+# lemma → (FrameNet frame, POS class "v"|"n").  The reference runs
+# Semafor as an independent annotator whose frames NAFFilter's F9
+# srlPreprocess merges with the Mate SRL frames (same-head frames
+# unify, the Mate/PropBank sense wins — NAFFilter.java:1044-1106).
+# Two row families here: LUs whose lemma also carries a PB/NB roleset
+# (the merge case — the F9 union must yield ONE event, typed from the
+# PB sense + this module's PM row) and FrameNet-ONLY LUs the SRL
+# source cannot see (public FrameNet 1.5 lexical units), which surface
+# as fn:-typed event instances of their own.  Role projection stays
+# with the SRL source — an absorbed Semafor frame contributes no role
+# spans in this engine (deviation from the reference, where Semafor
+# FEs ride along; our PM ``sense@arg`` rows supply the FN role names
+# instead).
+FN_TRIGGERS: dict[str, tuple[str, str]] = {
+    # merge-case LUs (lemma has a PB/NB roleset; PM row agrees)
+    "fight":    ("Hostile_encounter", "v"),
+    "donate":   ("Giving", "v"),
+    "approve":  ("Grant_permission", "v"),
+    # FrameNet-only LUs (no PB/NB roleset in the mini-lexicon)
+    "war":      ("Hostile_encounter", "n"),
+    "purchase": ("Commerce_buy", "v"),
+    "trip":     ("Travel", "n"),
+    "meeting":  ("Discussion", "n"),
+}
+
 # FrameNet frame types the gold assigns directly to common-noun /
 # quality instances outside any roleset (WN→FN mappings in the full
 # PredicateMatrix): "other countries" → the Increment frame on "other"

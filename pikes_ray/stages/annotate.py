@@ -1365,6 +1365,33 @@ class RuleAnnotator:
 
     # --- full document -----------------------------------------------------
 
+    def semafor(self, toks: list[Tok], preds: list[Pred]) -> list[Pred]:
+        """M7 — the second frame source (≙ the reference's Semafor
+        annotator + SemaforToNaf projection, AnnotationPipeline's
+        second SRL producer).  Projects FrameNet frames from the
+        FN_TRIGGERS lexical units, independent of the PB/NB SRL pass;
+        ``sense`` carries the bare frame name, ``source="semafor"``.
+        F9 srlPreprocess (filter.py) merges same-head frames exactly
+        like NAFFilter.java:1044-1106 — the mate/PB sense wins and the
+        absorbed Semafor frame adds nothing new here (role projection
+        stays with the SRL source; see FN_TRIGGERS docstring).
+        FrameNet-only LUs survive the merge and surface as fn:-typed
+        events of their own."""
+        from pikes_ray.functions.predicatematrix import FN_TRIGGERS
+
+        out: list[Pred] = []
+        for i, t in enumerate(toks):
+            row = FN_TRIGGERS.get(t.lemma)
+            if row is None:
+                continue
+            frame, pos = row
+            if pos == "v" and not t.morphofeat.startswith("VB"):
+                continue
+            if pos == "n" and t.morphofeat not in ("NN", "NNS"):
+                continue
+            out.append(Pred(i, frame, "semafor"))
+        return out
+
     def annotate(self, text: str) -> dict:
         toks = self.tokenize(text)
         self.tag(toks)
@@ -1372,6 +1399,9 @@ class RuleAnnotator:
         chunks, deps = self.chunks_and_deps(toks, ents)
         preds = self.srl(toks, ents, chunks, deps)
         corefs = self.coref(toks, ents, preds, chunks)
+        # the second frame source joins after coref (the sieves key on
+        # SRL predicates only, as the reference's pipeline order does)
+        preds.extend(self.semafor(toks, preds))
         return {
             "tokens": [
                 {"form": t.form, "offset": t.offset, "length": t.length,

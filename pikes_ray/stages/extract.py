@@ -266,6 +266,19 @@ class _DocExtractor:
             self.inst_of_head.setdefault(head, evt)
             self.fact(evt, "rdf:type", "sem:Event")
             nb_id = ""
+            if p["source"] == "semafor":
+                # M7 second-source frame that survived the F9 merge
+                # (FrameNet-only LU): sense is the bare FN frame name —
+                # type the event fn: + FrameBase microframe, no pb:/nb:
+                fr = p["sense"]
+                self.fact(evt, "rdf:type", f"fn:{fr}")
+                pos = ("n" if self.tokens[head]["morphofeat"].startswith("N")
+                       else "v")
+                self.fact(evt, "rdf:type", f"fb:frame-{fr}-{lemma}.{pos}")
+                self.fact(evt, "rdfs:label", _lit(lemma))
+                self.fact(evt, "ks:factuality", _lit(self._factuality(head)))
+                self.mention(evt, head, head + 1)
+                continue
             if p["sense"]:
                 self.fact(evt, "rdf:type", f"pb:{p['sense']}")
             if p["source"] == "nominal" and lemma in lx.NOUN_FRAMES:

@@ -150,6 +150,12 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
     if cfg.srl_remove_wrong_refs:
         ok = []
         for p in predicates:
+            if p["source"] == "semafor":
+                # the lemma/sense agreement check is a PropBank-roleset
+                # check; second-source FrameNet frames are exempt (the
+                # reference validates PB external refs only)
+                ok.append(p)
+                continue
             lemma = tokens[p["head"]]["lemma"]
             expected = lx.VERB_FRAMES.get(lemma)
             if expected is None and lemma in lx.NOUN_FRAMES:

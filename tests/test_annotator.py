@@ -342,3 +342,51 @@ def test_a4_ranked_sense_wsd(model):
     assert "sumo:FinancialOrganization" in set(fin_t.obj)
     assert "sumo:LandArea" in set(riv_t.obj)
     assert "sumo:FinancialOrganization" not in set(riv_t.obj)
+
+
+def test_m7_semafor_second_source_merge(model):
+    """M7 two-source frame projection: same-head Semafor+SRL frames
+    merge into ONE event under F9 (PB sense wins), FrameNet-only LUs
+    survive as fn:-typed events; F9 off keeps both sources apart."""
+    ann = model
+
+    # merge case: "donated" carries donate.01 (verbal SRL) AND the
+    # Giving FN trigger — one predicate after filtering
+    row = ann.annotate("The donors donated the money.")
+    srcs = [p["source"] for p in row["predicates"]]
+    assert "semafor" in srcs  # projected before filtering
+    from pikes_ray.stages.filter import FilterConfig, filter_document
+
+    filt = filter_document(row, FilterConfig())
+    donated = [p for p in filt["predicates"]
+               if row["tokens"][p["head"]]["lemma"] == "donate"]
+    assert len(donated) == 1 and donated[0]["sense"] == "donate.01"
+    assert donated[0]["source"] == "verbal"
+
+    # F9 off → the semafor frame stays separate
+    nofilt = filter_document(ann.annotate("The donors donated the money."),
+                             FilterConfig(srl_preprocess=False))
+    donated2 = [p for p in nofilt["predicates"]
+                if nofilt["tokens"][p["head"]]["lemma"] == "donate"]
+    assert {p["source"] for p in donated2} == {"verbal", "semafor"}
+
+    # FrameNet-only LU: "war" has no PB/NB roleset → fn:-typed event
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from pikes_ray.schema import TRANSCRIPT_SCHEMA
+    from pikes_ray.stages.fused import KGStage
+
+    b = pa.Table.from_pylist([{
+        "conv_id": "c", "turn_idx": 0, "role": "user",
+        "text": "The war started in March.",
+        "tool": "", "ts": dt.datetime(2024, 1, 1)}], schema=TRANSCRIPT_SCHEMA)
+    tr = KGStage(static_canon=False)(b).to_pandas()
+    assert "fn:Hostile_encounter" in set(tr.obj)
+    assert any(o.startswith("fb:frame-Hostile_encounter-war.n")
+               for o in tr.obj)
+    # and it is an event instance, not a pb: one
+    war_subjs = set(tr[tr.obj == "fn:Hostile_encounter"].subj)
+    assert not any(o.startswith("pb:")
+                   for o in tr[tr.subj.isin(war_subjs)].obj)
