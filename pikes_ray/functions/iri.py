@@ -31,7 +31,10 @@ NAMESPACES = {
     "dbr": "http://dbpedia.org/resource/",
     "pb": "http://premon.fbk.eu/resource/pb17-",
     "nb": "http://premon.fbk.eu/resource/nb10-",
-    "vn": "http://premon.fbk.eu/resource/vn32-",
+    # PreMOn version prefixes exactly as NAFUtils.java:86-89
+    # (PREMON_FNPREFIX "fn15", PREMON_VNPREFIX "vb32",
+    #  PREMON_PBPREFIX "pb17", PREMON_NBPREFIX "nb10")
+    "vn": "http://premon.fbk.eu/resource/vb32-",
     "fn": "http://premon.fbk.eu/resource/fn15-",
     "eso": "https://github.com/newsreader/eso#",
     "fb": "http://framebase.org/ns/",
@@ -80,6 +83,42 @@ def entity_iri(label: str) -> str:
 def mention_iri(doc: str, begin: int, end: int) -> str:
     """NIF offset mention IRI ``<doc>#char=B,E`` (RDFGenerator.java:1599-1635)."""
     return f"{doc}#char={begin},{end}"
+
+
+# F17 srlPreMOnIRIs — PreMOn IRI construction exactly as
+# NAFUtils.createPreMOnSemanticClassIRIfor / RoleIRIfor
+# (NAFUtils.java:995-1048).  ``model`` ∈ {"PropBank","NomBank",
+# "VerbNet","FrameNet"}; version prefixes per NAFUtils.java:86-89.
+_PREMON_NS = "http://premon.fbk.eu/resource/"
+_PREMON_PREFIX = {"FrameNet": "fn15", "VerbNet": "vb32",
+                  "PropBank": "pb17", "NomBank": "nb10"}
+
+
+def premon_class_iri(model: str, predicate: str) -> str:
+    """Semantic-class IRI, e.g. ``("PropBank","donate.01")`` →
+    ``http://premon.fbk.eu/resource/pb17-donate.01``."""
+    p = _PREMON_PREFIX.get(model)
+    if p is None:
+        raise ValueError(f"unknown PreMOn model {model!r}")
+    return f"{_PREMON_NS}{p}-{predicate.lower()}"
+
+
+def premon_role_iri(model: str, predicate: str, role: str) -> str:
+    """Semantic-role IRI; PB/NB roles are normalized A0→arg0 /
+    AM-TMP→argtmp (the reference's ``replace`` chain at
+    NAFUtils.java:1030-1037 — including its all-occurrence
+    ``"a"→"arg"`` quirk, so AA → "argarg"); VN/FN roles are
+    lowercased only.  Separator ``@`` (PREMON_ARGUMENT_SEPARATOR)."""
+    p = _PREMON_PREFIX.get(model)
+    if p is None:
+        raise ValueError(f"unknown PreMOn model {model!r}")
+    role = role.lower()
+    if model in ("PropBank", "NomBank"):
+        if "am-" in role:
+            role = role.replace("am-", "arg")
+        else:
+            role = role.replace("a", "arg")
+    return f"{_PREMON_NS}{p}-{predicate.lower()}@{role}"
 
 
 class MintTable:

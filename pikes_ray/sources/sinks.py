@@ -22,6 +22,20 @@ from pikes_ray.functions.iri import NAMESPACES
 # — a '^^' inside the lexical form (possible in transcript text) is data
 _DATATYPE_RE = re.compile(r'^("(?:[^"\\]|\\.)*")\^\^(\S+)$', re.S)
 
+# F17 srlPreMOnIRIs: a PB/NB role property CURIE (internal shape
+# ``pb:<sense>-a0`` / ``nb:<sense>-amtmp``) expands to the reference's
+# PreMOn role IRI ``…/pb17-<sense>@arg0`` — `@` separator and the
+# A0→arg0 / AM-TMP→argtmp localname normalization of
+# NAFUtils.createPreMOnSemanticRoleIRIfor (NAFUtils.java:1015-1048).
+# Non-role suffixes (e.g. the ``-neg`` variant marker) stay as-is.
+_PM_ROLE_RE = re.compile(r"^(pb|nb):(.+\.\d\d?)-(a[0-9a]|am[a-z]+)$")
+
+
+def _premon_role_local(suffix: str) -> str:
+    if suffix.startswith("am"):
+        return "arg" + suffix[2:]
+    return suffix.replace("a", "arg")   # a0→arg0; aa→argarg (ref quirk)
+
 
 def expand_curie(term: str) -> str:
     """CURIE → full IRI in N-Triples angle brackets; literals pass through."""
@@ -30,6 +44,10 @@ def expand_curie(term: str) -> str:
         if m:
             return f"{m.group(1)}^^{expand_curie(m.group(2))}"
         return term
+    m = _PM_ROLE_RE.match(term)
+    if m:
+        base = NAMESPACES[m.group(1)]
+        return f"<{base}{m.group(2)}@{_premon_role_local(m.group(3))}>"
     prefix, _, local = term.partition(":")
     base = NAMESPACES.get(prefix)
     if base is not None:

@@ -239,3 +239,41 @@ def test_read_sgml_documents(ray_session, tmp_path):
     df = read_sgml_documents(p).to_pandas().sort_values("conv_id")
     assert list(df["conv_id"]) == ["FBIS-1", "FBIS-2"]
     assert "Paris" in df["text"].iloc[0] and "<B>" not in df["text"].iloc[0]
+
+
+def test_f17_premon_iris():
+    """F17 srlPreMOnIRIs: class/role IRIs match the reference's
+    NAFUtils.createPreMOnSemantic{Class,Role}IRIfor exactly
+    (NAFUtils.java:995-1048; version prefixes :86-89)."""
+    from pikes_ray.functions.iri import premon_class_iri, premon_role_iri
+
+    ns = "http://premon.fbk.eu/resource/"
+    assert premon_class_iri("PropBank", "Donate.01") == f"{ns}pb17-donate.01"
+    assert premon_class_iri("NomBank", "donation.01") == f"{ns}nb10-donation.01"
+    assert premon_class_iri("VerbNet", "Give-13.1") == f"{ns}vb32-give-13.1"
+    assert premon_class_iri("FrameNet", "Giving") == f"{ns}fn15-giving"
+    # PB/NB role normalization: A0→arg0, AM-TMP→argtmp, @ separator
+    assert premon_role_iri("PropBank", "donate.01", "A0") == \
+        f"{ns}pb17-donate.01@arg0"
+    assert premon_role_iri("NomBank", "donation.01", "AM-TMP") == \
+        f"{ns}nb10-donation.01@argtmp"
+    # the reference's all-occurrence replace quirk: AA → argarg
+    assert premon_role_iri("PropBank", "pay.01", "AA") == \
+        f"{ns}pb17-pay.01@argarg"
+    # VN/FN roles are lowercased only
+    assert premon_role_iri("FrameNet", "Giving", "Donor") == \
+        f"{ns}fn15-giving@donor"
+
+
+def test_f17_role_curie_expansion():
+    """The N-Triples sink expands internal pb:/nb: role-property CURIEs
+    into reference-exact PreMOn role IRIs."""
+    ns = "http://premon.fbk.eu/resource/"
+    assert expand_curie("pb:donate.01-a0") == f"<{ns}pb17-donate.01@arg0>"
+    assert expand_curie("nb:donation.01-amtmp") == \
+        f"<{ns}nb10-donation.01@argtmp>"
+    # class CURIEs (no role suffix) expand with the version prefix only
+    assert expand_curie("pb:donate.01") == f"<{ns}pb17-donate.01>"
+    assert expand_curie("vn:give-13.1") == f"<{ns}vb32-give-13.1>"
+    # the -neg variant marker is NOT a role and stays hyphenated
+    assert expand_curie("pb:support.01-neg") == f"<{ns}pb17-support.01-neg>"
