@@ -384,13 +384,22 @@ class _DocExtractor:
     def t8_opinions(self) -> None:
         """T8 — opinion instances from the pinned polarity lexicon
         (≙ processOpinion, RDFGenerator.java:1393-1467: typed opinion
-        node + expression/target links; holder omitted — the reference
-        reads it from the NAF opinion layer which our deterministic
-        pipeline does not populate)."""
+        node + expression/target/holder links).  The reference reads
+        the holder span from the NAF opinion layer (pikes-raid); our
+        deterministic analogue recovers it syntactically: the A0
+        argument of the nearest governing predicate of the opinion
+        expression ("Alice likes X" → holder :alice), matching the
+        agentive-subject convention the raid extractor learns."""
         from pikes_ray.ops.text import _SENTIMENT, stem
 
         parent = {d["to"]: d["frm"] for d in self.deps
                   if d["rfunc"] in ("NMOD", "AMOD")}
+        dep_parent = {d["to"]: d["frm"] for d in self.deps}
+        a0_of_head: dict[int, int] = {}
+        for p in self.predicates:
+            for r in p["roles"]:
+                if r["sem_role"] == "A0":
+                    a0_of_head.setdefault(p["head"], r["head"])
         for i, tok in enumerate(self.tokens):
             score = _SENTIMENT.get(stem(tok["lemma"]))
             if score is None:
@@ -408,6 +417,21 @@ class _DocExtractor:
             target = self.inst_of_head.get(gov) if gov is not None else None
             if target is not None:
                 self.fact(op, "ks:target", target)
+            # holder: walk the dep chain up from the expression to the
+            # first predicate head carrying an A0 role; the A0's
+            # instance (never the opinion's own target) is the holder
+            node, holder = i, None
+            for _ in range(8):
+                a0 = a0_of_head.get(node)
+                if a0 is not None:
+                    holder = self.inst_of_head.get(a0)
+                    break
+                nxt = dep_parent.get(node)
+                if nxt is None or nxt == node:
+                    break
+                node = nxt
+            if holder is not None and holder not in (target, expr):
+                self.fact(op, "ks:holder", holder)
 
     def _self_arg_instance(self, head: int) -> str:
         key = f"selfarg{head}"

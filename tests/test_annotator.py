@@ -264,6 +264,20 @@ def test_t8_opinions():
     assert (df.pred == "ks:target").any() or (df.pred == "ks:expression").any()
 
 
+def test_t8_opinion_holder():
+    """T8 holder link: the A0 of the nearest governing predicate of the
+    opinion expression (syntactic analogue of the reference's NAF
+    opinion-layer holder, RDFGenerator.java:1431-1439)."""
+    df = _run_kg("Bob Smith reported a terrible loss.")
+    holders = df[df.pred == "ks:holder"]
+    assert list(holders.obj) == ["entity:bob_smith"]
+    # the holder is never the expression or target instance itself
+    df2 = _run_kg("Alice Johnson likes the excellent report.")
+    h2 = df2[df2.pred == "ks:holder"]
+    exprs = set(df2[df2.pred == "ks:expression"].obj)
+    assert not (set(h2.obj) & exprs)
+
+
 def test_f15_framebase_types_and_roles():
     df = _run_kg("Acme Corp acquired Beta LLC.")
     fb = df[df.obj.astype(str).str.startswith("fb:frame-") |
