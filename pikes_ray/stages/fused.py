@@ -102,6 +102,9 @@ class KGStage:
                 cols_o.extend(o)
                 cols_g.extend(g)
                 cols_c.extend(c)
+        from pikes_ray.stages.extract import fill_fact_graphs
+
+        cols_g = fill_fact_graphs(cols_s, cols_p, cols_o, cols_g)
         table = pa.Table.from_pydict(
             {"conv_id": cols_conv, "turn_idx": cols_turn, "subj": cols_s,
              "pred": cols_p, "obj": cols_o, "graph": cols_g, "conf": cols_c},
