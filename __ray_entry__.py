@@ -274,10 +274,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return evaluate_reference()
 
+    def eval_framebase(sf_dir):
+        from pikes_ray.pipelines.evalfb import evaluate_ours_fb
+
+        return evaluate_ours_fb()
+
+    def eval_framebase_reference(sf_dir):
+        from pikes_ray.pipelines.evalfb import evaluate_reference_fb
+
+        return evaluate_reference_fb("both")
+
     return {
         "kg_triples": kg_triples,
         "eval_pm": eval_pm,
         "eval_pm_reference": eval_pm_reference,
+        "eval_framebase": eval_framebase,
+        "eval_framebase_reference": eval_framebase_reference,
         "kg_entity_degree": kg_entity_degree,
         "kg_type_counts": kg_type_counts,
         "kg_sameas_links": kg_sameas_links,

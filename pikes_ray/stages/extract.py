@@ -27,7 +27,7 @@ from pikes_ray.functions import lexicon as lx
 from pikes_ray.functions.hashing import text_hash
 from pikes_ray.functions.iri import MintTable, doc_iri, entity_iri, mention_iri
 from pikes_ray.functions.owltime import timex_triples
-from pikes_ray.functions.predicatematrix import enrich, role_props
+from pikes_ray.functions.predicatematrix import enrich, microframe, role_props
 from pikes_ray.functions.wordnet import context_synsets, ne_types, noun_types_ctx
 from pikes_ray.schema import TRIPLES_SCHEMA
 
@@ -260,6 +260,7 @@ class _DocExtractor:
                         self.fact(evt, "rdf:type", f"vn:{vn}")
                     if fn:
                         self.fact(evt, "rdf:type", f"fn:{fn}")
+                        self.fact(evt, "rdf:type", microframe(fn, lemma, "v"))
                     if eso:
                         self.fact(evt, "rdf:type", f"eso:{eso}")
                 self.fact(evt, "rdfs:label", _lit(lemma))
@@ -278,7 +279,7 @@ class _DocExtractor:
                 self.fact(evt, "rdf:type", f"fn:{fr}")
                 pos = ("n" if self.tokens[head]["morphofeat"].startswith("N")
                        else "v")
-                self.fact(evt, "rdf:type", f"fb:frame-{fr}-{lemma}.{pos}")
+                self.fact(evt, "rdf:type", microframe(fr, lemma, pos))
                 self.fact(evt, "rdfs:label", _lit(lemma))
                 self.fact(evt, "ks:factuality", _lit(self._factuality(head)))
                 self.mention(evt, head, head + 1)
@@ -306,7 +307,14 @@ class _DocExtractor:
                 # fb:frame-<Frame>-<lemma>.<pos> (docs/eval-pm pikes
                 # output shape, e.g. frame-Becoming-get.v)
                 pos = "n" if p["source"] == "nominal" else "v"
-                self.fact(evt, "rdf:type", f"fb:frame-{fn}-{lemma}.{pos}")
+                self.fact(evt, "rdf:type", microframe(fn, lemma, pos))
+                if pos == "n" and head not in self.nominal_heads:
+                    from pikes_ray.functions.predicatematrix import \
+                        FN_INCORPORATED_FE
+                    inc = FN_INCORPORATED_FE.get(fn)
+                    if inc:
+                        # incorporated FE: self-referential edge
+                        self.fact(evt, f"fb:fe-{fn.lower()}-{inc}", evt)
             if eso:
                 self.fact(evt, "rdf:type", f"eso:{eso}")
             self.fact(evt, "rdfs:label", _lit(lemma))
@@ -649,9 +657,15 @@ class _DocExtractor:
                             # the reference's output)
                             _vn, fn_frame, _eso = enrich(sense, nb_id)
                             if fn_frame:
+                                from pikes_ray.functions.predicatematrix \
+                                    import FRAMEBASE_FE
+                                r_ = fn_r.lower()
+                                fe = (FRAMEBASE_FE.get((nb_id, r_))
+                                      or FRAMEBASE_FE.get((sense, r_))
+                                      or r_)
                                 self.fact(
                                     evt,
-                                    f"fb:fe-{fn_frame.lower()}-{fn_r.lower()}",
+                                    f"fb:fe-{fn_frame.lower()}-{fe}",
                                     a2)
 
     def t5_modifiers(self) -> None:
@@ -711,11 +725,19 @@ class _DocExtractor:
                     fnt = FN_NOUN_TYPES.get(self.tokens[adj]["lemma"])
                     if fnt and self.sense_completion:
                         self.fact(attr, "rdf:type", f"fn:{fnt}")
+                        # F15 on quality attributes too (gold ":other a
+                        # frb:frame-Increment-other.a")
+                        self.fact(attr, "rdf:type",
+                                  microframe(fnt,
+                                             self.tokens[adj]["lemma"], "a"))
                     if self.tokens[adj]["lemma"] == "other":
                         # the Increment frame's added-set FE points back
                         # at the modified NP (gold ":other fn:added_set
-                        # :countries")
+                        # :countries"); eval-framebase gold carries the
+                        # FrameBase projections of the same FEs
                         self.fact(attr, "fn:added_set", inst)
+                        self.fact(attr, "fb:fe-increment-added_set", inst)
+                        self.fact(attr, "fb:fe-increment-class", inst)
                     value = self.tokens[adj]["lemma"]
                     adv = adv_of_adj.get(adj)
                     if adv is not None:
