@@ -117,10 +117,40 @@ def write_naf_xml(annotated, out_dir: str) -> int:
 
     os.makedirs(out_dir, exist_ok=True)
 
+    def chunk_layer(toks, deps) -> str:
+        """M8 constituency head-marking analogue: NAF ``chunks`` layer
+        with ``head=`` attributes (kaflib Chunk.head; the reference's
+        Collins head finder marks heads in the parse string —
+        AnnotationPipeline.java:100-122, used only for this layer).
+        Phrases are maximal NMOD/AMOD attachment groups under a
+        nounish head, derived from the dependency layer."""
+        parent = {d["to"]: (d["frm"], d["rfunc"]) for d in deps}
+        groups: dict[int, list[int]] = {}
+        for i, t in enumerate(toks):
+            node, seen = i, 0
+            while seen < 8:
+                up = parent.get(node)
+                if up is None or up[1] not in ("NMOD", "AMOD"):
+                    break
+                node = up[0]
+                seen += 1
+            if toks[node]["pos"].startswith("N"):
+                groups.setdefault(node, []).append(i)
+        out = ["<chunks>"]
+        for k, (head, members) in enumerate(sorted(groups.items())):
+            if len(members) < 2 and members == [head]:
+                continue   # single-token chunks add nothing
+            targets = "".join(f'<target id="t{j}"/>' for j in sorted(members))
+            out.append(f'<chunk id="c{k}" head="t{head}" phrase="NP">'
+                       f"<span>{targets}</span></chunk>")
+        out.append("</chunks>")
+        return "".join(out)
+
     def render_doc(row) -> str:
         toks = list(row.tokens) if row.tokens is not None else []
         ents = list(row.entities) if row.entities is not None else []
         prds = list(row.predicates) if row.predicates is not None else []
+        dps = list(row.deps) if getattr(row, "deps", None) is not None else []
         buf = [f'<NAF xml:lang="en" version="v3">',
                f"<nafHeader><public publicId="
                f"{quoteattr(f'{row.conv_id}#turn={row.turn_idx}')}/></nafHeader>",
@@ -151,7 +181,9 @@ def write_naf_xml(annotated, out_dir: str) -> int:
                 f'<predicate id="pr{k}"><externalRef reference='
                 f'{quoteattr(p["sense"] or "")}/>'
                 f'<span><target id="t{p["head"]}"/></span>{roles}</predicate>')
-        buf.append("</srl></NAF>")
+        buf.append("</srl>")
+        buf.append(chunk_layer(toks, dps))
+        buf.append("</NAF>")
         return "".join(buf)
 
     def write_block(df: pd.DataFrame) -> pd.DataFrame:

@@ -194,6 +194,12 @@ def test_write_naf_xml(ray_session, tmp_path):
     dom = md.parseString(first_doc)       # well-formed XML per line
     assert dom.documentElement.tagName == "NAF"
     assert dom.getElementsByTagName("wf")
+    # M8 head-marking analogue: the chunks layer carries head= attrs
+    all_chunks = [c for f in files
+                  for line in open(f).read().splitlines()
+                  for c in md.parseString(line).getElementsByTagName("chunk")]
+    assert all_chunks and all(c.getAttribute("head").startswith("t")
+                              for c in all_chunks)
 
 
 def test_triple_pr_by_namespace(ray_session):
