@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customers_without_orders": R.customers_without_orders,
         "q_brand_summary": R.lineitem_brand_summary,
         "q_customers_per_region": R.customers_per_region,
+        "q_priority_revenue": R.priority_revenue,
         "q_asof_purchase_view": R.purchase_view_attribution,
         "q_range_error_clicks": R.error_click_window,
         "doc_quality_ppm": doc_quality_ppm,
@@ -532,6 +533,13 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 5)
             WHERE rank < 10
             ORDER BY query_id, rank
+        """,
+        "q_priority_revenue": """
+            SELECT o_orderpriority,
+                   count(*)::BIGINT AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "q_asof_purchase_view": """
             WITH p AS (SELECT event_id, user_id, ts FROM events

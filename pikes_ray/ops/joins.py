@@ -1,10 +1,12 @@
-"""Temporal joins: as-of join and range-join aggregation.
+"""Joins: generic hash equi-join, as-of join, range-join aggregation.
 
 Ray Data has no join operator; the reference's engine likewise has no
-generic join (its lookups are broadcast dictionaries).  These two
-operators cover the temporal-join family a training-data / event
-pipeline needs (attribute each outcome to the latest preceding cause;
-aggregate follow-up activity inside a window after each anchor):
+generic join (its lookups are broadcast dictionaries).  This module
+supplies the join family a training-data / event pipeline needs:
+
+- ``hash_join(left, right, ...)`` — generic large-large equi-join
+  (inner/left/semi/anti) via bounded hash-bucket co-partitioning;
+  complements the broadcast-small-side lookups used elsewhere.
 
 - ``asof_join(left, right, ...)``   — for every left row, the single
   right row with the greatest ``right_on <= left_on`` (backward) for
@@ -46,6 +48,17 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _arrow_type(t) -> pa.DataType:
+    """Normalize a Dataset.schema() entry to an Arrow type — pandas-backed
+    blocks report numpy dtypes / Python classes instead of pa.DataType."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()
+
+
 def _placeholder_series(n: int, t: pa.DataType) -> pd.Series:
     """A length-n pandas column whose Arrow type round-trips to ``t``."""
     if pa.types.is_timestamp(t):
@@ -68,8 +81,8 @@ def _conform_and_union(left, right, key: str, n_parts: int):
     the union of both sides' columns.
     """
     lschema, rschema = left.schema(), right.schema()
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _arrow_type(t) for n, t in zip(rschema.names, rschema.types)}
     # columns missing from each side, with the OTHER side's type
     pad_l = {c: t for c, t in rtypes.items() if c not in ltypes}
     pad_r = {c: t for c, t in ltypes.items() if c not in rtypes}
@@ -98,6 +111,86 @@ def _conform_and_union(left, right, key: str, n_parts: int):
     l2 = left.map_batches(conform(0, pad_l), batch_format="pandas")
     r2 = right.map_batches(conform(1, pad_r), batch_format="pandas")
     return l2.union(r2)
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    right_cols: list[str] | None = None,
+    how: Literal["inner", "left", "semi", "anti"] = "inner",
+    n_parts: int = 64,
+):
+    """Distributed large-large equi-join (Ray Data has no native join).
+
+    Both sides are hash-bucketed on the key (one bounded shuffle each,
+    no all-to-all sort, no broadcast — use the engine's broadcast-dict
+    lookups when one side is small); each bucket then runs ONE
+    C-level ``pandas.merge``.  Same partitioning assumption as the
+    temporal joins above: all rows of one key land in one bucket and
+    must fit a worker's heap; ``n_parts`` bounds reducer parallelism —
+    size it to cluster cores at real scale.  Composite keys: derive a
+    single key column first (the bucket hash is key-uniform either
+    way).
+
+    ``how``:
+      - ``inner`` / ``left`` — left columns + ``right_cols`` (renamed
+        with an ``_r`` suffix on collision).  For ``left``, unmatched
+        right int/bool columns become pandas nullable ``Int64`` /
+        ``boolean`` (→ Arrow int64/bool with nulls, SQL NULL
+        semantics) so every bucket emits one stable schema.
+      - ``semi`` / ``anti`` — left rows with ≥1 / 0 key matches;
+        left columns only (the distributed form of the broadcast
+        semi/anti joins in pipelines/relational.py).
+
+    → Dataset, one row per surviving (left row × match).
+    """
+    right_on = right_on or on
+    if right_on != on:
+        # not Dataset.rename_columns: its Project op breaks on
+        # pandas-backed blocks in Ray 2.49 (calls the pandas API)
+        right = right.map_batches(
+            lambda df, _old=right_on, _new=on: df.rename(columns={_old: _new}),
+            batch_format="pandas")
+    rnames = [c for c in right.schema().names if c != on]
+    if right_cols is None:
+        right_cols = rnames
+    if how in ("semi", "anti"):
+        right = right.select_columns([on])
+        carry: list[str] = []
+    else:
+        carry = list(dict.fromkeys(right_cols))
+        right = right.select_columns([on] + carry)
+    u = _conform_and_union(left, right, on, n_parts)
+    lcols = list(left.schema().names)
+    rename = {c: f"{c}_r" for c in carry if c in lcols}
+    out_rcols = [rename.get(c, c) for c in carry]
+    # right dtypes recorded up front so `left` can emit nullable
+    # columns with a bucket-invariant schema
+    rschema = right.schema()
+    rkinds = {c: _arrow_type(t) for c, t in zip(rschema.names, rschema.types)}
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0][lcols]
+        rf = g[g["_side"] == 1][[on] + carry].rename(columns=rename)
+        if how == "semi":
+            return lf[lf[on].isin(rf[on].unique())]
+        if how == "anti":
+            return lf[~lf[on].isin(rf[on].unique())]
+        merged = lf.merge(rf, on=on, how=how)
+        if how == "left":
+            for c in carry:
+                t = rkinds[c]
+                oc = rename.get(c, c)
+                if pa.types.is_integer(t):
+                    merged[oc] = merged[oc].astype("Int64")
+                elif pa.types.is_boolean(t):
+                    merged[oc] = merged[oc].astype("boolean")
+        return merged[lcols + out_rcols]
+
+    return u.groupby("_part").map_groups(per_part, batch_format="pandas")
 
 
 def asof_join(

@@ -346,3 +346,37 @@ def error_click_window(sf_dir: str) -> pd.DataFrame:
     out["sum_value"] = out["sum_value"].round(6)
     return (out[["event_id", "user_id", "n_clicks", "sum_value"]]
             .sort_values("event_id").reset_index(drop=True))
+
+
+def priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """Large-large distributed equi-join: lineitem ⋈ orders on the
+    order key — BOTH sides are fact-sized at real scale, so no
+    broadcast applies; ``ops.joins.hash_join`` co-partitions the two
+    reads into bounded hash buckets (one shuffle each) and merges per
+    bucket.  The joined stream then rolls up revenue per order
+    priority combiner-first (partial group inside ``map_batches``,
+    small final ``groupby``)."""
+    from pikes_ray.ops.joins import hash_join
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                  right_cols=["o_orderpriority"], how="inner", n_parts=32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("rev", "size"), revenue=("rev", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = j.map_batches(partial, batch_format="pandas") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue", alias_name="revenue"))
+    df = out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    df["n_items"] = df["n_items"].astype("int64")
+    df["revenue"] = df["revenue"].round(2)
+    return df[["o_orderpriority", "n_items", "revenue"]]

@@ -106,3 +106,74 @@ def test_joins_match_duckdb_sf0001(ray_session):
          AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
         GROUP BY e.event_id, e.user_id ORDER BY e.event_id""").df()
     pd.testing.assert_frame_equal(got2, want2.astype(got2.dtypes.to_dict()))
+
+
+@pytest.fixture()
+def hj_sides(ray_session):
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 3],
+        "lval": ["a", "b", "c", "d"],
+        "rid": [9, 9, 9, 9],        # collides with a right column
+    })
+    right = pd.DataFrame({
+        "rk": [1, 2, 2, 4],
+        "rid": [100, 200, 201, 400],
+        "flag": [True, False, True, False],
+    })
+    return rd.from_pandas(left), rd.from_pandas(right)
+
+
+def test_hash_join_inner_and_collision_rename(hj_sides):
+    from pikes_ray.ops.joins import hash_join
+
+    l, r = hj_sides
+    out = (hash_join(l, r, on="k", right_on="rk", n_parts=4)
+           .to_pandas().sort_values(["k", "lval", "rid_r"])
+           .reset_index(drop=True))
+    # k=1 matches rid 100 (×2 left rows); k=2 matches rid 200+201; k=3 none
+    assert out["k"].tolist() == [1, 1, 2, 2]
+    assert out["rid_r"].tolist() == [100, 100, 200, 201]
+    assert out["rid"].tolist() == [9, 9, 9, 9]       # left col kept intact
+    assert str(out["rid_r"].dtype) == "int64"        # inner: no promotion
+
+
+def test_hash_join_left_nullable(hj_sides):
+    from pikes_ray.ops.joins import hash_join
+
+    l, r = hj_sides
+    out = (hash_join(l, r, on="k", right_on="rk", how="left", n_parts=4)
+           .to_pandas().sort_values(["k", "lval", "rid_r"])
+           .reset_index(drop=True))
+    assert len(out) == 5                              # 4 matches + 1 unmatched
+    unmatched = out[out["k"] == 3]
+    assert unmatched["rid_r"].isna().all()
+    assert str(out["rid_r"].dtype) in ("Int64", "float64")
+    assert out[out["k"] == 1]["rid_r"].tolist() == [100, 100]
+
+
+def test_hash_join_semi_anti(hj_sides):
+    from pikes_ray.ops.joins import hash_join
+
+    l, r = hj_sides
+    semi = (hash_join(l, r, on="k", right_on="rk", how="semi", n_parts=4)
+            .to_pandas().sort_values("lval").reset_index(drop=True))
+    anti = (hash_join(l, r, on="k", right_on="rk", how="anti", n_parts=4)
+            .to_pandas().sort_values("lval").reset_index(drop=True))
+    assert semi["lval"].tolist() == ["a", "b", "c"]   # keys 1,1,2
+    assert anti["lval"].tolist() == ["d"]             # key 3
+    assert list(semi.columns) == ["k", "lval", "rid"]  # left cols only
+
+
+def test_priority_revenue_matches_duckdb_sf0001(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from pikes_ray.pipelines.relational import priority_revenue
+
+    sf = "/root/testdata/sf0.001"
+    got = priority_revenue(sf)
+    want = duckdb.sql(f"""
+        SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM '{sf}/lineitem.parquet'
+        JOIN '{sf}/orders.parquet' ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
