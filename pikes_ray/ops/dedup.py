@@ -133,53 +133,155 @@ def minhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(stage, batch_format="pandas")
 
 
+def _band_hash_frame(df: pd.DataFrame, id_col: str, bands: int,
+                     rows_per_band: int, carry_sig: bool) -> pd.DataFrame:
+    """Explode one signature batch to ``bands`` rows per doc.
+
+    Band hashes are a vectorized polynomial fold over the band's
+    signature lanes (uint64 wraparound, band index as the salt) — one
+    numpy pass per band, no per-doc Python, no per-chunk ``tobytes``.
+    Equal chunks hash equal; a cross-chunk collision only costs a
+    wasted verification.  ``carry_sig=False`` ships ONLY (id, bh):
+    the 16×-signature payload cut for the join-verify path."""
+    n = len(df)
+    if not n:
+        base = {id_col: pd.Series(dtype="int64"),
+                "bh": pd.Series(dtype="int64")}
+        if carry_sig:
+            base["sig"] = pd.Series(dtype="object")
+        return pd.DataFrame(base)
+    sig_mat = np.asarray([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
+    bh = np.empty((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            chunk = sig_mat[:, b * rows_per_band : (b + 1) * rows_per_band]
+            acc = np.full(n, np.uint64(b + 1) * _SHINGLE_P, dtype=np.uint64)
+            for r in range(rows_per_band):
+                acc = acc * _SHINGLE_P + chunk[:, r]
+            bh[:, b] = acc
+    out = {id_col: np.repeat(df[id_col].to_numpy(), bands),
+           "bh": bh.reshape(-1).astype(np.int64)}
+    if carry_sig:
+        out["sig"] = [s for s in df["sig"] for _ in range(bands)]
+    return pd.DataFrame(out)
+
+
+_EMPTY_PAIRS = {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                "est": pd.Series(dtype="float64")}
+
+
+def minhash_candidate_pairs(ds, col: str = "text", id_col: str = "doc_id",
+                            num_perm: int = 64, bands: int = 16,
+                            threshold: float = 0.7, shingle_k: int = 3,
+                            seed: int = 42, max_bucket: int = 200,
+                            verify: str = "inbucket", n_parts: int = 64):
+    """Verified near-dup candidate pairs as a Dataset[a, b, est] —
+    the distributed front half of minhash_dedup (no driver
+    collection), feeding connected_components at scale.
+
+    ``verify`` picks the shuffle shape (identical output either way):
+
+    - ``"inbucket"`` (default): every band row carries the full
+      signature so each LSH bucket verifies its own pairs in one
+      vectorized pass — fewest stages, right below ~10⁸ docs.
+    - ``"join"``: the band shuffle ships ONLY (id, band_hash) — with
+      16 bands × 64-perm signatures that is ~1/40 the exploded bytes —
+      then bucket collisions become bare (a, b) id pairs, deduped
+      across bands, and the signatures join back via two bounded
+      ``hash_join`` passes for the est computation.  More stages, but
+      the all-to-all volume is 2 signature copies instead of
+      ``bands`` copies: the shape for 100-TB corpora.
+    """
+    assert num_perm % bands == 0
+    assert verify in ("inbucket", "join")
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(ds, col, id_col, num_perm, shingle_k, seed)
+    exploded = sigs.map_batches(
+        lambda df: _band_hash_frame(df, id_col, bands, rows_per_band,
+                                    carry_sig=(verify == "inbucket")),
+        batch_format="pandas")
+    from pikes_ray.pipelines.shuffle import partitioned_group_map
+
+    if verify == "inbucket":
+        def bucket_verified(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) < 2:
+                return pd.DataFrame(_EMPTY_PAIRS)
+            g = g.sort_values(id_col).head(max_bucket)
+            ids = g[id_col].to_numpy()
+            S = np.asarray([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
+            # pairwise equal-lane fraction, one broadcasted comparison
+            # (bucket capped at max_bucket → ≤ max_bucket² × num_perm bools)
+            est = (S[:, None, :] == S[None, :, :]).mean(axis=2)
+            i, j = np.triu_indices(len(ids), k=1)
+            keep = est[i, j] >= threshold
+            return pd.DataFrame({"a": ids[i[keep]], "b": ids[j[keep]],
+                                 "est": est[i, j][keep]})
+
+        return partitioned_group_map(exploded, ["bh"], bucket_verified,
+                                     n_parts=n_parts)
+
+    def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        ids = np.sort(g[id_col].unique())[:max_bucket]
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+    raw = partitioned_group_map(exploded, ["bh"], bucket_candidates,
+                                n_parts=n_parts)
+
+    # distinct (a, b) across bands — hash-partitioned drop_duplicates,
+    # so each surviving pair is verified exactly once
+    from pikes_ray.pipelines.shuffle import _with_part
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):     # empty blocks may carry an empty schema
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "_part": pd.Series(dtype="int64")})
+        return _with_part(df, ["a", "b"], n_parts)
+
+    distinct = raw.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part").map_groups(
+            lambda g: g.drop_duplicates(["a", "b"]).drop(columns=["_part"]),
+            batch_format="pandas")
+
+    from pikes_ray.ops.joins import hash_join
+
+    j1 = hash_join(distinct, sigs, on="a", right_on=id_col,
+                   right_cols=["sig"], n_parts=n_parts)
+    j2 = hash_join(j1, sigs, on="b", right_on=id_col,
+                   right_cols=["sig"], n_parts=n_parts)   # sig collides → sig_r
+
+    def est_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(_EMPTY_PAIRS)
+        A = np.asarray([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
+        B = np.asarray([np.asarray(s, dtype=np.uint64) for s in df["sig_r"]])
+        est = (A == B).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({"a": df["a"].to_numpy()[keep],
+                             "b": df["b"].to_numpy()[keep],
+                             "est": est[keep]})
+
+    return j2.map_batches(est_filter, batch_format="pandas")
+
+
 def minhash_lsh_clusters(ds, col: str = "text", id_col: str = "doc_id",
                          num_perm: int = 64, bands: int = 16,
                          threshold: float = 0.7, shingle_k: int = 3,
-                         seed: int = 42, max_bucket: int = 200) -> dict[int, int]:
+                         seed: int = 42, max_bucket: int = 200,
+                         verify: str = "inbucket") -> dict[int, int]:
     """→ {doc_id: cluster_rep_id} for near-duplicate docs.
 
-    Candidate pairs come back to the driver (bounded: only bucket
-    collisions, pairs per bucket capped at ``max_bucket`` choose 2 —
-    the cap is logged via the returned stats) and are unioned with a
-    union-find; signature Jaccard ≥ threshold verifies each pair.
-    """
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(ds, col, id_col, num_perm, shingle_k, seed)
-
-    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_band, out_bh, out_sig = [], [], [], []
-        for did, sig in zip(df[id_col], df["sig"]):
-            arr = np.asarray(sig, dtype=np.uint64)
-            for b in range(bands):
-                chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
-                out_id.append(did)
-                out_band.append(b)
-                out_bh.append(zlib.crc32(chunk.tobytes()))
-                out_sig.append(sig)
-        return pd.DataFrame({id_col: out_id, "band": out_band,
-                             "band_hash": out_bh, "sig": out_sig})
-
-    exploded = sigs.map_batches(explode_bands, batch_format="pandas")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est": []})
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].tolist()
-        sigs_ = [np.asarray(s, dtype=np.uint64) for s in g["sig"]]
-        A, B, E = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs_[i] == sigs_[j]).mean())
-                if est >= threshold:
-                    A.append(ids[i]); B.append(ids[j]); E.append(est)
-        return pd.DataFrame({"a": A, "b": B, "est": E})
-
-    from pikes_ray.pipelines.shuffle import partitioned_group_map
-
-    pairs = partitioned_group_map(exploded, ["band", "band_hash"], bucket_pairs)
+    Driver-side tail of the pair pipeline: the verified pairs (bounded
+    — only bucket collisions, ``max_bucket`` cap per bucket) come back
+    to a union-find; use minhash_dedup's auto path selection instead
+    when the pair set may exceed driver memory."""
+    pairs = minhash_candidate_pairs(ds, col, id_col, num_perm, bands,
+                                    threshold, shingle_k, seed, max_bucket,
+                                    verify=verify)
 
     from pikes_ray.pipelines.canonicalize import _UnionFind
 
@@ -196,50 +298,6 @@ def minhash_lsh_clusters(ds, col: str = "text", id_col: str = "doc_id",
         for m in members:
             mapping[int(m)] = int(rep)
     return mapping
-
-
-def minhash_candidate_pairs(ds, col: str = "text", id_col: str = "doc_id",
-                            num_perm: int = 64, bands: int = 16,
-                            threshold: float = 0.7, shingle_k: int = 3,
-                            seed: int = 42, max_bucket: int = 200):
-    """Verified near-dup candidate pairs as a Dataset[a, b, est] —
-    the distributed front half of minhash_lsh_clusters (no driver
-    collection), feeding connected_components at scale."""
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(ds, col, id_col, num_perm, shingle_k, seed)
-
-    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_band, out_bh, out_sig = [], [], [], []
-        for did, sig in zip(df[id_col], df["sig"]):
-            arr = np.asarray(sig, dtype=np.uint64)
-            for b in range(bands):
-                chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
-                out_id.append(did)
-                out_band.append(b)
-                out_bh.append(zlib.crc32(chunk.tobytes()))
-                out_sig.append(sig)
-        return pd.DataFrame({id_col: out_id, "band": out_band,
-                             "band_hash": out_bh, "sig": out_sig})
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est": []})
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].tolist()
-        sigs_ = [np.asarray(s, dtype=np.uint64) for s in g["sig"]]
-        A, B, E = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs_[i] == sigs_[j]).mean())
-                if est >= threshold:
-                    A.append(ids[i]); B.append(ids[j]); E.append(est)
-        return pd.DataFrame({"a": A, "b": B, "est": E})
-
-    from pikes_ray.pipelines.shuffle import partitioned_group_map
-
-    exploded = sigs.map_batches(explode_bands, batch_format="pandas")
-    return partitioned_group_map(exploded, ["band", "band_hash"], bucket_pairs)
 
 
 def minhash_dedup(ds, col: str = "text", id_col: str = "doc_id",

@@ -316,3 +316,23 @@ def test_multimodal_real_wav_decode(ray_session):
     f_high = np.array(out["feat"].iloc[1])
     assert f_low.argmax() < f_high.argmax()      # spectral bands are real
     assert out["audio_meta"].iloc[0]["duration_ms"] == 1000
+
+
+def test_minhash_join_verify_matches_inbucket(ray_session, docs):
+    """The slim-shuffle join-verify path (band rows carry only
+    (id, band_hash); signatures join back for the est computation)
+    must produce the same verified pair set as the default in-bucket
+    path — the distinct-before-verify step only removes duplicates."""
+    a = D.minhash_candidate_pairs(docs, threshold=0.5,
+                                  verify="inbucket").to_pandas()
+    b = D.minhash_candidate_pairs(docs, threshold=0.5,
+                                  verify="join").to_pandas()
+    sa = {(int(x), int(y)) for x, y in zip(a["a"], a["b"])}
+    sb = {(int(x), int(y)) for x, y in zip(b["a"], b["b"])}
+    assert sa == sb and len(sb)
+    ea = {(int(x), int(y)): e for x, y, e in zip(a["a"], a["b"], a["est"])}
+    eb = {(int(x), int(y)): e for x, y, e in zip(b["a"], b["b"], b["est"])}
+    for k, v in eb.items():
+        assert abs(ea[k] - v) < 1e-12
+    # join path emits each pair exactly once
+    assert len(b) == len(sb)
