@@ -193,7 +193,11 @@ def minhash_candidate_pairs(ds, col: str = "text", id_col: str = "doc_id",
       ``bands`` copies: the shape for 100-TB corpora.
     """
     assert num_perm % bands == 0
-    assert verify in ("inbucket", "join")
+    assert verify in ("inbucket", "join", "auto")
+    if verify == "auto":
+        # metadata-cheap on a parquet-backed input; the exploded
+        # signature table dominates the shuffle above ~2M docs
+        verify = "join" if ds.count() > 2_000_000 else "inbucket"
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, col, id_col, num_perm, shingle_k, seed)
     exploded = sigs.map_batches(

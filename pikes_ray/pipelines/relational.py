@@ -212,27 +212,38 @@ def event_gaps(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti join: customers with no orders — the customer keys that
-    appear in orders are collected distributed, broadcast via ray.put,
-    and filtered inside map_batches (no shuffle; SURVEY §2.6 semi/anti
-    join pattern)."""
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
-    keys: set = set()
-    for b in orders.map_batches(
-            lambda df: pd.DataFrame({"k": df["o_custkey"].unique()}),
-            batch_format="pandas").iter_batches(batch_size=65536,
-                                                batch_format="pandas"):
-        keys.update(int(x) for x in b["k"])
-    ref = ray.put(keys)
+def customers_without_orders(sf_dir: str,
+                             broadcast_key_limit: int = 50_000_000) -> pd.DataFrame:
+    """Anti join: customers with no orders.
 
+    Below ``broadcast_key_limit`` distinct order keys (metadata-cheap
+    count on the parquet read), the keys are collected distributed,
+    broadcast via ray.put, and filtered inside map_batches — no
+    shuffle (SURVEY §2.6 semi/anti join pattern).  Above it the
+    driver-side key set would not fit, so the query switches to the
+    co-partitioned ``hash_join(how="anti")`` shuffle."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
 
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        k = ray.get(ref)
-        return df[~df["c_custkey"].isin(k)]
+    if orders.count() > broadcast_key_limit:
+        from pikes_ray.ops.joins import hash_join
 
-    out = cust.map_batches(anti, batch_format="pandas").to_pandas()
+        out = hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                        how="anti").to_pandas()
+    else:
+        keys: set = set()
+        for b in orders.map_batches(
+                lambda df: pd.DataFrame({"k": df["o_custkey"].unique()}),
+                batch_format="pandas").iter_batches(batch_size=65536,
+                                                    batch_format="pandas"):
+            keys.update(int(x) for x in b["k"])
+        ref = ray.put(keys)
+
+        def anti(df: pd.DataFrame) -> pd.DataFrame:
+            k = ray.get(ref)
+            return df[~df["c_custkey"].isin(k)]
+
+        out = cust.map_batches(anti, batch_format="pandas").to_pandas()
     if out.empty:     # every customer ordered at this scale
         return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                              "c_name": pd.Series(dtype="object")})

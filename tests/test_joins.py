@@ -177,3 +177,14 @@ def test_priority_revenue_matches_duckdb_sf0001(ray_session):
         JOIN '{sf}/orders.parquet' ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""").df()
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_customers_without_orders_hash_join_path(ray_session):
+    """Forcing the anti-join past the broadcast threshold must give the
+    same result through the co-partitioned hash_join shuffle."""
+    from pikes_ray.pipelines.relational import customers_without_orders
+
+    sf = "/root/testdata/sf0.001"
+    bc = customers_without_orders(sf)
+    hj = customers_without_orders(sf, broadcast_key_limit=0)
+    pd.testing.assert_frame_equal(bc, hj)

@@ -336,3 +336,15 @@ def test_minhash_join_verify_matches_inbucket(ray_session, docs):
         assert abs(ea[k] - v) < 1e-12
     # join path emits each pair exactly once
     assert len(b) == len(sb)
+
+
+def test_minhash_verify_auto_small_corpus(ray_session, docs):
+    """verify="auto" on a small corpus resolves to the in-bucket path
+    and must match it exactly."""
+    a = D.minhash_candidate_pairs(docs, threshold=0.5,
+                                  verify="auto").to_pandas()
+    b = D.minhash_candidate_pairs(docs, threshold=0.5,
+                                  verify="inbucket").to_pandas()
+    sa = {(int(x), int(y)) for x, y in zip(a["a"], a["b"])}
+    sb = {(int(x), int(y)) for x, y in zip(b["a"], b["b"])}
+    assert sa == sb
