@@ -570,7 +570,10 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
             GROUP BY e.event_id, e.user_id ORDER BY e.event_id
         """,
-        # kg_*, doc_quality, doc_minhash_dedup, doc_simhash_pairs,
-        # emb_near_dup, emb_knn_lsh: non-SQL-expressible (stateful NLP /
-        # hash-based sketches / approximate search) → rows-only checks.
+        # kg_*, eval_*, doc_quality, doc_minhash_dedup, doc_simhash_pairs,
+        # emb_knn_lsh, emb_knn_ivf, doc_sentiment: non-SQL-expressible
+        # (stateful NLP / hash-based sketches / approximate search /
+        # float-mean polarity) → rows-only checks; their integer-exact
+        # companions (doc_sentiment_counts, doc_quality_ppm, emb_near_dup,
+        # emb_knn_brute) carry the oracle coverage for the same kernels.
     }

@@ -30,6 +30,15 @@ def run_bench() -> dict:
 
     import ray
 
+    # the testdata parquet carries pandas schema metadata that trips a
+    # benign-but-noisy schema-hash warning inside Ray's read tasks
+    # (transform_pyarrow.unify_schemas); point workers at a config whose
+    # console handler is ERROR-only (file logging unchanged).  Must be in
+    # the environment BEFORE ray.init so spawned workers inherit it.
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "ray_data_logging_quiet.yaml"))
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
                  logging_level="ERROR")

@@ -237,13 +237,18 @@ def customers_without_orders(sf_dir: str,
                 batch_format="pandas").iter_batches(batch_size=65536,
                                                     batch_format="pandas"):
             keys.update(int(x) for x in b["k"])
-        ref = ray.put(keys)
+        # broadcast an Arrow value set once; the Arrow-native filter keeps
+        # empty result blocks typed (a pandas object column of length 0
+        # trips Ray's block-size estimator warning)
+        ref = ray.put(pa.array(sorted(keys), type=pa.int64()))
 
-        def anti(df: pd.DataFrame) -> pd.DataFrame:
-            k = ray.get(ref)
-            return df[~df["c_custkey"].isin(k)]
+        def anti(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        out = cust.map_batches(anti, batch_format="pandas").to_pandas()
+            vs = ray.get(ref)
+            return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=vs)))
+
+        out = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
     if out.empty:     # every customer ordered at this scale
         return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                              "c_name": pd.Series(dtype="object")})
