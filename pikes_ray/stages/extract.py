@@ -702,6 +702,38 @@ class _DocExtractor:
             if mi is not None:
                 self.fact(gi, "ks:mod", mi)
 
+        # a demonym absorbed into a LINKED name span stays a separate
+        # quality of the entity referent (gold.8 ":opposition
+        # dul:associatedWith :syrian" for dbpedia-linked "the Syrian
+        # opposition"); a demonym premodifying an unlinked nominal
+        # fills a role instead (gold.1/6 — the DEMONYM_ADJ machinery
+        # in T7), so the link is the discriminator
+        for d in self.deps:
+            if d["rfunc"] != "NMOD":
+                continue
+            g, m = d["frm"], d["to"]
+            if m != g - 1 or self.tokens[m]["lemma"] not in lx.DEMONYM_ADJ:
+                continue
+            if self.tokens[m]["morphofeat"] not in ("NNP", "NNPS"):
+                continue
+            if not any(e.get("named") and e.get("link")
+                       and e["start"] <= m and g < e["end"]
+                       for e in self.entities):
+                continue
+            inst = self.inst_of_head.get(g)
+            if inst is None:
+                continue
+            if g in self.nominal_heads:
+                inst = self._self_arg_instance(g)
+            attr = self.inst_of_head.get(m)
+            if attr is None:
+                attr = self.mint.mint(f"attr{m}", self.tokens[m]["lemma"])
+                self.inst_of_head.setdefault(m, attr)
+                self.fact(attr, "rdf:type", "ks:Attribute")
+                self.fact(attr, "rdfs:label", _lit(self.tokens[m]["lemma"]))
+                self.mention(attr, m, m + 1)
+            self.fact(inst, "ks:mod", attr)
+
         for head, inst in sorted(self.inst_of_head.items()):
             adjs = [
                 t for t in dg.terms_by_dep_descendants({head}, "(NMOD|AMOD)")
