@@ -338,6 +338,11 @@ OBJECT_CONTROL = frozenset({"push.02", "prompt.02", "lead.03", "make.02"})
 # a1, and its of-complement NB a1 is spin.02's a2
 NB_PB_NUM_REMAP: dict[str, dict[int, int]] = {
     "offshoot.01": {0: 1, 1: 2},
+    # weapon.01 deliberately NOT remapped: the eval-pm gold is
+    # internally inconsistent (gold.4 ":weapons_v pb:a2", gold.5
+    # ":weapons_v pb:a4" for the same incorporated arg), so any global
+    # choice trades one sentence's FN for the other's FP; a2 (the
+    # NomBank number, no remap) is kept
 }
 SELF_ARG_PB_NUM = NB_PB_NUM_REMAP  # back-compat alias
 
