@@ -191,7 +191,7 @@ def corpus_sameas_mapping(triples, distributed: bool = False) -> dict[str, str]:
         return pa.table({"a": pa.array([p[0] for p in pairs], pa.large_string()),
                          "b": pa.array([p[1] for p in pairs], pa.large_string())})
 
-    edges = triples.map_batches(edges_only, batch_format="pyarrow")
+    edges = triples.map_batches(edges_only, batch_format="pyarrow", batch_size=None)
     if distributed:
         from pikes_ray.pipelines.shuffle import connected_components
 
@@ -221,7 +221,7 @@ def smush_global(triples, mapping: dict[str, str] | None = None):
     def rewrite(batch: pa.Table) -> pa.Table:
         return _rewrite_table(batch, ray.get(ref))
 
-    out = triples.map_batches(rewrite, batch_format="pyarrow")
+    out = triples.map_batches(rewrite, batch_format="pyarrow", batch_size=None)
     # rdfpro-smush semantics: keep alias→canonical owl:sameAs links
     import ray.data as rd
 
@@ -297,8 +297,10 @@ def dedup_exact(triples, n_parts: int = 64):
         t = t.filter(pc.invert(doc_scoped(t)))
         return _add_partition(_local_dedup(t.to_pandas()), n_parts)
 
-    meta = triples.map_batches(bypass, batch_format="pyarrow")
-    local = triples.map_batches(combiner, batch_format="pyarrow")
+    meta = triples.map_batches(bypass, batch_format="pyarrow", batch_size=None,
+                               num_cpus=2)
+    local = triples.map_batches(combiner, batch_format="pyarrow", batch_size=None,
+                                num_cpus=2)
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         return _local_dedup(g.drop(columns=["_part"]))
@@ -310,7 +312,7 @@ def dedup_exact(triples, n_parts: int = 64):
 
     deduped = deduped.map_batches(
         lambda t: t.select(TRIPLES_SCHEMA.names).cast(TRIPLES_SCHEMA),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
     # materialize the deduped facts BEFORE the union: they are bounded
     # by the unique corpus-fact vocabulary (tiny next to the bypass
     # stream), and composing Union with a live all-to-all Sort in one
@@ -370,8 +372,10 @@ def canonicalize_and_dedup(tr, n_parts: int = 64):
         t = _rewrite_table(t, ray.get(ref))
         return _add_partition(_local_dedup(t.to_pandas()), n_parts)
 
-    meta = tr.map_batches(bypass_branch, batch_format="pyarrow")
-    facts = tr.map_batches(facts_branch, batch_format="pyarrow")
+    meta = tr.map_batches(bypass_branch, batch_format="pyarrow", batch_size=None,
+                          num_cpus=2)
+    facts = tr.map_batches(facts_branch, batch_format="pyarrow", batch_size=None,
+                           num_cpus=2)
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         return _local_dedup(g.drop(columns=["_part"]))
@@ -381,7 +385,7 @@ def canonicalize_and_dedup(tr, n_parts: int = 64):
     deduped = facts.groupby("_part").map_groups(merge_part, batch_format="pandas")
     deduped = deduped.map_batches(
         lambda t: t.select(TRIPLES_SCHEMA.names).cast(TRIPLES_SCHEMA),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
     # finish the sort before the union (same executor-stall avoidance
     # as dedup_exact: a live AllToAll composed with Union stalls under
     # object-store pressure at ~100M-row inputs)
