@@ -324,6 +324,34 @@ def dedup_exact(triples, n_parts: int = 64):
     return deduped.union(meta)
 
 
+def dedup_exact_streams(meta, facts, n_parts: int = 64):
+    """Exact dedup when the doc-scoped / corpus-fact split already
+    happened upstream (the scope-partitioned spill, kg._spill_split):
+    neither branch re-filters rows — ``meta`` streams straight into the
+    union and only ``facts`` (bounded by the corpus-fact vocabulary)
+    goes through the combiner + hash-bucket exchange."""
+    from pikes_ray.functions.worker import ensure_worker_tuned
+
+    def combiner(t: pa.Table) -> pd.DataFrame:
+        ensure_worker_tuned()
+        return _add_partition(_local_dedup(t.to_pandas()), n_parts)
+
+    local = facts.map_batches(combiner, batch_format="pyarrow",
+                              batch_size=None, num_cpus=2)
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        return _local_dedup(g.drop(columns=["_part"]))
+
+    deduped = local.groupby("_part").map_groups(merge_part, batch_format="pandas")
+    from pikes_ray.schema import TRIPLES_SCHEMA
+
+    deduped = deduped.map_batches(
+        lambda t: t.select(TRIPLES_SCHEMA.names).cast(TRIPLES_SCHEMA),
+        batch_format="pyarrow", batch_size=None)
+    deduped = deduped.materialize()   # same Union+AllToAll stall avoidance
+    return deduped.union(meta)
+
+
 def canonicalize_and_dedup(tr, n_parts: int = 64):
     """Fused corpus canonicalization + exact dedup for the flagship path.
 

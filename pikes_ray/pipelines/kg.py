@@ -185,8 +185,18 @@ def transcripts_to_graph(
             # exactly once: object store by default, parquet when
             # spilling.  (The checkpointed build passes parquet-backed
             # shards instead.)
-            tr = _pin(tr, spill_dir)
-            tr = dedup_exact(tr)
+            if spill_dir is None:
+                tr = dedup_exact(_pin(tr, None))
+            else:
+                # spill partitioned by scope at WRITE time: each dedup
+                # branch then reads only its own files instead of
+                # re-reading and re-filtering the full triple set twice
+                # (sf1.0: the single-dir spill cost two full 14 GB
+                # scans of 123M rows)
+                from pikes_ray.pipelines.canonicalize import dedup_exact_streams
+
+                meta, facts = _spill_split(tr, spill_dir)
+                tr = dedup_exact_streams(meta, facts)
         return tr
     ds = annotate_transcripts(ds, cfg, concurrency=concurrency)
     return extract_graph(ds, canonicalize=canonicalize, dedup=dedup)
@@ -203,6 +213,49 @@ def _pin(tr, spill_dir: str | None):
         shutil.rmtree(spill_dir)
     tr.write_parquet(spill_dir)
     return rd.read_parquet(spill_dir)
+
+
+def _spill_split(tr, spill_dir: str):
+    """Spill to parquet hive-partitioned on triple scope → (meta, facts).
+
+    ``_scope=doc`` holds doc-scoped triples (a ``conv:`` IRI on either
+    side — globally unique by construction, the dedup bypass stream);
+    ``_scope=fact`` holds corpus-level facts (the only rows that can
+    collide across documents).  Each branch of the downstream dedup
+    reads ONLY its own files — file-level pruning instead of two full
+    scans with per-row filters."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    if os.path.isdir(spill_dir):
+        shutil.rmtree(spill_dir)
+
+    def add_scope(t):
+        doc = pc.or_(pc.starts_with(t["subj"], "conv:"),
+                     pc.starts_with(t["obj"], "conv:"))
+        import pyarrow as pa
+
+        scope = pc.if_else(doc, pa.scalar("doc"), pa.scalar("fact"))
+        return t.append_column("_scope", scope)
+
+    tr.map_batches(add_scope, batch_format="pyarrow", batch_size=None) \
+        .write_parquet(spill_dir, partition_cols=["_scope"])
+
+    def _part(name: str):
+        d = os.path.join(spill_dir, f"_scope={name}")
+        if os.path.isdir(d):
+            # partitioning=None: stop Ray re-inferring _scope from the
+            # directory name — the union downstream needs the clean
+            # TRIPLES_SCHEMA on both sides
+            return rd.read_parquet(d, partitioning=None)
+        import pyarrow as pa
+
+        from pikes_ray.schema import TRIPLES_SCHEMA
+
+        return rd.from_arrow(TRIPLES_SCHEMA.empty_table())
+
+    return _part("doc"), _part("fact")
 
 
 def build_graph_checkpointed(
