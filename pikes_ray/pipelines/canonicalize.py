@@ -352,6 +352,51 @@ def dedup_exact_streams(meta, facts, n_parts: int = 64):
     return deduped.union(meta)
 
 
+def smush_dedup_streams(meta, facts, n_parts: int = 64):
+    """Corpus smush + exact dedup over pre-split streams (the
+    scope-partitioned shard/spill layout).
+
+    Same semantics as ``smush_global`` + ``dedup_exact`` over the
+    union, without ever reconstituting it: every corpus-level sameAs
+    edge lives in ``facts`` (entity:/dbr:/time: on both sides), so the
+    vocabulary-bounded mapping comes from one facts scan; both branches
+    take the broadcast rewrite (scope is invariant under it — conv:
+    IRIs are never aliases); only ``facts`` (+ the alias link rows)
+    goes through the dedup exchange."""
+    mapping = corpus_sameas_mapping(facts)
+    if mapping:
+        ref = ray.put(mapping)
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            return _rewrite_table(batch, ray.get(ref))
+
+        meta = meta.map_batches(rewrite, batch_format="pyarrow",
+                                batch_size=None, num_cpus=2)
+        facts = facts.map_batches(rewrite, batch_format="pyarrow",
+                                  batch_size=None, num_cpus=2)
+    out = dedup_exact_streams(meta, facts, n_parts)
+    if mapping:
+        # rdfpro-smush semantics: keep alias→canonical links (unique by
+        # construction — no need to pass through the dedup exchange)
+        import ray.data as rd
+
+        _pairs = sorted(mapping.items())
+        _graphs = fact_graph_column([a for a, _ in _pairs],
+                                    [_SAMEAS] * len(_pairs),
+                                    [c for _, c in _pairs])
+        alias_rows = [
+            {"conv_id": "", "turn_idx": -1, "subj": alias, "pred": _SAMEAS,
+             "obj": canon, "graph": g, "conf": 0.0}
+            for (alias, canon), g in zip(_pairs, _graphs)
+        ]
+        from pikes_ray.schema import TRIPLES_SCHEMA
+
+        links = rd.from_arrow(
+            pa.Table.from_pylist(alias_rows, schema=TRIPLES_SCHEMA))
+        out = out.union(links)
+    return out
+
+
 def canonicalize_and_dedup(tr, n_parts: int = 64):
     """Fused corpus canonicalization + exact dedup for the flagship path.
 

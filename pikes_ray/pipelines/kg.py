@@ -215,12 +215,25 @@ def _pin(tr, spill_dir: str | None):
     return rd.read_parquet(spill_dir)
 
 
+def _add_scope_batch(t):
+    """Append ``scope`` ∈ {doc, fact}: doc-scoped rows carry a
+    ``conv:`` IRI on either side (globally unique by construction),
+    fact rows are corpus-level and can collide across documents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    doc = pc.or_(pc.starts_with(t["subj"], "conv:"),
+                 pc.starts_with(t["obj"], "conv:"))
+    return t.append_column("scope",
+                           pc.if_else(doc, pa.scalar("doc"), pa.scalar("fact")))
+
+
 def _spill_split(tr, spill_dir: str):
     """Spill to parquet hive-partitioned on triple scope → (meta, facts).
 
-    ``_scope=doc`` holds doc-scoped triples (a ``conv:`` IRI on either
+    ``scope=doc`` holds doc-scoped triples (a ``conv:`` IRI on either
     side — globally unique by construction, the dedup bypass stream);
-    ``_scope=fact`` holds corpus-level facts (the only rows that can
+    ``scope=fact`` holds corpus-level facts (the only rows that can
     collide across documents).  Each branch of the downstream dedup
     reads ONLY its own files — file-level pruning instead of two full
     scans with per-row filters."""
@@ -231,21 +244,13 @@ def _spill_split(tr, spill_dir: str):
     if os.path.isdir(spill_dir):
         shutil.rmtree(spill_dir)
 
-    def add_scope(t):
-        doc = pc.or_(pc.starts_with(t["subj"], "conv:"),
-                     pc.starts_with(t["obj"], "conv:"))
-        import pyarrow as pa
-
-        scope = pc.if_else(doc, pa.scalar("doc"), pa.scalar("fact"))
-        return t.append_column("_scope", scope)
-
-    tr.map_batches(add_scope, batch_format="pyarrow", batch_size=None) \
-        .write_parquet(spill_dir, partition_cols=["_scope"])
+    tr.map_batches(_add_scope_batch, batch_format="pyarrow", batch_size=None) \
+        .write_parquet(spill_dir, partition_cols=["scope"])
 
     def _part(name: str):
-        d = os.path.join(spill_dir, f"_scope={name}")
+        d = os.path.join(spill_dir, f"scope={name}")
         if os.path.isdir(d):
-            # partitioning=None: stop Ray re-inferring _scope from the
+            # partitioning=None: stop Ray re-inferring scope from the
             # directory name — the union downstream needs the clean
             # TRIPLES_SCHEMA on both sides
             return rd.read_parquet(d, partitioning=None)
@@ -274,15 +279,48 @@ def build_graph_checkpointed(
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
 
     def per_shard(shard_files):
-        return transcripts_to_graph(rd.read_parquet(shard_files), cfg,
-                                    canonicalize=False, dedup=False)
+        tr = transcripts_to_graph(rd.read_parquet(shard_files), cfg,
+                                  canonicalize=False, dedup=False)
+        return tr.map_batches(_add_scope_batch, batch_format="pyarrow",
+                              batch_size=None)
 
-    summary = run_checkpointed(files, out_dir, per_shard, n_shards=n_shards)
+    # shards are hive-partitioned by triple scope so the finalize pass
+    # prunes at the file level (same layout as _spill_split)
+    summary = run_checkpointed(files, out_dir, per_shard, n_shards=n_shards,
+                               partition_cols=["scope"])
 
-    shard_files = sorted(glob.glob(os.path.join(out_dir, "shard-*", "*.parquet")))
-    tr = rd.read_parquet(shard_files)
-    tr = smush_global(tr)
-    tr = dedup_exact(tr)
+    def _scope_ds(name: str):
+        import pyarrow.compute as _pc
+
+        # glob the files, not the dirs: a LIST of paths goes to
+        # pq.ParquetDataset verbatim (no directory expansion)
+        fs = sorted(glob.glob(os.path.join(out_dir, "shard-*",
+                                           f"scope={name}", "*.parquet")))
+        # a shard written flat (an older run, or a caller's own
+        # run_checkpointed without partition_cols) still contributes —
+        # filter it by scope at read instead of dropping it
+        flat = sorted(glob.glob(os.path.join(out_dir, "shard-*", "*.parquet")))
+        ds = rd.read_parquet(fs, partitioning=None) if fs else None
+        if flat:
+            want_doc = (name == "doc")
+
+            def scope_filter(t):
+                doc = _pc.or_(_pc.starts_with(t["subj"], "conv:"),
+                              _pc.starts_with(t["obj"], "conv:"))
+                return t.filter(doc if want_doc else _pc.invert(doc))
+
+            f = rd.read_parquet(flat).map_batches(
+                scope_filter, batch_format="pyarrow", batch_size=None)
+            ds = f if ds is None else ds.union(f)
+        if ds is not None:
+            return ds
+        from pikes_ray.schema import TRIPLES_SCHEMA
+
+        return rd.from_arrow(TRIPLES_SCHEMA.empty_table())
+
+    from pikes_ray.pipelines.canonicalize import smush_dedup_streams
+
+    tr = smush_dedup_streams(_scope_ds("doc"), _scope_ds("fact"))
     if sort_output:
         # O2 stable output ordering (conv_id, turn_idx) — an explicit
         # all-to-all range sort; off by default (provenance columns

@@ -53,10 +53,14 @@ def run_checkpointed(
     out_dir: str,
     pipeline_fn: Callable,          # list[str] paths → ray.data.Dataset (triples)
     n_shards: int = 8,
+    partition_cols: list[str] | None = None,
 ) -> dict:
     """Run ``pipeline_fn`` per input shard, skipping completed shards.
 
-    Returns the run summary (shards done / skipped, row totals).
+    ``partition_cols`` hive-partitions each shard's parquet output
+    (e.g. by triple scope so the finalize pass can prune at the file
+    level).  Returns the run summary (shards done / skipped, row
+    totals).
     """
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
     shards = shard_inputs(input_files, n_shards)
@@ -86,7 +90,7 @@ def run_checkpointed(
             shutil.rmtree(shard_dir)
         t0 = time.perf_counter()
         ds = pipeline_fn(files)
-        ds.write_parquet(shard_dir)
+        ds.write_parquet(shard_dir, partition_cols=partition_cols)
         import pyarrow.dataset as pads
 
         rows = pads.dataset(shard_dir).count_rows()
