@@ -247,15 +247,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
     def emb_knn_ivf(sf_dir):
+        # the synthetic embeddings are near-orthogonal (no cluster
+        # structure — the adversarial case for any ANN index), so the
+        # dials sit at the measured recall knee: nprobe=6/16 cells →
+        # 40/50 overlap with brute at sf0.01 (real clustered embeddings
+        # recall far higher at the same scan fraction)
         Q, qids = _queries_mat(sf_dir)
         out = K.knn_ivf(_embs(sf_dir), Q, qids, k=10,
-                        n_clusters=16, nprobe=4).to_pandas()
+                        n_clusters=16, nprobe=6).to_pandas()
         out = out[["query_id", "vec_id", "rank"]].astype("int64")
         return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
     def emb_knn_lsh(sf_dir):
+        # multiprobe=3 → hamming-≤3 probing (42/64 buckets), 39/50
+        # overlap with brute on the clusterless synthetic data; see
+        # emb_knn_ivf note
         Q, qids = _queries_mat(sf_dir)
-        out = K.knn_lsh(_embs(sf_dir), Q, qids, k=10, multiprobe=2).to_pandas()
+        out = K.knn_lsh(_embs(sf_dir), Q, qids, k=10, multiprobe=3).to_pandas()
         out = out[["query_id", "vec_id", "rank"]].astype("int64")
         return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
