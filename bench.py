@@ -24,6 +24,54 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _probe_task_cpus(ncpus: int) -> int:
+    """Measure whether the node actually delivers ``ncpus`` of memory
+    bandwidth before claiming them.
+
+    Shared-host boots of this sandbox sometimes saturate well below the
+    vCPU count for memory-bound work (BASELINE.md session-5 forensics:
+    a 32-way run can be SLOWER than 16-way while pure arithmetic scales
+    fine).  The probe runs a short memory-stress at full and half
+    parallelism; if full-width adds <15% aggregate throughput, each
+    annotation task claims 2 logical CPUs so the scheduler stops
+    oversubscribing the memory controllers.  Untimed (runs before the
+    measured section); decision logged."""
+    if ncpus < 24:
+        return 1
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def stress(n_iters_out):
+        a = np.zeros(4_000_000)               # ~32 MB, cheap to build
+        import time as _t
+
+        t0 = _t.perf_counter()
+        n = 0
+        while _t.perf_counter() - t0 < 1.0:
+            b = a + 1.0                       # streaming read+write
+            n += 1
+        n_iters_out.put(n)
+
+    def agg(workers: int) -> int:
+        q = mp.Queue()
+        ps = [mp.Process(target=stress, args=(q,), daemon=True)
+              for _ in range(workers)]
+        [p.start() for p in ps]
+        [p.join(timeout=30) for p in ps]
+        total = 0
+        while not q.empty():
+            total += q.get()
+        return total
+
+    full, half = agg(ncpus), agg(ncpus // 2)
+    ratio = full / max(half, 1)
+    cpus = 1 if ratio >= 1.15 else 2
+    log(f"bandwidth probe: {ncpus}-way/{ncpus // 2}-way throughput ratio "
+        f"{ratio:.2f} → task_num_cpus={cpus}")
+    return cpus
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -76,9 +124,12 @@ def run_bench() -> dict:
         log(f"  {name}: {dt}s")
         return out
 
+    task_cpus = _probe_task_cpus(ncpus)   # untimed bandwidth probe
+
     # headline: the flagship KG-construction pipeline
     t0 = time.perf_counter()
-    tr = transcripts_to_graph(tdir, concurrency=(2, max(2, ncpus - 2)))
+    tr = transcripts_to_graph(tdir, concurrency=(2, max(2, ncpus - 2)),
+                              task_num_cpus=task_cpus)
     n_triples = tr.count()
     kg_sec = round(time.perf_counter() - t0, 3)
     queries["kg_build"] = kg_sec

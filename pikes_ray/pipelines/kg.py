@@ -133,8 +133,14 @@ def transcripts_to_graph(
     fused: bool = True,
     batch_size: int = 256,
     spill_dir: str | None = None,
+    task_num_cpus: int = 1,
 ):
     """Full pipeline. ``source`` = Dataset or parquet dir.
+
+    ``task_num_cpus`` is the logical-CPU claim per annotation task —
+    raise it to 2 on nodes whose delivered memory bandwidth saturates
+    below the vCPU count (measure first: bench.py's probe does), so the
+    scheduler stops oversubscribing the memory controllers.
 
     ``fused=True`` (default) runs the single-pass KGStage actor pool;
     ``fused=False`` runs the composable per-layer stages (same output).
@@ -163,7 +169,7 @@ def transcripts_to_graph(
                 kg_stage_task,
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                num_cpus=1,
+                num_cpus=task_num_cpus,
             )
         else:
             from pikes_ray.stages.fused import KGStage
@@ -174,7 +180,7 @@ def transcripts_to_graph(
                 batch_format="pyarrow",
                 batch_size=batch_size,
                 concurrency=concurrency,
-                num_cpus=1,
+                num_cpus=task_num_cpus,
             )
         # corpus canonicalization already ran inline in KGStage (static
         # gazetteer map; the dynamic smush path below serves un-pinned
