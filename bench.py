@@ -125,6 +125,9 @@ def run_bench() -> dict:
         return out
 
     task_cpus = _probe_task_cpus(ncpus)   # untimed bandwidth probe
+    from pikes_ray import runtime as _rt
+
+    _rt.set_task_num_cpus(task_cpus)      # sketch stages read the knob too
 
     # headline: the flagship KG-construction pipeline
     t0 = time.perf_counter()

@@ -130,7 +130,10 @@ def minhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({id_col: df[id_col].values,
                              "sig": [s.tolist() for s in sigs]})
 
-    return ds.map_batches(stage, batch_format="pandas")
+    from pikes_ray.runtime import task_num_cpus
+
+    return ds.map_batches(stage, batch_format="pandas",
+                          num_cpus=task_num_cpus())
 
 
 def _band_hash_frame(df: pd.DataFrame, id_col: str, bands: int,
@@ -387,7 +390,10 @@ def simhash_signatures(ds, col: str = "text", id_col: str = "doc_id"):
             "simhash": np.array([_simhash64(t) for t in df[col].fillna("")],
                                 dtype=np.uint64).astype(np.int64),
         })
-    return ds.map_batches(stage, batch_format="pandas")
+    from pikes_ray.runtime import task_num_cpus
+
+    return ds.map_batches(stage, batch_format="pandas",
+                          num_cpus=task_num_cpus())
 
 
 def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",

@@ -133,14 +133,15 @@ def transcripts_to_graph(
     fused: bool = True,
     batch_size: int = 256,
     spill_dir: str | None = None,
-    task_num_cpus: int = 1,
+    task_num_cpus: int | None = None,
 ):
     """Full pipeline. ``source`` = Dataset or parquet dir.
 
     ``task_num_cpus`` is the logical-CPU claim per annotation task —
     raise it to 2 on nodes whose delivered memory bandwidth saturates
     below the vCPU count (measure first: bench.py's probe does), so the
-    scheduler stops oversubscribing the memory controllers.
+    scheduler stops oversubscribing the memory controllers.  Default:
+    the driver-wide ``pikes_ray.runtime.task_num_cpus()`` knob.
 
     ``fused=True`` (default) runs the single-pass KGStage actor pool;
     ``fused=False`` runs the composable per-layer stages (same output).
@@ -159,6 +160,10 @@ def transcripts_to_graph(
         spill_dir = _auto_spill_dir(source)
     if concurrency is None:
         concurrency = _auto_concurrency()
+    if task_num_cpus is None:
+        from pikes_ray.runtime import task_num_cpus as _rt_cpus
+
+        task_num_cpus = _rt_cpus()
     if fused:
         if cfg is None:
             # default config → stateless tasks + per-process model cache
