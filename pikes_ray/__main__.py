@@ -38,7 +38,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="pikes_ray")
     p.add_argument("command", choices=["ingest", "annotate", "extract",
                                        "canonicalize", "materialize", "eval",
-                                       "stats", "bench", "serve"])
+                                       "stats", "bench", "serve", "pipeline"])
+    p.add_argument("--config", help="pipeline: JSON PipelineSpec file")
     p.add_argument("--input")
     p.add_argument("--out")
     p.add_argument("--pred")
@@ -112,6 +113,17 @@ def main(argv=None):
 
             ds = annotate_transcripts(rd.read_parquet(args.input))
             print(corpus_statistics(ds).to_json(orient="records"))
+        elif args.command == "pipeline":
+            # config-driven composition (§2.10 properties-file surface):
+            # the JSON file parses straight into a PipelineSpec
+            from pikes_ray.extension import PipelineSpec, build_pipeline
+
+            with open(args.config) as f:
+                spec = PipelineSpec.from_dict(json.load(f))
+            ds = build_pipeline(rd.read_parquet(args.input), spec)
+            ds.write_parquet(args.out)
+            print(json.dumps({"rows": ds.count(), "out": args.out,
+                              "stages": [s.stage for s in spec.stages]}))
         elif args.command == "bench":
             import os
 

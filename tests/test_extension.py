@@ -77,3 +77,28 @@ def test_builtin_chain_equals_staged_pipeline(ray_session):
     g = set(map(tuple, got[key].itertuples(index=False)))
     w = set(map(tuple, want[key].itertuples(index=False)))
     assert g == w and len(g)
+
+
+def test_cli_pipeline_subcommand(tmp_path):
+    """`python -m pikes_ray pipeline --config spec.json` — the
+    properties-file surface end-to-end (own Ray session, subprocess)."""
+    import json
+    import subprocess
+    import sys
+
+    from pikes_ray.sources.transcripts import transcripts_dir
+
+    spec = tmp_path / "spec.json"
+    spec.write_text(json.dumps(
+        {"stages": [{"stage": "normalize"}]}))
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "pikes_ray", "pipeline",
+         "--config", str(spec), "--input", transcripts_dir("unit"),
+         "--out", str(out), "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo", env={**__import__("os").environ,
+                               "RAY_ADDRESS": "local"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["rows"] > 0 and res["stages"] == ["normalize"]
