@@ -190,7 +190,10 @@ def hash_join(
                     merged[oc] = merged[oc].astype("boolean")
         return merged[lcols + out_rcols]
 
-    return u.groupby("_part").map_groups(per_part, batch_format="pandas")
+    from pikes_ray.runtime import task_num_cpus
+
+    return u.groupby("_part").map_groups(per_part, batch_format="pandas",
+                                         num_cpus=task_num_cpus())
 
 
 def asof_join(
@@ -245,7 +248,10 @@ def asof_join(
                     merged[c] = merged[c].astype(rf[c].dtype)
         return merged[lcols + out_rcols]
 
-    return u.groupby("_part").map_groups(per_part, batch_format="pandas")
+    from pikes_ray.runtime import task_num_cpus
+
+    return u.groupby("_part").map_groups(per_part, batch_format="pandas",
+                                         num_cpus=task_num_cpus())
 
 
 def range_join_agg(
@@ -310,4 +316,7 @@ def range_join_agg(
             return empty
         return pd.concat(outs, ignore_index=True)
 
-    return u.groupby("_part").map_groups(per_part, batch_format="pandas")
+    from pikes_ray.runtime import task_num_cpus
+
+    return u.groupby("_part").map_groups(per_part, batch_format="pandas",
+                                         num_cpus=task_num_cpus())

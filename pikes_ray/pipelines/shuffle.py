@@ -71,9 +71,12 @@ def partitioned_group_map(
             return g.head(0)
         return pd.concat(outs, ignore_index=True)
 
+    from pikes_ray.runtime import task_num_cpus
+
     return ds.map_batches(
         lambda df: _with_part(df, key_cols, n_parts), batch_format="pandas"
-    ).groupby("_part").map_groups(per_part, batch_format="pandas")
+    ).groupby("_part").map_groups(per_part, batch_format="pandas",
+                                  num_cpus=task_num_cpus())
 
 
 def connected_components(edges, max_rounds: int = 25,
