@@ -74,15 +74,34 @@ def _placeholder_series(n: int, t: pa.DataType) -> pd.Series:
     return pd.Series([""] * n, dtype=object)
 
 
-def _conform_and_union(left, right, key: str, n_parts: int):
+def _types_of(ds) -> dict[str, pa.DataType]:
+    """Column name → Arrow type from ``ds.schema()``.
+
+    Must be called on a dataset that still has a schema — Ray 2.49
+    drops the schema of an EMPTY dataset as soon as a map/project
+    transform runs over it (zero output blocks → nothing to infer
+    from), so callers capture types from their raw inputs up front.
+    """
+    s = ds.schema()
+    if s is None:
+        raise ValueError(
+            "dataset has no schema; pass typed empty inputs "
+            "(e.g. from_pandas with dtyped columns)")
+    return {n: _arrow_type(t) for n, t in zip(s.names, s.types)}
+
+
+def _conform_and_union(left, right, key: str, n_parts: int,
+                       ltypes: dict | None = None,
+                       rtypes: dict | None = None):
     """Tag sides, pad each to the union schema, hash-bucket the key.
 
     Returns the unioned dataset with columns ``_side``, ``_part`` and
-    the union of both sides' columns.
+    the union of both sides' columns.  ``ltypes``/``rtypes`` are the
+    name→Arrow-type maps of each side, captured by the caller BEFORE
+    any transform (empty datasets lose their schema after one).
     """
-    lschema, rschema = left.schema(), right.schema()
-    ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
-    rtypes = {n: _arrow_type(t) for n, t in zip(rschema.names, rschema.types)}
+    ltypes = ltypes if ltypes is not None else _types_of(left)
+    rtypes = rtypes if rtypes is not None else _types_of(right)
     # columns missing from each side, with the OTHER side's type
     pad_l = {c: t for c, t in rtypes.items() if c not in ltypes}
     pad_r = {c: t for c, t in ltypes.items() if c not in rtypes}
@@ -148,13 +167,16 @@ def hash_join(
     → Dataset, one row per surviving (left row × match).
     """
     right_on = right_on or on
+    ltypes = _types_of(left)
+    rtypes = _types_of(right)  # before any transform: empty ds loses schema
     if right_on != on:
         # not Dataset.rename_columns: its Project op breaks on
         # pandas-backed blocks in Ray 2.49 (calls the pandas API)
         right = right.map_batches(
             lambda df, _old=right_on, _new=on: df.rename(columns={_old: _new}),
             batch_format="pandas")
-    rnames = [c for c in right.schema().names if c != on]
+        rtypes = {(on if c == right_on else c): t for c, t in rtypes.items()}
+    rnames = [c for c in rtypes if c != on]
     if right_cols is None:
         right_cols = rnames
     if how in ("semi", "anti"):
@@ -163,14 +185,15 @@ def hash_join(
     else:
         carry = list(dict.fromkeys(right_cols))
         right = right.select_columns([on] + carry)
-    u = _conform_and_union(left, right, on, n_parts)
-    lcols = list(left.schema().names)
+    rtypes = {c: rtypes[c] for c in [on] + carry}
+    u = _conform_and_union(left, right, on, n_parts,
+                           ltypes=ltypes, rtypes=rtypes)
+    lcols = list(ltypes)
     rename = {c: f"{c}_r" for c in carry if c in lcols}
     out_rcols = [rename.get(c, c) for c in carry]
     # right dtypes recorded up front so `left` can emit nullable
     # columns with a bucket-invariant schema
-    rschema = right.schema()
-    rkinds = {c: _arrow_type(t) for c, t in zip(rschema.names, rschema.types)}
+    rkinds = rtypes
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["_side"] == 0][lcols]
@@ -221,10 +244,13 @@ def asof_join(
     """
     right_id = right_id or right_cols[0]
     carry = list(dict.fromkeys(right_cols + [right_id, right_on]))
+    ltypes = _types_of(left)
+    rtypes = _types_of(right)
+    rsel = list(dict.fromkeys([key] + carry))
     u = _conform_and_union(
-        left, right.select_columns(list(dict.fromkeys([key] + carry))),
-        key, n_parts)
-    lcols = [c for c in left.schema().names]
+        left, right.select_columns(rsel), key, n_parts,
+        ltypes=ltypes, rtypes={c: rtypes[c] for c in rsel})
+    lcols = list(ltypes)
     rename = {c: f"{c}_r" for c in carry if c in lcols and c != key}
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -279,10 +305,12 @@ def range_join_agg(
 
     → Dataset[left columns + count_as (+ sum_as)].
     """
-    rcols = [key, right_on] + ([sum_col] if sum_col else [])
-    u = _conform_and_union(left, right.select_columns(list(dict.fromkeys(rcols))),
-                           key, n_parts)
-    lcols = [c for c in left.schema().names]
+    rcols = list(dict.fromkeys([key, right_on] + ([sum_col] if sum_col else [])))
+    ltypes = _types_of(left)
+    rtypes = _types_of(right)
+    u = _conform_and_union(left, right.select_columns(rcols), key, n_parts,
+                           ltypes=ltypes, rtypes={c: rtypes[c] for c in rcols})
+    lcols = list(ltypes)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["_side"] == 0][lcols]

@@ -188,3 +188,49 @@ def test_customers_without_orders_hash_join_path(ray_session):
     bc = customers_without_orders(sf)
     hj = customers_without_orders(sf, broadcast_key_limit=0)
     pd.testing.assert_frame_equal(bc, hj)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+def _pd_reference(l, r, how):
+    rr = r.rename(columns={"rk": "k"})[["k", "rv"]]
+    if how == "semi":
+        return l[l["k"].isin(set(rr["k"]))]
+    if how == "anti":
+        return l[~l["k"].isin(set(rr["k"]))]
+    return l.merge(rr, on="k", how=how)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    lkeys=st.lists(st.integers(0, 6), min_size=0, max_size=12),
+    rkeys=st.lists(st.integers(0, 8), min_size=0, max_size=12),
+    how=st.sampled_from(["inner", "left", "semi", "anti"]),
+)
+def test_hash_join_matches_pandas(ray_session, lkeys, rkeys, how):
+    """hash_join row-multiset equals the pandas merge reference for
+    random key multisets across every join mode (duplicates, empty
+    sides, all-unmatched included)."""
+    l = pd.DataFrame({"k": pd.Series(lkeys, dtype="int64"),
+                      "lv": [f"l{i}" for i in range(len(lkeys))]})
+    r = pd.DataFrame({"rk": pd.Series(rkeys, dtype="int64"),
+                      "rv": pd.Series(range(len(rkeys)), dtype="int64")})
+    from pikes_ray.ops.joins import hash_join
+
+    got = hash_join(rd.from_pandas(l), rd.from_pandas(r),
+                    on="k", right_on="rk", how=how, n_parts=4).to_pandas()
+    want = _pd_reference(l, r, how)
+    cols = list(want.columns)
+    def canon(df):
+        df = df[cols].copy()
+        if "rv" in df and df["rv"].isna().any():
+            df["rv"] = df["rv"].astype("float64")
+        return sorted(map(tuple, df.fillna("∅").itertuples(index=False)))
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        got2 = got.copy()
+        if "rv" in got2 and str(got2["rv"].dtype) == "Int64":
+            got2["rv"] = got2["rv"].astype("float64")
+        assert canon(got2) == canon(want)
