@@ -257,6 +257,28 @@ def _local_dedup(df: pd.DataFrame) -> pd.DataFrame:
     return agg[["conv_id", "turn_idx", "subj", "pred", "obj", "graph", "conf"]]
 
 
+def _tail_cpus() -> int:
+    """CPU claim for the memory-bound tail stages (whole-block scans /
+    rewrites of the triple set).  Driver-side scheduling arg.
+
+    At wide sessions (≥24 CPUs) concurrent page-fault churn from 30+
+    processes mapping object-store blocks shows a 100× per-task CPU
+    spread (BASELINE.md tail-fix forensics: claim 2 cut sf0.1 32-way
+    62.6→31.9 s, and an A/B on a healthy boot still showed a 43 s
+    claim-1 outlier vs a stable ~15 s at claim 2).  At narrower
+    sessions the halved parallelism costs ~35% of the dedup phase, so
+    follow the bandwidth-probe knob (1 on healthy boots)."""
+    try:
+        width = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        width = 8
+    if width >= 24:
+        return 2
+    from pikes_ray.runtime import task_num_cpus
+
+    return task_num_cpus()
+
+
 def _add_partition(df: pd.DataFrame, n_parts: int) -> pd.DataFrame:
     key = df["subj"] + "\x1f" + df["pred"] + "\x1f" + df["obj"] + "\x1f" + df["graph"]
     df = df.copy()
@@ -298,9 +320,9 @@ def dedup_exact(triples, n_parts: int = 64):
         return _add_partition(_local_dedup(t.to_pandas()), n_parts)
 
     meta = triples.map_batches(bypass, batch_format="pyarrow", batch_size=None,
-                               num_cpus=2)
+                               num_cpus=_tail_cpus())
     local = triples.map_batches(combiner, batch_format="pyarrow", batch_size=None,
-                                num_cpus=2)
+                                num_cpus=_tail_cpus())
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         return _local_dedup(g.drop(columns=["_part"]))
@@ -337,7 +359,7 @@ def dedup_exact_streams(meta, facts, n_parts: int = 64):
         return _add_partition(_local_dedup(t.to_pandas()), n_parts)
 
     local = facts.map_batches(combiner, batch_format="pyarrow",
-                              batch_size=None, num_cpus=2)
+                              batch_size=None, num_cpus=_tail_cpus())
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         return _local_dedup(g.drop(columns=["_part"]))
@@ -371,9 +393,9 @@ def smush_dedup_streams(meta, facts, n_parts: int = 64):
             return _rewrite_table(batch, ray.get(ref))
 
         meta = meta.map_batches(rewrite, batch_format="pyarrow",
-                                batch_size=None, num_cpus=2)
+                                batch_size=None, num_cpus=_tail_cpus())
         facts = facts.map_batches(rewrite, batch_format="pyarrow",
-                                  batch_size=None, num_cpus=2)
+                                  batch_size=None, num_cpus=_tail_cpus())
     out = dedup_exact_streams(meta, facts, n_parts)
     if mapping:
         # rdfpro-smush semantics: keep alias→canonical links (unique by
@@ -446,9 +468,9 @@ def canonicalize_and_dedup(tr, n_parts: int = 64):
         return _add_partition(_local_dedup(t.to_pandas()), n_parts)
 
     meta = tr.map_batches(bypass_branch, batch_format="pyarrow", batch_size=None,
-                          num_cpus=2)
+                          num_cpus=_tail_cpus())
     facts = tr.map_batches(facts_branch, batch_format="pyarrow", batch_size=None,
-                           num_cpus=2)
+                           num_cpus=_tail_cpus())
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         return _local_dedup(g.drop(columns=["_part"]))
