@@ -71,8 +71,13 @@ class _DocExtractor:
     """One document's extraction pass (all per-doc state local)."""
 
     def __init__(self, conv_id: str, turn_idx: int, row: dict,
-                 sense_completion: bool = True, per_mention: bool = False):
+                 sense_completion: bool = True, per_mention: bool = False,
+                 opinion_linking: bool = True):
         self.sense_completion = sense_completion
+        # F20 opinionLinking (NAFFilter.java:1485-1519, on by default):
+        # when off, T8 emits bare opinion instances without the
+        # expression/target/holder instance links
+        self.opinion_linking = opinion_linking
         # per_mention: named-entity instances minted per MENTION with
         # owl:sameAs chains (the pre-smush shape of the eval gold:
         # gold.7 syria_1/syria_2 each dbpedia-linked) instead of one
@@ -422,6 +427,8 @@ class _DocExtractor:
             self.fact(op, "rdf:type",
                       "ks:PositiveOpinion" if score > 0 else "ks:NegativeOpinion")
             self.fact(op, "rdfs:label", _lit(tok["lemma"]))
+            if not self.opinion_linking:
+                continue   # F20 off: bare opinion node only
             expr = self.inst_of_head.get(i)
             if expr is not None:
                 self.fact(op, "ks:expression", expr)
@@ -855,7 +862,8 @@ def fill_fact_graphs(subjs: list, preds: list, objs: list,
     return [g if g is not None else next(it) for g in graphs]
 
 
-def extract_batch(batch: pa.Table, per_mention: bool = False) -> pa.Table:
+def extract_batch(batch: pa.Table, per_mention: bool = False,
+                  opinion_linking: bool = True) -> pa.Table:
     """Stateless map_batches fn: annotated rows → exploded triple rows."""
     rows = batch.to_pylist()
     conv_ids: list[str] = []
@@ -867,7 +875,8 @@ def extract_batch(batch: pa.Table, per_mention: bool = False) -> pa.Table:
     confs: list[float] = []
     for row in rows:
         ex = _DocExtractor(row["conv_id"], row["turn_idx"], row,
-                           per_mention=per_mention)
+                           per_mention=per_mention,
+                           opinion_linking=opinion_linking)
         for (s, p, o, g, c) in ex.run():
             conv_ids.append(row["conv_id"])
             turn_idxs.append(row["turn_idx"])

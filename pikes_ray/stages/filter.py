@@ -45,7 +45,12 @@ class FilterConfig:
     srl_predicate_addition: bool = True     # F12 (:1189-1244)
     srl_self_arg_fixing: bool = True        # F13 (:1246-1308)
     srl_role_linking: bool = True           # F16 (:1462-1483)
+    coref_for_role_dependencies: bool = False  # F18 (:895-983, off by default)
     coref_span_fixing: bool = False         # F19 (off by default)
+    opinion_linking: bool = True            # F20 (:1485-1519) — consumed by
+                                            #     the extractor: T8 links
+                                            #     expression/target/holder
+                                            #     heads to instances
 
 
 def _span_terms(tokens: list[dict], s: int, e: int) -> list[dict]:
@@ -288,18 +293,6 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
                 if surface in lx.LINKING_STOPWORDS:
                     e["link"], e["link_conf"] = "", 0.0
 
-    # F19 corefSpanFixing — drop coref spans without a valid in-range
-    # head and clusters left with < 2 spans (applyCorefSpanFixing,
-    # NAFFilter.java:783-861; off by default like the reference)
-    if cfg.coref_span_fixing:
-        fixed_corefs = []
-        for cluster in corefs:
-            spans = [s for s in cluster
-                     if 0 <= s["start"] < s["end"] <= len(tokens)]
-            if len(spans) >= 2:
-                fixed_corefs.append(spans)
-        corefs = fixed_corefs
-
     # F16 srlRoleLinking — set role heads; snap role spans to an entity
     # sharing the head term (PARTICIPATION walk analogue, :1462-1483).
     if cfg.srl_role_linking:
@@ -311,6 +304,101 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
                 ent = ent_by_last.get(r["head"])
                 if ent is not None and ent["start"] >= r["start"]:
                     r["start"], r["end"] = ent["start"], ent["end"]
+
+    # F18 corefForRoleDependencies — add a coref cluster linking a
+    # proper name to the appositive/title/premodified role noun it
+    # fills, when the role noun is backed by a NomBank roleset with
+    # declared args (applyCorefForRoleDependencies, NAFFilter.java:
+    # 895-983; off by default like the reference).  The reference
+    # matches APPO|TITLE|NMOD dep labels; our dep inventory carries
+    # the name↔role attachment as NMOD.
+    if cfg.coref_for_role_dependencies:
+        coord_children: dict[int, list[int]] = {}
+        conj_children: dict[int, list[int]] = {}
+        for d in ann["deps"]:
+            if d["rfunc"] == "COORD":
+                coord_children.setdefault(d["frm"], []).append(d["to"])
+            elif d["rfunc"] == "CONJ":
+                conj_children.setdefault(d["frm"], []).append(d["to"])
+
+        def _coord_expand(t: int) -> list[int]:
+            # ≙ getTermsByDepAncestors({t}, "(COORD CONJ?)*")
+            out, stack, seen = [], [t], set()
+            while stack:
+                n = stack.pop()
+                if n in seen:
+                    continue
+                seen.add(n)
+                out.append(n)
+                for c in coord_children.get(n, ()):
+                    stack.append(c)
+                    stack.extend(conj_children.get(c, ()))
+            return sorted(out)
+
+        nominal_heads = {p["head"] for p in predicates if p["source"] == "nominal"}
+        ent_span_of = {}
+        for e in entities:
+            for k in range(e["start"], e["end"]):
+                ent_span_of.setdefault(k, (e["start"], e["end"]))
+        for d in ann["deps"]:
+            if d["rfunc"] != "NMOD":
+                continue
+            f, t = d["frm"], d["to"]
+            if f >= len(tokens) or t >= len(tokens):
+                continue
+            pos_f, pos_t = tokens[f]["morphofeat"], tokens[t]["morphofeat"]
+            # name = the proper-noun side, role = the plain-noun side;
+            # the reference accepts the reversed direction only for
+            # APPO, which our inventory does not emit
+            if pos_f.startswith("NNP") and pos_t.startswith("NN") \
+                    and not pos_t.startswith("NNP"):
+                name_t, role_t = f, t
+            else:
+                continue
+            # already coreferential? (≙ the hasHead pair check)
+            if any(any(s["start"] <= name_t < s["end"] for s in cl)
+                   and any(s["start"] <= role_t < s["end"] for s in cl)
+                   for cl in corefs):
+                continue
+            # the role noun must carry an actual NomBank roleset with
+            # declared mandatory/optional args (:927-944)
+            if role_t not in nominal_heads:
+                continue
+            nb_id = lx.NOUN_FRAMES.get(tokens[role_t]["lemma"], (None,))[0]
+            args = lx.NOUN_SELF_ARGS.get(nb_id)
+            if args is None or not (args[0] or args[1]):
+                continue
+            role_heads = _coord_expand(role_t)
+            name_heads = _coord_expand(name_t)
+            if any(not tokens[h]["morphofeat"].startswith("NNP")
+                   for h in name_heads):
+                continue
+            # plural agreement: one name ↔ singular role, many ↔ plural
+            bad = False
+            for h in role_heads:
+                plural = tokens[h]["morphofeat"].endswith("S")
+                if (len(name_heads) == 1 and plural) \
+                        or (len(name_heads) > 1 and not plural):
+                    bad = True
+                    break
+            if bad:
+                continue
+            ns, ne = ent_span_of.get(name_t, (name_t, name_t + 1))
+            cluster = [{"start": ns, "end": ne}]
+            cluster += [{"start": h, "end": h + 1} for h in role_heads]
+            corefs.append(cluster)
+
+    # F19 corefSpanFixing — drop coref spans without a valid in-range
+    # head and clusters left with < 2 spans (applyCorefSpanFixing,
+    # NAFFilter.java:783-861; off by default like the reference)
+    if cfg.coref_span_fixing:
+        fixed_corefs = []
+        for cluster in corefs:
+            spans = [s for s in cluster
+                     if 0 <= s["start"] < s["end"] <= len(tokens)]
+            if len(spans) >= 2:
+                fixed_corefs.append(spans)
+        corefs = fixed_corefs
 
     return {**ann, "entities": entities, "predicates": predicates, "corefs": corefs}
 

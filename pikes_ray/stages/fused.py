@@ -84,7 +84,8 @@ class KGStage:
                    "quarantined": quarantined, **ann}
             ex = _DocExtractor(conv[i], turn[i], row,
                                sense_completion=self.cfg.term_sense_completion,
-                               per_mention=self.per_mention)
+                               per_mention=self.per_mention,
+                               opinion_linking=self.cfg.opinion_linking)
             try:
                 triples = ex.run()
             except Exception:

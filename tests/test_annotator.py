@@ -404,3 +404,65 @@ def test_m7_semafor_second_source_merge(model):
     war_subjs = set(tr[tr.obj == "fn:Hostile_encounter"].subj)
     assert not any(o.startswith("pb:")
                    for o in tr[tr.subj.isin(war_subjs)].obj)
+
+
+def test_f18_coref_for_role_dependencies_flag(model):
+    """F18 adds a coref cluster linking a proper name to the NMOD role
+    noun it fills when the noun carries a NomBank roleset with declared
+    args (applyCorefForRoleDependencies, NAFFilter.java:895-983; off by
+    default like the reference)."""
+    import copy
+
+    a = model.annotate("The government official Karim announced the launch.")
+    on = filter_document(copy.deepcopy(a),
+                         FilterConfig(coref_for_role_dependencies=True))
+    off = filter_document(copy.deepcopy(a), FilterConfig())
+    # name span (Karim) clustered with the role-noun span (official)
+    karim = next(i for i, t in enumerate(on["tokens"]) if t["form"] == "Karim")
+    official = next(i for i, t in enumerate(on["tokens"])
+                    if t["form"] == "official")
+    assert any(
+        any(s["start"] <= karim < s["end"] for s in cl)
+        and any(s["start"] <= official < s["end"] for s in cl)
+        for cl in on["corefs"])
+    assert off["corefs"] == a["corefs"]  # default off: unchanged
+
+    # plural role + single name aborts (:960-966 agreement check)
+    b = model.annotate("The presidents Karim announced the launch.")
+    on_b = filter_document(copy.deepcopy(b),
+                           FilterConfig(coref_for_role_dependencies=True))
+    presidents = next(i for i, t in enumerate(on_b["tokens"])
+                      if t["form"] == "presidents")
+    assert not any(
+        any(s["start"] <= presidents < s["end"] for s in cl)
+        for cl in on_b["corefs"])
+
+
+def test_f20_opinion_linking_flag(model):
+    """F20 opinionLinking (on by default, NAFFilter.java:1485-1519):
+    links the opinion's expression/target/holder heads to instances.
+    Off → bare typed opinion nodes, no links."""
+    import copy
+
+    from pikes_ray.stages.extract import _DocExtractor
+
+    a = model.annotate("Alice praised the excellent report.")
+    a = filter_document(a, FilterConfig())
+    row = {"conv_id": "c", "turn_idx": 0, "role": "user",
+           "text": "Alice praised the excellent report.", "tool": "",
+           "ts": __import__("datetime").datetime(2024, 1, 1), "quarantined": False, **a}
+
+    def triples(opinion_linking):
+        ex = _DocExtractor("c", 0, copy.deepcopy(row),
+                           opinion_linking=opinion_linking)
+        return [(s, p, o) for (s, p, o, _g, _c) in ex.run()]
+
+    on, off = triples(True), triples(False)
+    on_preds = {p for (_s, p, _o) in on}
+    off_preds = {p for (_s, p, _o) in off}
+    assert "ks:expression" in on_preds
+    assert "ks:expression" not in off_preds
+    assert "ks:target" not in off_preds
+    assert "ks:holder" not in off_preds
+    # the typed opinion node itself survives either way
+    assert any(o == "ks:Opinion" for (_s, p, o) in off if p == "rdf:type")
