@@ -24,8 +24,20 @@ Query inventory (↔ SURVEY.md §2):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
+
+# the testdata parquet carries pandas schema metadata that trips a
+# benign-but-noisy "Failed to hash the schemas" warning inside Ray's
+# read tasks; point workers at the ERROR-only console logging config
+# (same as bench.py).  setdefault at import time: the driver inits Ray
+# before importing this module, but worker processes spawn lazily on
+# the first dataset execution and inherit the env then.
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "tools", "ray_data_logging_quiet.yaml"))
 
 _KG_CACHE: dict[str, Any] = {}
 
