@@ -252,6 +252,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         p = p[["a", "b"]].astype("int64")
         return p.sort_values(["a", "b"]).reset_index(drop=True)
 
+    def emb_near_dup_exact(sf_dir):
+        # brute-force float64 all-pairs baseline (no LSH, no seed):
+        # the exact counterpart oracle-anchoring the near-dup family
+        p = D.embedding_near_dup_exact(_embs(sf_dir), threshold=0.45).to_pandas()
+        if p.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        p = p[["a", "b"]].astype("int64")
+        return p.sort_values(["a", "b"]).reset_index(drop=True)
+
     def emb_knn_brute(sf_dir):
         Q, qids = _queries_mat(sf_dir)
         out = K.knn_brute(_embs(sf_dir), Q, qids, k=10).to_pandas()
@@ -341,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dedup": doc_minhash_dedup,
         "doc_simhash_pairs": doc_simhash_pairs,
         "emb_near_dup": emb_near_dup,
+        "emb_near_dup_exact": emb_near_dup_exact,
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
         "emb_knn_ivf": emb_knn_ivf,
@@ -528,6 +539,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings q, embeddings v
             WHERE q.vec_id < v.vec_id
               AND list_cosine_similarity(q.embedding, v.embedding) >= 0.48
+            ORDER BY a, b
+        """,
+        "emb_near_dup_exact": """
+            SELECT q.vec_id::BIGINT AS a, v.vec_id::BIGINT AS b
+            FROM embeddings q, embeddings v
+            WHERE q.vec_id < v.vec_id
+              AND list_cosine_similarity(q.embedding, v.embedding) >= 0.45
             ORDER BY a, b
         """,
         "doc_token_stats": f"""

@@ -542,3 +542,49 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
         pairs.map_batches(lambda d: d.drop_duplicates(["a", "b"]),
                           batch_format="pandas"),
         ["a", "b"], lambda g: g.head(1))
+
+
+def embedding_near_dup_exact(ds, threshold: float = 0.95,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id"):
+    """Exact all-pairs cosine near-dup — the brute-force verification
+    baseline for ``embedding_near_dup_pairs`` (and the oracle anchor:
+    precisely the SQL ``a JOIN b ON a.id < b.id WHERE
+    list_cosine_similarity(...) >= t``).  → Dataset[a, b, cos].
+
+    Shape: the id-sorted normalized matrix is broadcast ONCE via
+    ``ray.put`` (read per task from the object store, never re-shipped
+    per batch) and every block computes its-rows × full-matrix in one
+    float64 matmul, emitting only ``a_id < b_id`` pairs — the O(n²)
+    similarity work parallelizes linearly over blocks with no shuffle.
+
+    SCALE BOUND (documented by design): the broadcast side is the whole
+    embedding table, so this is for corpora whose (n × d) float64
+    matrix fits a worker's heap — the verification/oracle regime.  At
+    100-TB corpus scale use the banded-LSH ``embedding_near_dup_pairs``
+    (sub-quadratic candidates, bounded buckets).
+    """
+    import ray
+
+    ref_df = ds.select_columns([id_col, vec_col]).to_pandas()
+    ref_df = ref_df.sort_values(id_col)
+    M = np.asarray(ref_df[vec_col].tolist(), dtype=np.float64)
+    M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-12, None)
+    all_ids = ref_df[id_col].to_numpy()
+    ref = ray.put((all_ids, M.T.copy()))   # transposed once for the matmul
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids_all, MT = ray.get(ref)
+        V = np.asarray(df[vec_col].tolist(), dtype=np.float64)
+        V = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-12, None)
+        S = V @ MT                                    # (batch, n)
+        my_ids = df[id_col].to_numpy()
+        hit = (S >= threshold) & (my_ids[:, None] < ids_all[None, :])
+        ij = np.argwhere(hit)
+        return pd.DataFrame({
+            "a": my_ids[ij[:, 0]].astype("int64"),
+            "b": ids_all[ij[:, 1]].astype("int64"),
+            "cos": S[ij[:, 0], ij[:, 1]].astype("float64"),
+        })
+
+    return ds.map_batches(pairs, batch_format="pandas")

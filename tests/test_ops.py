@@ -348,3 +348,26 @@ def test_minhash_verify_auto_small_corpus(ray_session, docs):
     sa = {(int(x), int(y)) for x, y in zip(a["a"], a["b"])}
     sb = {(int(x), int(y)) for x, y in zip(b["a"], b["b"])}
     assert sa == sb
+
+
+def test_embedding_near_dup_exact_matches_numpy(ray_session):
+    """Brute-force exact pairs == the O(n²) numpy reference, and the
+    banded-LSH path never returns a pair the exact op rejects."""
+    rng = np.random.RandomState(7)
+    V = rng.standard_normal((40, 16))
+    V[11] = V[3] + 0.01 * rng.standard_normal(16)     # planted near-dup
+    V[25] = V[3] + 0.01 * rng.standard_normal(16)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": range(40), "embedding": [v.tolist() for v in V]}))
+    t = 0.9
+    out = D.embedding_near_dup_exact(ds, threshold=t).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+
+    N = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = N @ N.T
+    want = {(i, j) for i, j in zip(*np.triu_indices(40, k=1)) if S[i, j] >= t}
+    assert got == want and {(3, 11), (3, 25), (11, 25)} <= got
+
+    lsh = D.embedding_near_dup_pairs(ds, threshold=t).to_pandas()
+    lsh_pairs = {(int(a), int(b)) for a, b in zip(lsh["a"], lsh["b"])}
+    assert lsh_pairs <= got          # LSH = candidates ∩ verified
