@@ -280,12 +280,20 @@ def build_graph_checkpointed(
     n_shards: int = 8,
     cfg: FilterConfig | None = None,
     sort_output: bool = False,
+    keying: str = "positional",
 ) -> dict:
     """Resumable build: per-shard annotate+extract+local-smush+local-dedup
     written to ``<out>/shard-k`` with lineage manifests (the expensive,
     restartable part — ≙ per-file .tql.gz intermediates,
     RDFGenerator.java:384-416), then one global finalize pass (corpus
     smush + exact dedup) into ``<out>/graph``.
+
+    ``keying="hash"`` makes the build INCREMENTAL over a growing
+    corpus: shards are stable basename-hash groups, so re-running
+    after new fragments were appended to ``input_dir`` re-annotates
+    only the groups that received new files (everything else skips)
+    and then re-finalizes; the result is identical to a from-scratch
+    build over the full corpus.
     """
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
 
@@ -298,7 +306,7 @@ def build_graph_checkpointed(
     # shards are hive-partitioned by triple scope so the finalize pass
     # prunes at the file level (same layout as _spill_split)
     summary = run_checkpointed(files, out_dir, per_shard, n_shards=n_shards,
-                               partition_cols=["scope"])
+                               partition_cols=["scope"], keying=keying)
 
     def _scope_ds(name: str):
         import pyarrow.compute as _pc

@@ -171,3 +171,39 @@ def test_spill_dir_pin_equals_materialize(ray_session, tmp_path):
     pa_ = a[key].sort_values(key).reset_index(drop=True)
     pb_ = b[key].sort_values(key).reset_index(drop=True)
     assert pa_.equals(pb_)
+
+
+def test_incremental_append_hash_keying(ray_session, tmp_path, unit_graph):
+    """keying="hash": appending fragments to a grown corpus re-runs only
+    the basename-hash groups that received new files; the final graph
+    equals a from-scratch build over the full corpus."""
+    import shutil
+
+    src = transcripts_dir("unit")
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    assert len(files) >= 6
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for f in files[:-2]:
+        shutil.copy(f, corpus)
+    out = str(tmp_path / "g")
+
+    s1 = build_graph_checkpointed(str(corpus), out, n_shards=4, keying="hash")
+    assert s1["ran"] >= 1 and s1["skipped"] == 0
+
+    # idempotent re-run: every group skips
+    s2 = build_graph_checkpointed(str(corpus), out, n_shards=4, keying="hash")
+    assert s2["ran"] == 0 and s2["skipped"] == s2["shards"]
+
+    # append the remaining fragments → only their groups re-run
+    for f in files[-2:]:
+        shutil.copy(f, corpus)
+    s3 = build_graph_checkpointed(str(corpus), out, n_shards=4, keying="hash")
+    assert s3["skipped"] >= 1           # untouched groups kept their manifests
+    assert s3["ran"] <= 2               # ≤ one group per appended file
+
+    final = pads.dataset(s3["graph_dir"]).to_table().to_pandas()
+    got = set(zip(final["subj"], final["pred"], final["obj"], final["graph"]))
+    want = set(zip(unit_graph["subj"], unit_graph["pred"],
+                   unit_graph["obj"], unit_graph["graph"]))
+    assert got == want
