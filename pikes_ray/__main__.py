@@ -4,6 +4,7 @@ pikes-rdf/.../Main.java:94-99 and the tintop server/orchestrator mains).
     python -m pikes_ray ingest     --input DIR_OR_JSONL --out DIR
     python -m pikes_ray annotate   --input DIR --out DIR
     python -m pikes_ray extract    --input DIR --out DIR [--shards N]
+                                   [--incremental]
     python -m pikes_ray canonicalize --input TRIPLES_DIR --out DIR
     python -m pikes_ray materialize  --input DIR --out DIR [--ntriples]
     python -m pikes_ray eval       --pred DIR --gold DIR
@@ -46,6 +47,9 @@ def main(argv=None):
     p.add_argument("--gold")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--shards", type=int, default=8)
+    p.add_argument("--incremental", action="store_true",
+                   help="extract: hash-keyed shards — appending input "
+                        "fragments re-runs only the groups that changed")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--ntriples", action="store_true")
     p.add_argument("--port", type=int, default=8011)
@@ -83,8 +87,9 @@ def main(argv=None):
         elif args.command == "extract":
             from pikes_ray.pipelines.kg import build_graph_checkpointed
 
-            summary = build_graph_checkpointed(args.input, args.out,
-                                               n_shards=args.shards)
+            summary = build_graph_checkpointed(
+                args.input, args.out, n_shards=args.shards,
+                keying="hash" if args.incremental else "positional")
             print(json.dumps(summary))
         elif args.command == "canonicalize":
             from pikes_ray.pipelines.canonicalize import dedup_exact, smush_global
