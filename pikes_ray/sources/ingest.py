@@ -36,9 +36,33 @@ def read_jsonl_transcripts(paths):
     return rd.read_json(paths).map_batches(_conform, batch_format="pandas")
 
 
+def _decompress(path: str, data: bytes) -> bytes:
+    """Transparent per-file decompression (≙ the reference corpus
+    reader's .naf.gz/.bz2/.xz handling, Corpus.java:67-68).
+
+    Detection is by MAGIC BYTES, not suffix: Ray's ``read_binary_files``
+    already auto-decompresses some extensions (``.gz``) via Arrow, so a
+    suffix rule would double-decompress those and miss renamed files."""
+    del path
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(data)
+    if data[:3] == b"BZh":
+        import bz2
+
+        return bz2.decompress(data)
+    if data[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        return lzma.decompress(data)
+    return data
+
+
 def read_text_documents(paths):
     """Plain-text files → one single-turn conversation per file
     (≙ TxtToNaf.java).  conv_id = file path, turn_idx = 0.
+    ``.gz/.bz2/.xz`` files are decompressed transparently.
 
     ``read_binary_files`` yields one row per FILE (``read_text`` would
     split a file's lines across blocks and need a reassembly shuffle)."""
@@ -47,7 +71,8 @@ def read_text_documents(paths):
     def conform(df: pd.DataFrame) -> pa.Table:
         out = pd.DataFrame({
             "conv_id": df["path"],
-            "text": [b.decode("utf-8", "replace") for b in df["bytes"]],
+            "text": [_decompress(p, b).decode("utf-8", "replace")
+                     for p, b in zip(df["path"], df["bytes"])],
         })
         return _conform(out)
 

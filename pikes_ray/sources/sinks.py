@@ -69,20 +69,33 @@ def format_ntriples(batch: pa.Table) -> pa.Table:
     return pa.table({"text": pa.array(lines, pa.string())})
 
 
-def write_ntriples(triples, out_dir: str) -> int:
+def write_ntriples(triples, out_dir: str, compression: str | None = None) -> int:
     """Each block writes its own ``part-*.nt`` file (text sink — CSV/JSON
-    writers would quote the N-Triples syntax).  Returns lines written."""
+    writers would quote the N-Triples syntax).  Returns lines written.
+
+    ``compression="gzip"`` emits ``part-*.nt.gz`` (≙ the reference's
+    ``.tql.gz`` per-document intermediates, RDFGenerator.java:412-415)."""
     import os
     import uuid
 
+    if compression not in (None, "gzip"):
+        raise ValueError(f"unsupported compression: {compression!r}")
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
         lines = format_ntriples(batch)["text"].to_pylist()
         if lines:
-            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nt")
-            with open(path + ".tmp", "w") as f:
-                f.write("\n".join(lines) + "\n")
+            data = ("\n".join(lines) + "\n").encode("utf-8")
+            if compression == "gzip":
+                import gzip
+
+                path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nt.gz")
+                # mtime=0: deterministic bytes for identical content
+                data = gzip.compress(data, mtime=0)
+            else:
+                path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nt")
+            with open(path + ".tmp", "wb") as f:
+                f.write(data)
             os.replace(path + ".tmp", path)      # atomic publish
         return pa.table({"n": pa.array([len(lines)], pa.int64())})
 

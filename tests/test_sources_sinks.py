@@ -283,3 +283,33 @@ def test_f17_role_curie_expansion():
     assert expand_curie("vn:give-13.1") == f"<{ns}vb32-give-13.1>"
     # the -neg variant marker is NOT a role and stays hyphenated
     assert expand_curie("pb:support.01-neg") == f"<{ns}pb17-support.01-neg>"
+
+
+def test_write_ntriples_gzip_and_compressed_ingest(ray_session, tmp_path):
+    """S5/S1 compression parity: part-*.nt.gz output round-trips, and the
+    text reader transparently decompresses .gz/.bz2/.xz per file."""
+    import bz2
+    import gzip
+    import lzma
+
+    from pikes_ray.sources.ingest import read_text_documents
+
+    tr = transcripts_to_graph(transcripts_dir("unit"), concurrency=2)
+    out = str(tmp_path / "ntgz")
+    n = write_ntriples(tr, out, compression="gzip")
+    files = glob.glob(os.path.join(out, "*.nt.gz"))
+    assert files and n > 0
+    lines = []
+    for f in files:
+        lines += gzip.open(f, "rt").read().splitlines()
+    assert len(lines) == n
+    assert all(ln.endswith(" .") for ln in lines)
+
+    (tmp_path / "a.txt.gz").write_bytes(gzip.compress(b"Acme Corp grew."))
+    (tmp_path / "b.txt.bz2").write_bytes(bz2.compress(b"Beta LLC shrank."))
+    (tmp_path / "c.txt.xz").write_bytes(lzma.compress(b"Gamma Inc stalled."))
+    ds = read_text_documents([str(tmp_path / x)
+                              for x in ("a.txt.gz", "b.txt.bz2", "c.txt.xz")])
+    df = ds.to_pandas().sort_values("conv_id")
+    assert list(df["text"]) == ["Acme Corp grew.", "Beta LLC shrank.",
+                                "Gamma Inc stalled."]
