@@ -36,32 +36,56 @@ def _probe_task_cpus(ncpus: int) -> int:
     annotation task claims 2 logical CPUs so the scheduler stops
     oversubscribing the memory controllers.  Untimed (runs before the
     measured section); decision logged."""
+    forced = os.environ.get("GRAFT_TASK_CPUS")
+    if forced:
+        log(f"bandwidth probe: skipped (GRAFT_TASK_CPUS={forced})")
+        return int(forced)
     if ncpus < 24:
         return 1
     import multiprocessing as mp
 
     import numpy as np
 
-    def stress(n_iters_out):
-        a = np.zeros(4_000_000)               # ~32 MB, cheap to build
+    def stress(n_iters_out, barrier):
+        # preallocated in/out buffers: measure streaming bandwidth, not
+        # per-iteration 32 MB allocations (mmap/page-zero churn made the
+        # old probe read ~0 at full width on a merely busy host); the
+        # barrier aligns starts so early spawns don't measure while
+        # late spawns are still importing numpy
+        a = np.zeros(4_000_000)               # ~32 MB
+        out = np.empty_like(a)
+        np.add(a, 1.0, out=out)               # touch pages
         import time as _t
 
+        try:
+            barrier.wait(timeout=60)
+        except Exception:
+            pass
         t0 = _t.perf_counter()
         n = 0
         while _t.perf_counter() - t0 < 1.0:
-            b = a + 1.0                       # streaming read+write
+            np.add(a, 1.0, out=out)           # streaming read+write
             n += 1
         n_iters_out.put(n)
 
     def agg(workers: int) -> int:
         q = mp.Queue()
-        ps = [mp.Process(target=stress, args=(q,), daemon=True)
+        bar = mp.Barrier(workers)
+        ps = [mp.Process(target=stress, args=(q, bar), daemon=True)
               for _ in range(workers)]
         [p.start() for p in ps]
-        [p.join(timeout=30) for p in ps]
+        # drain by expected COUNT with a timeout — q.empty() right after
+        # join races the queue feeder threads and can read ~0 items from
+        # a healthy run, flipping the probe decision spuriously
+        import queue as _queue
+
         total = 0
-        while not q.empty():
-            total += q.get()
+        for _ in ps:
+            try:
+                total += q.get(timeout=30)
+            except _queue.Empty:
+                break
+        [p.join(timeout=5) for p in ps]
         return total
 
     full, half = agg(ncpus), agg(ncpus // 2)
