@@ -177,3 +177,188 @@ def read_sgml_documents(paths):
         return _conform(pd.DataFrame(rows))
 
     return ds.map_batches(conform, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# S1 interop: NAF XML corpora → annotated Dataset
+# ---------------------------------------------------------------------------
+
+def _parse_naf_doc(xml_text: str) -> dict | None:
+    """One ``<NAF>`` document → an ANNOTATED_SCHEMA row dict.
+
+    Accepts both this engine's S6 output and reference-shaped kaflib
+    NAF (ReadWriteManager.java serialization): 0/1-based ``w``/``t``
+    ids are resolved through an id→index map built from layer order,
+    spans take the ``head="yes"`` target when marked, entity external
+    references become (link, link_conf), and PropBank/NomBank
+    externalRefs on predicates become the ``sense``.
+    """
+    import re as _re
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return None
+    if root.tag != "NAF":
+        root = root.find(".//NAF") or root
+    raw = root.findtext("raw") or ""
+    pub = root.find(".//nafHeader/public")
+    public_id = (pub.get("publicId") or pub.get("uri") or "") if pub is not None else ""
+    m = _re.search(r"#turn=(\d+)$", public_id)
+    turn_idx = int(m.group(1)) if m else 0
+    conv_id = public_id.split("#")[0] if public_id else "naf-doc"
+
+    wf_idx: dict[str, int] = {}
+    wfs = []
+    for i, wf in enumerate(root.iter("wf")):
+        wf_idx[wf.get("id") or f"w{i}"] = i
+        wfs.append(wf)
+
+    term_idx: dict[str, int] = {}
+    tokens = []
+    for i, term in enumerate(root.iter("term")):
+        term_idx[term.get("id") or f"t{i}"] = i
+        tgt = term.find(".//span/target")
+        wi = wf_idx.get(tgt.get("id"), i) if tgt is not None else i
+        wf = wfs[wi] if wi < len(wfs) else None
+        form = (wf.text or "") if wf is not None else ""
+        penn = term.get("morphofeat") or ""
+        pos = term.get("pos") or (penn[:1] if penn else "O")
+        tokens.append({
+            "form": form,
+            "offset": int(wf.get("offset", 0)) if wf is not None else 0,
+            "length": int(wf.get("length", len(form))) if wf is not None else len(form),
+            "sent": int(wf.get("sent", 0)) if wf is not None else 0,
+            "pos": pos,
+            "morphofeat": penn,
+            "lemma": term.get("lemma") or form.lower(),
+        })
+
+    def span_bounds(span_el):
+        """(start, end, head) token indices from a <span> element."""
+        ids = []
+        head = None
+        for t in span_el.findall("target"):
+            ti = term_idx.get(t.get("id"))
+            if ti is None:
+                continue
+            ids.append(ti)
+            if (t.get("head") or "").lower() in ("yes", "true", "1"):
+                head = ti
+        if not ids:
+            return None
+        return min(ids), max(ids) + 1, head if head is not None else max(ids)
+
+    deps = []
+    for dep in root.iter("dep"):
+        f, t = term_idx.get(dep.get("from")), term_idx.get(dep.get("to"))
+        if f is not None and t is not None:
+            deps.append({"frm": f, "to": t, "rfunc": dep.get("rfunc") or ""})
+
+    _VALUE = {"MONEY", "PERCENT", "ORDINAL", "CARDINAL", "DATE", "DURATION"}
+    entities = []
+    for ent in root.iter("entity"):
+        span = ent.find(".//references/span") or ent.find(".//span")
+        if span is None:
+            continue
+        b = span_bounds(span)
+        if b is None:
+            continue
+        link, conf = "", 0.0
+        for ref in ent.iter("externalRef"):
+            r = ref.get("reference") or ""
+            c = float(ref.get("confidence") or 0.0)
+            if r and (not link or c > conf):
+                link, conf = r, c
+        etype = ent.get("type") or ""
+        entities.append({"etype": etype, "start": b[0], "end": b[1],
+                         "named": etype not in _VALUE and etype != "",
+                         "link": link, "link_conf": conf,
+                         "norm": ent.get("value") or ""})
+
+    predicates = []
+    for pr in root.iter("predicate"):
+        span = pr.find("span")
+        if span is None:
+            continue
+        b = span_bounds(span)
+        if b is None:
+            continue
+        head = b[2]
+        sense, source = "", ""
+        for ref in pr.findall("externalRef"):
+            res = (ref.get("resource") or "").lower()
+            if not sense or res.startswith(("propbank", "nombank")):
+                sense = ref.get("reference") or sense
+            if res.startswith("nombank"):
+                source = "nominal"
+        if not source:
+            source = "verbal" if tokens[head]["morphofeat"].startswith("V") \
+                else "nominal"
+        roles = []
+        for ro in pr.findall("role"):
+            rspan = ro.find("span")
+            rb = span_bounds(rspan) if rspan is not None else None
+            if rb is None:
+                continue
+            roles.append({"sem_role": ro.get("semRole") or "",
+                          "start": rb[0], "end": rb[1], "head": rb[2],
+                          "prep": "", "models": "", "fn_role": ""})
+        predicates.append({"head": head, "sense": sense, "source": source,
+                           "copular": tokens[head]["lemma"] == "be",
+                           "variant": 0, "link": "", "link_conf": 0.0,
+                           "roles": roles})
+
+    corefs = []
+    for co in root.iter("coref"):
+        spans = []
+        for span in co.findall("span"):
+            b = span_bounds(span)
+            if b is not None:
+                spans.append({"start": b[0], "end": b[1]})
+        if len(spans) >= 2:
+            corefs.append(spans)
+
+    return {"conv_id": conv_id, "turn_idx": turn_idx, "role": "user",
+            "text": raw, "tool": "", "ts": _EPOCH.to_pydatetime(),
+            "quarantined": False, "tokens": tokens, "deps": deps,
+            "entities": entities, "predicates": predicates, "corefs": corefs}
+
+
+def read_naf_documents(paths):
+    """NAF XML corpora → ANNOTATED Dataset (S1 interop: the reference's
+    primary on-disk format — Corpus.java enumerates .naf(.gz/.bz2/.xz)/
+    .xml files and lazy-parses each into a KAFDocument).
+
+    One row per ``<NAF>`` document; a file may hold one document
+    (reference corpus layout) or many (this engine's S6 part files).
+    Compressed files are decompressed transparently.  The result feeds
+    the same downstream stages as the native annotator — e.g.
+    ``read_naf_documents(dir).map_batches(FilterStage(cfg)).
+    map_batches(extract_batch)`` runs THIS engine's extraction over a
+    reference-annotated corpus.
+    """
+    import re as _re
+
+    from pikes_ray.schema import ANNOTATED_SCHEMA
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    doc_re = _re.compile(rb"<NAF[ >].*?</NAF>", _re.DOTALL)
+
+    def parse(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for p, b in zip(df["path"], df["bytes"]):
+            data = _decompress(p, b)
+            for mdoc in doc_re.finditer(data):
+                row = _parse_naf_doc(mdoc.group(0).decode("utf-8", "replace"))
+                if row is not None:
+                    if not row["conv_id"] or row["conv_id"] == "naf-doc":
+                        row["conv_id"] = p
+                    rows.append(row)
+        if not rows:
+            return ANNOTATED_SCHEMA.empty_table()
+        cols = {f.name: [r[f.name] for r in rows] for f in ANNOTATED_SCHEMA}
+        return pa.Table.from_pydict(cols, schema=ANNOTATED_SCHEMA)
+
+    return ds.map_batches(parse, batch_format="pandas")

@@ -313,3 +313,113 @@ def test_write_ntriples_gzip_and_compressed_ingest(ray_session, tmp_path):
     df = ds.to_pandas().sort_values("conv_id")
     assert list(df["text"]) == ["Acme Corp grew.", "Beta LLC shrank.",
                                 "Gamma Inc stalled."]
+
+
+def test_naf_roundtrip_and_extract(ray_session, tmp_path):
+    """S1 interop: write_naf_xml → read_naf_documents round-trips the
+    annotation layers, and the extractor runs on the re-read corpus."""
+    import ray.data as rd
+
+    from pikes_ray.sources.ingest import read_naf_documents
+    from pikes_ray.sources.sinks import write_naf_xml
+    from pikes_ray.stages.annotate import AnnotatorStage
+    from pikes_ray.stages.extract import extract_batch
+
+    src = rd.read_parquet(transcripts_dir("unit")).limit(8)
+    ann = src.map_batches(AnnotatorStage, batch_format="pyarrow",
+                          concurrency=1)
+    before = ann.to_pandas().sort_values(["conv_id", "turn_idx"])
+    out = str(tmp_path / "naf")
+    n = write_naf_xml(ann, out)
+    assert n == len(before)
+
+    back = read_naf_documents(out).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"])
+    assert len(back) == len(before)
+    for (_, a), (_, b) in zip(before.iterrows(), back.iterrows()):
+        assert f"{a.conv_id}#turn={a.turn_idx}" == f"{b.conv_id}#turn={b.turn_idx}"
+        assert [t["form"] for t in a.tokens] == [t["form"] for t in b.tokens]
+        assert [t["lemma"] for t in a.tokens] == [t["lemma"] for t in b.tokens]
+        assert [t["morphofeat"] for t in a.tokens] == \
+            [t["morphofeat"] for t in b.tokens]
+        assert [(e["etype"] or "MISC", e["start"], e["end"])
+                for e in a.entities] == \
+            [(e["etype"], e["start"], e["end"]) for e in b.entities]
+        assert [(p["head"], p["sense"]) for p in a.predicates] == \
+            [(p["head"], p["sense"]) for p in b.predicates]
+
+    # the re-read corpus drives the native extractor
+    tr = read_naf_documents(out).map_batches(
+        extract_batch, batch_format="pyarrow").to_pandas()
+    assert len(tr) > 0
+    assert (tr["pred"] == "rdf:type").any()
+
+
+def test_naf_reference_shaped_parse(ray_session, tmp_path):
+    """A kaflib-convention NAF (1-based w1/t1 ids, head="yes" span
+    targets, resource-tagged externalRefs, deps + coreferences layers)
+    parses into the annotated schema (ReadWriteManager.java shape)."""
+    from pikes_ray.sources.ingest import read_naf_documents
+
+    naf = """<?xml version="1.0" encoding="UTF-8"?>
+<NAF xml:lang="en" version="v3">
+ <nafHeader><public publicId="d1"/></nafHeader>
+ <raw>Acme acquired Beta. It grew.</raw>
+ <text>
+  <wf id="w1" offset="0" length="4" sent="1">Acme</wf>
+  <wf id="w2" offset="5" length="8" sent="1">acquired</wf>
+  <wf id="w3" offset="14" length="4" sent="1">Beta</wf>
+  <wf id="w4" offset="20" length="2" sent="2">It</wf>
+  <wf id="w5" offset="23" length="4" sent="2">grew</wf>
+ </text>
+ <terms>
+  <term id="t1" lemma="Acme" pos="R" morphofeat="NNP"><span><target id="w1"/></span></term>
+  <term id="t2" lemma="acquire" pos="V" morphofeat="VBD"><span><target id="w2"/></span></term>
+  <term id="t3" lemma="Beta" pos="R" morphofeat="NNP"><span><target id="w3"/></span></term>
+  <term id="t4" lemma="it" pos="Q" morphofeat="PRP"><span><target id="w4"/></span></term>
+  <term id="t5" lemma="grow" pos="V" morphofeat="VBD"><span><target id="w5"/></span></term>
+ </terms>
+ <deps>
+  <dep from="t2" to="t1" rfunc="SBJ"/>
+  <dep from="t2" to="t3" rfunc="OBJ"/>
+ </deps>
+ <entities>
+  <entity id="e1" type="ORGANIZATION">
+   <references><span><target id="t1"/></span></references>
+   <externalReferences>
+    <externalRef resource="spotlight" reference="dbr:Acme" confidence="0.9"/>
+   </externalReferences>
+  </entity>
+ </entities>
+ <srl>
+  <predicate id="pr1">
+   <externalRef resource="PropBank" reference="acquire.01"/>
+   <span><target id="t2" head="yes"/></span>
+   <role id="r1" semRole="A0"><span><target id="t1" head="yes"/></span></role>
+   <role id="r2" semRole="A1"><span><target id="t3" head="yes"/></span></role>
+  </predicate>
+ </srl>
+ <coreferences>
+  <coref id="co1">
+   <span><target id="t1"/></span>
+   <span><target id="t4"/></span>
+  </coref>
+ </coreferences>
+</NAF>"""
+    p = tmp_path / "d1.naf"
+    p.write_text(naf)
+    df = read_naf_documents(str(p)).to_pandas()
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert [t["form"] for t in row.tokens] == \
+        ["Acme", "acquired", "Beta", "It", "grew"]
+    assert row.tokens[1]["lemma"] == "acquire"
+    assert row.deps[0]["rfunc"] == "SBJ" and row.deps[0]["frm"] == 1
+    e = row.entities[0]
+    assert (e["etype"], e["start"], e["end"], e["link"]) == \
+        ("ORGANIZATION", 0, 1, "dbr:Acme")
+    pr = row.predicates[0]
+    assert (pr["head"], pr["sense"], pr["source"]) == (1, "acquire.01", "verbal")
+    assert [(r["sem_role"], r["head"]) for r in pr["roles"]] == \
+        [("A0", 0), ("A1", 2)]
+    assert [ (s["start"], s["end"]) for s in row.corefs[0] ] == [(0, 1), (3, 4)]
