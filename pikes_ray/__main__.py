@@ -4,7 +4,7 @@ pikes-rdf/.../Main.java:94-99 and the tintop server/orchestrator mains).
     python -m pikes_ray ingest     --input DIR_OR_JSONL --out DIR
     python -m pikes_ray annotate   --input DIR --out DIR
     python -m pikes_ray extract    --input DIR --out DIR [--shards N]
-                                   [--incremental]
+                                   [--incremental] [--naf]
     python -m pikes_ray canonicalize --input TRIPLES_DIR --out DIR
     python -m pikes_ray materialize  --input DIR --out DIR [--ntriples]
     python -m pikes_ray eval       --pred DIR --gold DIR
@@ -50,6 +50,10 @@ def main(argv=None):
     p.add_argument("--incremental", action="store_true",
                    help="extract: hash-keyed shards — appending input "
                         "fragments re-runs only the groups that changed")
+    p.add_argument("--naf", action="store_true",
+                   help="extract: --input is a NAF XML corpus (kaflib "
+                        "shape) — skip the annotator, run filter+extract "
+                        "over the pre-annotated layers")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--ntriples", action="store_true")
     p.add_argument("--port", type=int, default=8011)
@@ -85,12 +89,26 @@ def main(argv=None):
             ds.write_parquet(args.out)
             print(json.dumps({"rows": ds.count(), "out": args.out}))
         elif args.command == "extract":
-            from pikes_ray.pipelines.kg import build_graph_checkpointed
+            if args.naf:
+                from pikes_ray.pipelines.canonicalize import (
+                    dedup_exact, smush_global)
+                from pikes_ray.sources.ingest import read_naf_documents
+                from pikes_ray.stages.extract import extract_batch
+                from pikes_ray.stages.filter import FilterStage
 
-            summary = build_graph_checkpointed(
-                args.input, args.out, n_shards=args.shards,
-                keying="hash" if args.incremental else "positional")
-            print(json.dumps(summary))
+                tr = read_naf_documents(args.input) \
+                    .map_batches(FilterStage(), batch_format="pyarrow") \
+                    .map_batches(extract_batch, batch_format="pyarrow")
+                tr = dedup_exact(smush_global(tr.materialize()))
+                tr.write_parquet(args.out)
+                print(json.dumps({"rows_out": tr.count(), "out": args.out}))
+            else:
+                from pikes_ray.pipelines.kg import build_graph_checkpointed
+
+                summary = build_graph_checkpointed(
+                    args.input, args.out, n_shards=args.shards,
+                    keying="hash" if args.incremental else "positional")
+                print(json.dumps(summary))
         elif args.command == "canonicalize":
             from pikes_ray.pipelines.canonicalize import dedup_exact, smush_global
 
