@@ -223,18 +223,21 @@ def run_bench() -> dict:
 
 def _scaling_pair(lo: int, hi: int, repeats: int) -> dict:
     out = {}
-    for ncpu in (lo, hi):
-        best = None
-        for r in range(repeats):
+    # ALTERNATE levels per repeat (lo,hi,lo,hi), not lo,lo,hi,hi: the
+    # sandbox host carries recurring multi-minute co-tenant storms, and
+    # a blocked level order systematically lands the later level on the
+    # next storm (observed: three runs in a row where only the hi level
+    # was wrecked).  Interleaving gives both levels the same exposure.
+    for r in range(repeats):
+        for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_ONLY_KG="1")
             log(f"scaling: fresh process num_cpus={ncpu} (run {r + 1}/{repeats})")
             proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                   env=env, capture_output=True, text=True, check=True)
             res = json.loads(proc.stdout.strip().splitlines()[-1])
-            if best is None or res["value"] < best["value"]:
-                best = res
-        out[ncpu] = best
+            if ncpu not in out or res["value"] < out[ncpu]["value"]:
+                out[ncpu] = res
     t_lo, t_hi = out[lo]["value"], out[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
