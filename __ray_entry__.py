@@ -252,6 +252,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         p = p[["a", "b"]].astype("int64")
         return p.sort_values(["a", "b"]).reset_index(drop=True)
 
+    def doc_sample(sf_dir):
+        # deterministic md5-keyed 25% Bernoulli sample (shuffle-free;
+        # the SQL-reproducible digest anchors the whole sampling family)
+        from pikes_ray.ops.sample import hash_sample
+
+        out = hash_sample(_docs(sf_dir), "doc_id", 0.25, seed=42,
+                          digest="md5").to_pandas()
+        return out[["doc_id", "lang"]].sort_values("doc_id") \
+            .reset_index(drop=True)
+
     def emb_near_dup_exact(sf_dir):
         # brute-force float64 all-pairs baseline (no LSH, no seed):
         # the exact counterpart oracle-anchoring the near-dup family
@@ -350,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "doc_minhash_dedup": doc_minhash_dedup,
         "doc_simhash_pairs": doc_simhash_pairs,
+        "doc_sample": doc_sample,
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_exact": emb_near_dup_exact,
         "emb_knn_brute": emb_knn_brute,
@@ -540,6 +551,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.vec_id < v.vec_id
               AND list_cosine_similarity(q.embedding, v.embedding) >= 0.48
             ORDER BY a, b
+        """,
+        "doc_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(CONCAT('0x', substr(md5(doc_id::VARCHAR || '-42'), 1, 8))
+                       AS UBIGINT) < CAST(0.25 * 4294967296 AS UBIGINT)
+            ORDER BY doc_id
         """,
         "emb_near_dup_exact": """
             SELECT q.vec_id::BIGINT AS a, v.vec_id::BIGINT AS b

@@ -1,0 +1,76 @@
+"""Deterministic sampling — the subsampling family a training-data
+pipeline needs at corpus scale (≙ the reference's only sampling surface
+is the seeded ``Corpus.split`` shuffle/split, Corpus.java:285-315; at
+100 TB a SHUFFLE-FREE, content-keyed Bernoulli sample replaces it).
+
+Every sampler here is a stateless one-pass ``map_batches`` filter keyed
+on a hash of a key column — no shuffle, no driver state, rerun-stable
+(the same rows are selected regardless of block boundaries,
+parallelism, or input order), and composable with resume (a re-run
+selects the identical subset).
+
+Two digests:
+
+- ``digest="fast"`` (default): ``pd.util.hash_pandas_object`` —
+  vectorized, the scale path.
+- ``digest="md5"``: first 8 hex digits of ``md5(f"{key}-{seed}")`` —
+  bit-reproducible in SQL (DuckDB:
+  ``CAST(CONCAT('0x', substr(md5(k::VARCHAR || '-seed'), 1, 8)) AS
+  UBIGINT)``), the oracle anchor for correctness checks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+_SPACE = 1 << 32
+
+
+def _bucket_fast(s: pd.Series, seed: int) -> pd.Series:
+    key = s.astype(str) + f"-{seed}"
+    return pd.util.hash_pandas_object(key, index=False) % _SPACE
+
+
+def _bucket_md5(s: pd.Series, seed: int) -> pd.Series:
+    return s.astype(str).map(
+        lambda v: int(hashlib.md5(f"{v}-{seed}".encode()).hexdigest()[:8], 16))
+
+
+def hash_sample(ds, key: str, fraction: float, seed: int = 42,
+                digest: str = "fast"):
+    """Keep each row iff ``hash(key, seed) / 2^32 < fraction``.
+
+    Deterministic per key value: all rows of one key are kept or
+    dropped TOGETHER (sampling by document/conversation never splits
+    one), and disjoint seeds give independent samples.
+    → Dataset (same schema).
+    """
+    bucket = _bucket_md5 if digest == "md5" else _bucket_fast
+    threshold = int(fraction * _SPACE)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[bucket(df[key], seed) < threshold]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def stratified_sample(ds, key: str, strata_col: str,
+                      fractions: dict, default: float = 0.0,
+                      seed: int = 42, digest: str = "fast"):
+    """Per-stratum Bernoulli rates (e.g. keep 100% of rare languages,
+    5% of the dominant one) in ONE shuffle-free pass.
+
+    ``fractions`` maps stratum value → keep fraction; unlisted strata
+    use ``default``.  → Dataset (same schema).
+    """
+    bucket = _bucket_md5 if digest == "md5" else _bucket_fast
+    thresholds = {k: int(v * _SPACE) for k, v in fractions.items()}
+    default_t = int(default * _SPACE)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[strata_col].map(lambda s: thresholds.get(s, default_t))
+        return df[bucket(df[key], seed) < t.to_numpy()]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -371,3 +371,42 @@ def test_embedding_near_dup_exact_matches_numpy(ray_session):
     lsh = D.embedding_near_dup_pairs(ds, threshold=t).to_pandas()
     lsh_pairs = {(int(a), int(b)) for a, b in zip(lsh["a"], lsh["b"])}
     assert lsh_pairs <= got          # LSH = candidates ∩ verified
+
+
+def test_hash_sample_deterministic_and_stratified(ray_session):
+    """hash_sample is block/parallelism-independent and matches the
+    brute per-key reference; stratified rates apply per stratum."""
+    import hashlib
+
+    from pikes_ray.ops.sample import hash_sample, stratified_sample
+
+    df = pd.DataFrame({"doc_id": range(400),
+                       "lang": ["en", "en", "de", "fr"] * 100})
+    ds = rd.from_pandas(df)
+
+    got = hash_sample(ds, "doc_id", 0.25, seed=42, digest="md5") \
+        .to_pandas().sort_values("doc_id")
+    want = [i for i in range(400)
+            if int(hashlib.md5(f"{i}-42".encode()).hexdigest()[:8], 16)
+            < int(0.25 * 2**32)]
+    assert list(got["doc_id"]) == want
+    assert 0.15 < len(want) / 400 < 0.35
+
+    # identical subset from a different block layout
+    got2 = hash_sample(ds.repartition(7), "doc_id", 0.25, seed=42,
+                       digest="md5").to_pandas().sort_values("doc_id")
+    assert list(got2["doc_id"]) == want
+
+    # fast digest: deterministic across runs, roughly calibrated
+    f1 = hash_sample(ds, "doc_id", 0.5).to_pandas()
+    f2 = hash_sample(ds.repartition(3), "doc_id", 0.5).to_pandas()
+    assert sorted(f1["doc_id"]) == sorted(f2["doc_id"])
+    assert 0.35 < len(f1) / 400 < 0.65
+
+    st = stratified_sample(ds, "doc_id", "lang",
+                           {"de": 1.0, "fr": 0.0}, default=0.25,
+                           seed=42, digest="md5").to_pandas()
+    assert (st["lang"] == "fr").sum() == 0
+    assert (st["lang"] == "de").sum() == 100
+    en = st[st["lang"] == "en"]["doc_id"].tolist()
+    assert en == [i for i in want if df["lang"][i] == "en"]
