@@ -252,6 +252,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         p = p[["a", "b"]].astype("int64")
         return p.sort_values(["a", "b"]).reset_index(drop=True)
 
+    def doc_pack(sf_dir):
+        # distributed ordered prefix scan: pack the corpus into
+        # ~4000-whitespace-token training shards (contiguous fill)
+        from pikes_ray.ops.pack import pack_by_budget
+        from pikes_ray.ops.text import token_counts
+
+        counted = _docs(sf_dir).map_batches(token_counts,
+                                            batch_format="pyarrow")
+        out = pack_by_budget(counted, "doc_id", "ws_tokens", 4000.0) \
+            .to_pandas()
+        out = out[["doc_id", "bin_id"]].astype({"doc_id": "int64",
+                                                "bin_id": "int64"})
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def doc_sample(sf_dir):
         # deterministic md5-keyed 25% Bernoulli sample (shuffle-free;
         # the SQL-reproducible digest anchors the whole sampling family)
@@ -360,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "doc_minhash_dedup": doc_minhash_dedup,
         "doc_simhash_pairs": doc_simhash_pairs,
+        "doc_pack": doc_pack,
         "doc_sample": doc_sample,
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_exact": emb_near_dup_exact,
@@ -551,6 +566,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.vec_id < v.vec_id
               AND list_cosine_similarity(q.embedding, v.embedding) >= 0.48
             ORDER BY a, b
+        """,
+        "doc_pack": f"""
+            SELECT doc_id,
+                   CAST(FLOOR(COALESCE(sum({ws_tokens}) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) / 4000.0) AS BIGINT) AS bin_id
+            FROM documents ORDER BY doc_id
         """,
         "doc_sample": """
             SELECT doc_id, lang FROM documents

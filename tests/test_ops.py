@@ -410,3 +410,30 @@ def test_hash_sample_deterministic_and_stratified(ray_session):
     assert (st["lang"] == "de").sum() == 100
     en = st[st["lang"] == "en"]["doc_id"].tolist()
     assert en == [i for i in want if df["lang"][i] == "en"]
+
+
+def test_ordered_prefix_sum_and_packing(ray_session):
+    """Distributed ordered prefix scan == the serial cumsum across any
+    block layout; packing bins never restart mid-stream."""
+    from pikes_ray.ops.pack import ordered_prefix_sum, pack_by_budget
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"doc_id": range(300),
+                       "tokens": rng.randint(1, 500, 300)})
+    shuffled = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    ds = rd.from_pandas(shuffled).repartition(7)
+
+    got = ordered_prefix_sum(ds, "doc_id", "tokens", out_col="cum") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = df["tokens"].astype("float64").cumsum() - df["tokens"]
+    assert np.allclose(got["cum"].to_numpy(), want.to_numpy())
+
+    budget = 2000
+    packed = pack_by_budget(ds, "doc_id", "tokens", budget) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref_bins = (want // budget).astype("int64")
+    assert list(packed["bin_id"]) == list(ref_bins)
+    # bins are contiguous runs and fill to >= budget - max_row_value
+    sums = packed.groupby("bin_id")["tokens"].sum()
+    assert (sums.iloc[:-1] >= budget - 500).all()
+    assert packed["bin_id"].is_monotonic_increasing
