@@ -43,19 +43,28 @@ def _decompress(path: str, data: bytes) -> bytes:
     Detection is by MAGIC BYTES, not suffix: Ray's ``read_binary_files``
     already auto-decompresses some extensions (``.gz``) via Arrow, so a
     suffix rule would double-decompress those and miss renamed files."""
-    del path
-    if data[:2] == b"\x1f\x8b":
-        import gzip
+    try:
+        if data[:2] == b"\x1f\x8b":
+            import gzip
 
-        return gzip.decompress(data)
-    if data[:3] == b"BZh":
-        import bz2
+            return gzip.decompress(data)
+        if data[:3] == b"BZh":
+            import bz2
 
-        return bz2.decompress(data)
-    if data[:6] == b"\xfd7zXZ\x00":
-        import lzma
+            return bz2.decompress(data)
+        if data[:6] == b"\xfd7zXZ\x00":
+            import lzma
 
-        return lzma.decompress(data)
+            return lzma.decompress(data)
+    except Exception:
+        # truncated/corrupt archive: log-and-continue (SURVEY §4 —
+        # a poison FILE must not kill the task/shard); the empty
+        # payload yields zero documents / a quarantined empty turn
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "corrupt compressed input skipped: %s", path)
+        return b""
     return data
 
 

@@ -423,3 +423,17 @@ def test_naf_reference_shaped_parse(ray_session, tmp_path):
     assert [(r["sem_role"], r["head"]) for r in pr["roles"]] == \
         [("A0", 0), ("A1", 2)]
     assert [ (s["start"], s["end"]) for s in row.corefs[0] ] == [(0, 1), (3, 4)]
+
+
+def test_naf_malformed_inputs_are_skipped(ray_session, tmp_path):
+    """Malformed/non-NAF files yield zero rows, never an exception
+    (log-and-continue posture, SURVEY §4 retries row)."""
+    from pikes_ray.sources.ingest import read_naf_documents
+
+    (tmp_path / "broken.xml").write_text("<NAF><raw>unclosed")
+    (tmp_path / "other.xml").write_text("<notnaf/>")
+    (tmp_path / "truncated.naf").write_bytes(b"\x1f\x8b\x08\x00garbage")
+    df = read_naf_documents([str(tmp_path / f) for f in
+                             ("broken.xml", "other.xml",
+                              "truncated.naf")]).to_pandas()
+    assert len(df) == 0
