@@ -1,0 +1,330 @@
+"""Programmatic lexicon growth from PUBLIC word lists (VERDICT r2 top
+item (b)): open-vocabulary coverage beyond the pinned core lexicon.
+
+The reference loads the full PropBank/NomBank framesets, full WordNet
+and a live Spotlight linker (AnnotationPipeline.java:124-166,
+Defaults.java:88-91; getDependencies.sh fetches the model pack) — none
+of those binary resources exist in this container.  What IS public
+knowledge is the *shape* of those resources:
+
+- PropBank roleset ids are ``<lemma>.<nn>`` and for the large majority
+  of verbs the OntoNotes most-frequent sense is ``.01`` (the
+  reference's E5 frequency disambiguation picks exactly that argmax);
+  a small exception map pins well-known non-``.01`` dominants.
+- NomBank's deverbal nominals follow productive derivational
+  morphology (-ment/-tion/-al/-ance/-er/…) with the noun's roleset
+  mapping onto the source verb's PropBank roleset
+  (resources/NomBank.java getPBId).  We generate the noun table
+  FORWARD from the verb list — overgenerated non-words are harmless
+  (they never occur in text) — plus an irregular-nominalization map.
+- Entity linking degrades to shape-based NER with a public gazetteer
+  of country names (whose DBpedia resource IS the underscored name)
+  and common given names for PERSON typing.
+
+Everything here is deterministic, versioned with the code, and merged
+into the live lexicon at LOWEST precedence (the pinned core and, when
+present, the eval-pm entries always win) — see
+``pikes_ray.functions.lexicon.set_profile``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+# ---------------------------------------------------------------------------
+# verbs: ~700 frequent English lemmas (public frequency lists), PropBank
+# roleset = lemma.01 unless the exception map says otherwise
+# ---------------------------------------------------------------------------
+
+# dominant senses that are publicly documented as non-.01 in
+# PropBank/OntoNotes; the core lexicon already pins its own set
+# (sign.02, have.03, run.05, …) at higher precedence
+VERB_SENSE_EXCEPTIONS: dict[str, str] = {
+    "leave": "leave.01", "keep": "keep.01",
+}
+
+COMMON_VERBS = """
+accept access accompany accomplish accuse achieve acknowledge act adapt add
+address adjust admit adopt advance advise affect afford aid aim alert allege
+allocate allow alter analyze answer anticipate apologize appeal appear apply
+appoint appreciate argue arise arrange arrest arrive ask assault assemble
+assert assess assign assist assume assure attach attack attempt attend
+attribute audit authorize avoid award back bake balance ban bar base battle
+bear beat begin behave believe belong benefit bet bid bind blame blast blend
+block blow board boast boil bomb book boost borrow bother bounce brand break
+breathe breed brief bring broadcast build burn burst bury call calm campaign
+cancel care carry carve cast catch cause cease celebrate certify chair change
+charge chase chat cheat check cheer choose cite claim clarify classify clean
+clear climb cling coach collapse collect combat combine come command comment
+commit communicate compare compel compensate compete compile complain
+complete comply compose compromise compute conceal concede conceive
+concentrate concern conclude condemn conduct confess configure confirm
+confront connect conserve consider consist consolidate constitute construct
+consult consume contact contain contemplate contend contest continue contract
+contrast control convene convert convey convict convince cook cooperate
+coordinate cope copy correct correspond cost counsel count counter cover
+crack craft crash create credit criticize cross crush cry cultivate cure cut
+damage dance dare debate decide declare decline decorate decrease dedicate
+deem default defeat defend define defy delay delegate delete demand
+demonstrate deny depart depend depict deploy deposit deprive derive descend
+describe deserve design designate desire destroy detail detain detect
+determine develop devise devote diagnose dictate die differ dig diminish dip
+direct disagree disappear discard discharge disclose discount discourage
+discover discuss dismiss display dispute disrupt dissolve distinguish
+distribute disturb dive divert divide document dominate double doubt draft
+drag drain draw dream dress drift drill drink drive drop drown dump earn ease
+eat echo edit educate elect elevate eliminate embrace emerge emphasize employ
+enable enact encounter encourage end endorse endure enforce engage enhance
+enjoy enlist enroll ensure enter entertain escape establish estimate evaluate
+evolve examine exceed exchange exclude excuse execute exercise exert exhibit
+exist expand expect expel experience explain explode exploit explore export
+expose express extend extract face facilitate fail favor fear feature feed
+feel file fill film finance find fine finish fire fit fix flee float flood
+focus fold follow forbid force forecast forge forget forgive form formulate
+foster frame free freeze frustrate fuel fulfill function fund gain gain
+generate get glance grab grant grasp greet grieve grip guarantee guard guess
+guide halt hand handle hang happen harm harvest hate haul head heal hear heat
+hesitate hide highlight hint hit hold honor host house hunt hurt identify
+ignite ignore illustrate imagine implement imply import improve include
+incorporate increase incur indicate induce indulge infect inflict influence
+inform initiate inject injure insert insist inspect inspire install insult
+insure integrate intend intercept interfere interpret interrupt intervene
+interview introduce invade invent investigate invite involve issue join
+judge jump justify keep kick kidnap kill kiss knock know label lack land
+last laugh lay learn leave lend let level license lie lift light like limit
+link list listen live load locate lock log look lose love lower maintain
+manage mandate manipulate manufacture march mark market marry master match
+matter mean measure mediate melt mention merge migrate mind mingle minimize
+miss mix mobilize modify monitor motivate move multiply name narrow need
+negotiate nominate note notice notify obey object oblige observe obtain
+occupy occur offer offset omit operate order oust outline overcome oversee
+overturn owe own pack paint park participate pass pause pay perceive perform
+permit persist persuade phase pick picture pile pilot pin place play plead
+pledge plot plunge point pollute portray position possess post postpone pour
+praise pray preach precede predict prefer prepare prescribe present preserve
+preside press presume pretend prevail print probe proceed process proclaim
+produce profit program progress prohibit project promise promote pronounce
+propose prosecute protect protest prove provide provoke publish pull punish
+purchase pursue qualify question quit quote race raid raise rally range rank
+rate reach react read realize reassure rebuild recall receive recite
+recognize recommend reconcile reconsider record recount recover recruit
+reduce refer refine reflect reform refuse regain regard register regret
+regulate reinforce reiterate relate relax release relieve rely remain remark
+remember remind remove render renew rent repair repeat replace reply
+represent request require rescue research resemble reserve reside resign
+resist resolve respect respond restore restrict restructure result resume
+retain retire retreat retrieve reveal reverse review revise revive reward
+ride ring rip risk roll rule rush sail satisfy save scan scare schedule
+score scramble scrap scream screen seal search seat secure see seek seem
+seize select send separate serve set settle shake shape share shed shift
+shine ship shock shoot shop shout show shrink shut sing sink sit situate
+ski skip slam sleep slide slip slow smash smell smile smoke snap soar solve
+sort sound span spark speak specialize specify speculate spend spill split
+sponsor spot spread spur stabilize stage stand stare start starve state
+station stay steal steer stem step stick stimulate stir stop store strengthen
+stress stretch strike strip strive struggle study stun submit subscribe
+subsidize substitute succumb sue suffer suggest suit summon supervise supply
+suppose suppress surge surrender surround survey survive suspect suspend
+sustain swear sweep swim swing switch tackle take talk target teach tear
+tell tend terminate test testify thank think threaten thrive throw tie
+tighten tolerate top toss total touch tour trace track trade train transfer
+transform translate transmit transport trap travel treat trigger trim triple
+trust turn undergo undermine understand undertake unfold unify unite unveil
+update upgrade uphold urge use utilize value vary verify veto view violate
+vote vow wait wake walk wander warn wash waste watch wave weaken wear weigh
+welcome widen win wind wish withdraw withstand witness wonder worry wound
+wrap write yield
+""".split()
+
+# agentive nominalization suffix → self-filled A0 (the fighter IS the
+# one fighting); process/result nominalizations default to an optional
+# A1 (the created/affected thing may be the noun itself)
+_AGENTIVE = ("er", "or")
+
+
+@lru_cache(maxsize=None)
+def grown_verb_frames() -> dict[str, str]:
+    """lemma → PropBank roleset id for the grown verb vocabulary."""
+    out = {v: VERB_SENSE_EXCEPTIONS.get(v, f"{v}.01") for v in COMMON_VERBS}
+    return out
+
+
+def _nominal_candidates(verb: str) -> list[tuple[str, str]]:
+    """(noun surface, kind) deverbal nominalizations generated FORWARD
+    from one verb lemma; non-words are harmless overgeneration."""
+    stem = verb[:-1] if verb.endswith("e") else verb
+    out = [
+        (verb + "ment", "result"),            # govern → government
+        (stem + "al", "result"),              # approve → approval
+        (stem + "ation", "result"),           # organize → organization
+        (verb + "ion" if verb.endswith("t") else stem + "ion", "result"),
+        (stem + "ance", "result"),            # accept → acceptance
+        (stem + "ence", "result"),            # insist → insistence
+        (stem + "er", "agent"),               # lead → leader
+        (stem + "or", "agent"),               # invest → investor
+    ]
+    # CVC doubling for -er (run → runner)
+    if (len(verb) >= 3 and verb[-1] not in "aeiouwxy"
+            and verb[-2] in "aeiou" and verb[-3] not in "aeiou"):
+        out.append((verb + verb[-1] + "er", "agent"))
+    return out
+
+
+# irregular nominalizations whose stem rules don't reach the verb
+NOMINALIZATION_IRREGULAR: dict[str, str] = {
+    "decision": "decide", "description": "describe", "destruction": "destroy",
+    "expansion": "expand", "extension": "extend", "explosion": "explode",
+    "division": "divide", "provision": "provide", "collision": "collide",
+    "conclusion": "conclude", "exclusion": "exclude", "inclusion": "include",
+    "permission": "permit", "admission": "admit", "submission": "submit",
+    "transmission": "transmit", "production": "produce",
+    "introduction": "introduce", "reduction": "reduce",
+    "assumption": "assume", "consumption": "consume",
+    "resolution": "resolve", "solution": "solve", "pursuit": "pursue",
+    "receipt": "receive", "reception": "receive", "response": "respond",
+    "defense": "defend", "offense": "offend", "pressure": "press",
+    "failure": "fail", "departure": "depart", "seizure": "seize",
+    "closure": "close", "exposure": "expose", "survival": "survive",
+    "arrival": "arrive", "denial": "deny", "refusal": "refuse",
+    "burial": "bury", "trial": "try", "loss": "lose", "speech": "speak",
+    "thought": "think", "flight": "fly", "growth": "grow", "death": "die",
+    "belief": "believe", "proof": "prove", "choice": "choose",
+    "sale": "sell", "theft": "steal",
+}
+
+
+@lru_cache(maxsize=None)
+def grown_noun_frames() -> tuple[dict[str, tuple[str, str]],
+                                 dict[str, tuple[list[int], list[int]]]]:
+    """(noun lemma → (NomBank id, PropBank id),
+        NomBank id → (mandatory, optional) self-arg numbers).
+
+    NomBank-style: the noun's roleset shares the source verb's
+    argument structure; agentive -er/-or nominals incorporate their A0
+    (resources/NomBank.java self-arg semantics), process/result
+    nominals get an optional A1.
+    """
+    verbs = grown_verb_frames()
+    frames: dict[str, tuple[str, str]] = {}
+    self_args: dict[str, tuple[list[int], list[int]]] = {}
+    for verb, roleset in verbs.items():
+        for noun, kind in _nominal_candidates(verb):
+            nb_id = f"{noun}.01"
+            frames.setdefault(noun, (nb_id, roleset))
+            if kind == "agent":
+                self_args.setdefault(nb_id, ([0], []))
+            else:
+                self_args.setdefault(nb_id, ([], [1]))
+    for noun, verb in NOMINALIZATION_IRREGULAR.items():
+        if verb in verbs:
+            frames[noun] = (f"{noun}.01", verbs[verb])
+            self_args.setdefault(f"{noun}.01", ([], [1]))
+    return frames, self_args
+
+
+# ---------------------------------------------------------------------------
+# gazetteer growth: public country list (DBpedia resource == underscored
+# name) + given names / org suffixes for shape-based NER typing
+# ---------------------------------------------------------------------------
+
+COUNTRIES = """
+Afghanistan Albania Algeria Andorra Angola Argentina Armenia Australia
+Austria Azerbaijan Bahrain Bangladesh Barbados Belarus Belgium Belize Benin
+Bhutan Bolivia Botswana Brazil Brunei Bulgaria Burundi Cambodia Cameroon
+Canada Chad Chile China Colombia Croatia Cuba Cyprus Denmark Djibouti
+Dominica Ecuador Egypt Eritrea Estonia Ethiopia Fiji Finland France Gabon
+Gambia Georgia Germany Ghana Greece Grenada Guatemala Guinea Guyana Haiti
+Honduras Hungary Iceland India Indonesia Iran Iraq Ireland Israel Italy
+Jamaica Japan Jordan Kazakhstan Kenya Kiribati Kosovo Kuwait Kyrgyzstan Laos
+Latvia Lebanon Lesotho Liberia Libya Liechtenstein Lithuania Luxembourg
+Madagascar Malawi Malaysia Maldives Mali Malta Mauritania Mauritius Mexico
+Micronesia Moldova Monaco Mongolia Montenegro Morocco Mozambique Myanmar
+Namibia Nauru Nepal Nicaragua Niger Nigeria Norway Oman Pakistan Palau
+Panama Paraguay Peru Poland Portugal Qatar Romania Russia Rwanda Samoa
+Senegal Serbia Seychelles Singapore Slovakia Slovenia Somalia Spain Sudan
+Suriname Sweden Switzerland Syria Taiwan Tajikistan Tanzania Thailand Togo
+Tonga Tunisia Turkey Turkmenistan Tuvalu Uganda Ukraine Uruguay Uzbekistan
+Vanuatu Venezuela Vietnam Yemen Zambia Zimbabwe
+""".split()
+
+MULTIWORD_COUNTRIES = [
+    "United States", "United Kingdom", "New Zealand", "South Africa",
+    "South Korea", "North Korea", "Saudi Arabia", "Sri Lanka",
+    "Costa Rica", "El Salvador", "Czech Republic", "Dominican Republic",
+    "Sierra Leone", "Burkina Faso", "Papua New Guinea",
+    "United Arab Emirates", "Cape Verde", "Ivory Coast", "San Marino",
+    "Solomon Islands", "North Macedonia", "Equatorial Guinea",
+    "Guinea-Bissau", "Timor-Leste", "Vatican City", "Marshall Islands",
+    "Trinidad and Tobago", "Antigua and Barbuda", "Bosnia and Herzegovina",
+    "the Netherlands", "the Philippines", "the Bahamas", "the Congo",
+]
+
+GIVEN_NAMES = frozenset("""
+Aaron Abdul Abdullah Adam Ahmed Aisha Alan Albert Alex Alexander Alexandra
+Ali Alice Amanda Amelia Amir Amy Ana Andrea Andrew Angela Ann Anna Anne
+Anthony Antonio Arthur Ashley Ayesha Barbara Benjamin Bernard Beth Betty
+Bill Bob Brandon Brian Bruce Carl Carlos Carmen Carol Caroline Catherine
+Chad Charles Charlotte Chen Chris Christian Christina Christine Christopher
+Claire Claudia Craig Daniel Danielle David Deborah Dennis Diana Diane
+Diego Dmitri Donald Donna Dorothy Douglas Edward Elena Elizabeth Emily Emma
+Eric Erik Eva Evelyn Fatima Felix Fernando Frances Francis Frank Fred
+Gabriel Gary George Gerald Gloria Grace Gregory Hannah Hans Harold Harry
+Hassan Heather Helen Henry Hiroshi Hugo Ian Ibrahim Igor Irene Isaac Isabel
+Ivan Jack Jacob James Jamie Jane Janet Jason Javier Jean Jeffrey Jennifer
+Jeremy Jessica Jesus Jim Joan Joe John Jonathan Jorge Jose Joseph Joshua
+Juan Judith Julia Julie Justin Karen Karl Katherine Kathleen Keith Kelly
+Kenneth Kevin Kim Kofi Kumar Larry Laura Lawrence Lee Leon Linda Lisa Louis
+Lucas Luis Luke Madeleine Manuel Marc Marco Margaret Maria Marie Mario Mark
+Martha Martin Mary Matthew Maureen Max Maya Mehmet Melissa Michael Michelle
+Miguel Mohamed Mohammed Muhammad Nancy Natalia Nathan Nicholas Nicole Nina
+Noah Olga Oliver Olivia Omar Oscar Pablo Pamela Patricia Patrick Paul Paula
+Pedro Peter Philip Pierre Rachel Ralph Raymond Rebecca Ricardo Richard
+Robert Roberto Roger Ronald Rosa Rose Roy Russell Ruth Ryan Salim Samuel
+Sandra Sara Sarah Scott Sean Sergei Sharon Simon Sofia Sophia Stephanie
+Stephen Steve Steven Susan Tamara Teresa Thomas Timothy Tina Todd Tom
+Victor Victoria Vladimir Walter Wang Wei William Yuki Yusuf Zhang
+""".split())
+
+ORG_SUFFIXES = frozenset("""
+corp corporation inc incorporated llc ltd limited plc group industries
+systems labs laboratories holdings partners ventures media software
+dynamics networks capital energy analytics logistics bank motors pharma
+robotics airlines foods retail insurance mining telecom shipping cloud
+studios solar wind steel water travel games farms courier optics security
+biotech fashion gold hotels marine consulting realty cosmetics construction
+kitchens university college institute ministry agency committee council
+association organization foundation front army police court commission
+authority federation union party fund center centre department bureau
+office administration society club league times post journal news
+""".split())
+
+
+@lru_cache(maxsize=None)
+def grown_gazetteer() -> dict[str, tuple[str, str, float]]:
+    """Country surface → (LOCATION, DBpedia resource, confidence) — the
+    one name class whose public surface IS its DBpedia resource name."""
+    out: dict[str, tuple[str, str, float]] = {}
+    for c in COUNTRIES:
+        out[c] = ("LOCATION", c, 0.8)
+    for c in MULTIWORD_COUNTRIES:
+        surface = c
+        res = c[4:] if c.startswith("the ") else c
+        out[surface] = ("LOCATION", res.replace(" ", "_"), 0.8)
+        if c.startswith("the "):
+            out[res] = ("LOCATION", res.replace(" ", "_"), 0.8)
+    return out
+
+
+def classify_ne_span(forms: list[str]) -> str:
+    """Shape-based NE type for an unknown capitalized span (the
+    open-vocabulary fallback when no gazetteer entry matches — the
+    degradation a Spotlight-less annotator should have instead of
+    silently dropping the name; VERDICT r2 'what's missing' #1)."""
+    lows = [f.lower() for f in forms]
+    if any(l.rstrip(".,") in ORG_SUFFIXES for l in lows):
+        return "ORGANIZATION"
+    if forms and forms[0] in GIVEN_NAMES:
+        return "PERSON"
+    if len(forms) == 1 and forms[0] in grown_gazetteer():
+        return "LOCATION"
+    return "ORGANIZATION"

@@ -216,12 +216,14 @@ def customers_without_orders(sf_dir: str,
                              broadcast_key_limit: int = 50_000_000) -> pd.DataFrame:
     """Anti join: customers with no orders.
 
-    Below ``broadcast_key_limit`` distinct order keys (metadata-cheap
-    count on the parquet read), the keys are collected distributed,
-    broadcast via ray.put, and filtered inside map_batches — no
-    shuffle (SURVEY §2.6 semi/anti join pattern).  Above it the
-    driver-side key set would not fit, so the query switches to the
-    co-partitioned ``hash_join(how="anti")`` shuffle."""
+    Below ``broadcast_key_limit`` order ROWS (metadata-cheap count on
+    the parquet read — an upper bound on distinct keys, so with heavy
+    key duplication the guard flips to the shuffle join earlier than a
+    true distinct count would: conservative by design), the keys are
+    collected distributed, broadcast via ray.put, and filtered inside
+    map_batches — no shuffle (SURVEY §2.6 semi/anti join pattern).
+    Above it the driver-side key set might not fit, so the query
+    switches to the co-partitioned ``hash_join(how="anti")`` shuffle."""
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
 

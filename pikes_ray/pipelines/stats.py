@@ -173,7 +173,7 @@ def triple_pr(predicted, gold) -> dict:
 
     agg = uniq.map_batches(
         lambda df: pd.DataFrame({"n": [len(df)],
-                                 "hits": [sum(1 for x in df["k"] if x in ray.get(ref))]}),
+                                 "hits": [int(df["k"].isin(ray.get(ref)).sum())]}),
         batch_format="pandas",
     ).aggregate(Sum("n", alias_name="n"), Sum("hits", alias_name="hits"))
     n_pred, hits = int(agg["n"]), int(agg["hits"])

@@ -210,7 +210,10 @@ def _parse_naf_doc(xml_text: str) -> dict | None:
     except ET.ParseError:
         return None
     if root.tag != "NAF":
-        root = root.find(".//NAF") or root
+        # Elements are falsy when childless — never chain with `or`.
+        found = root.find(".//NAF")
+        if found is not None:
+            root = found
     raw = root.findtext("raw") or ""
     pub = root.find(".//nafHeader/public")
     public_id = (pub.get("publicId") or pub.get("uri") or "") if pub is not None else ""
@@ -268,7 +271,9 @@ def _parse_naf_doc(xml_text: str) -> dict | None:
     _VALUE = {"MONEY", "PERCENT", "ORDINAL", "CARDINAL", "DATE", "DURATION"}
     entities = []
     for ent in root.iter("entity"):
-        span = ent.find(".//references/span") or ent.find(".//span")
+        span = ent.find(".//references/span")
+        if span is None:
+            span = ent.find(".//span")
         if span is None:
             continue
         b = span_bounds(span)
@@ -296,7 +301,15 @@ def _parse_naf_doc(xml_text: str) -> dict | None:
             continue
         head = b[2]
         sense, source = "", ""
-        for ref in pr.findall("externalRef"):
+        # kaflib serializes predicate refs inside an <externalReferences>
+        # wrapper (ReadWriteManager.java ~2609); this engine's S6 sink and
+        # some hand-built NAF place them as direct children.  Scan both —
+        # but NOT pr.iter(), which would pick up role-level refs.
+        pred_refs = list(pr.findall("externalRef"))
+        wrapper = pr.find("externalReferences")
+        if wrapper is not None:
+            pred_refs.extend(wrapper.iter("externalRef"))
+        for ref in pred_refs:
             res = (ref.get("resource") or "").lower()
             if not sense or res.startswith(("propbank", "nombank")):
                 sense = ref.get("reference") or sense

@@ -437,3 +437,104 @@ def test_ordered_prefix_sum_and_packing(ray_session):
     sums = packed.groupby("bin_id")["tokens"].sum()
     assert (sums.iloc[:-1] >= budget - 500).all()
     assert packed["bin_id"].is_monotonic_increasing
+
+
+def test_pack_spill_equivalence(ray_session, tmp_path):
+    """ordered_prefix_sum/pack_by_budget with a forced parquet spill dir
+    produce exactly the materialize-path result (VERDICT r2 item 3)."""
+    from pikes_ray.ops.pack import ordered_prefix_sum, pack_by_budget
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"doc_id": range(250),
+                       "tokens": rng.randint(1, 400, 250)})
+    shuffled = df.sample(frac=1.0, random_state=11).reset_index(drop=True)
+    ds = rd.from_pandas(shuffled).repartition(6)
+
+    spilled = ordered_prefix_sum(ds, "doc_id", "tokens", out_col="cum",
+                                 spill_dir=str(tmp_path / "s1")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pinned = ordered_prefix_sum(ds, "doc_id", "tokens", out_col="cum") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert np.allclose(spilled["cum"].to_numpy(), pinned["cum"].to_numpy())
+    # the spill actually happened (per-block files on disk)
+    import glob as _glob
+    assert _glob.glob(str(tmp_path / "s1" / "part-*.parquet"))
+
+    b1 = pack_by_budget(ds, "doc_id", "tokens", 1500,
+                        spill_dir=str(tmp_path / "s2")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b2 = pack_by_budget(ds, "doc_id", "tokens", 1500) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(b1["bin_id"]) == list(b2["bin_id"])
+
+
+def test_minhash_dedup_drop_filter_paths(ray_session, docs):
+    """The broadcast-set and anti-join drop filters keep identical
+    survivors (VERDICT r2 item 4)."""
+    a = D.minhash_dedup(docs, threshold=0.5,
+                        drop_filter="broadcast").to_pandas()
+    b = D.minhash_dedup(docs, threshold=0.5,
+                        drop_filter="antijoin").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # and the auto threshold forces the join path too
+    c = D.minhash_dedup(docs, threshold=0.5, drop_filter="auto",
+                        broadcast_drop_limit=0).to_pandas()
+    assert sorted(c["doc_id"]) == sorted(a["doc_id"])
+
+
+def test_minhash_dedup_distributed_cc_antijoin(ray_session, docs):
+    """Distributed-CC path keeps the drop set as a Dataset end-to-end
+    and the anti-join filter agrees with the broadcast filter."""
+    a = D.minhash_dedup(docs, threshold=0.5, distributed_cc=True,
+                        drop_filter="antijoin").to_pandas()
+    b = D.minhash_dedup(docs, threshold=0.5, distributed_cc=True,
+                        drop_filter="broadcast").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_knn_ivf_input_order_invariant(ray_session):
+    """The IVF quantizer trains on a hash sample, not the corpus
+    prefix: permuting input rows leaves the result set unchanged
+    (VERDICT r2 item 5)."""
+    rng = np.random.RandomState(9)
+    centers = rng.standard_normal((4, 8)) * 4
+    V = np.concatenate([c + 0.1 * rng.standard_normal((50, 8))
+                        for c in centers])
+    df = pd.DataFrame({"vec_id": range(len(V)),
+                       "embedding": [v.tolist() for v in V]})
+    Q, qids = V[[5, 60, 110, 160]].astype(np.float64), np.arange(4)
+
+    perm = df.sample(frac=1.0, random_state=13).reset_index(drop=True)
+    a = K.knn_ivf(rd.from_pandas(df).repartition(4), Q, qids, k=5,
+                  n_clusters=4, nprobe=2, train_sample=64).to_pandas()
+    b = K.knn_ivf(rd.from_pandas(perm).repartition(4), Q, qids, k=5,
+                  n_clusters=4, nprobe=2, train_sample=64).to_pandas()
+    key = lambda t: sorted(map(tuple, t[["query_id", "vec_id"]].to_numpy()))
+    assert key(a) == key(b)
+    # self is found (recall sanity on clustered data)
+    self_hits = a[(a["rank"] == 0)].set_index("query_id")["vec_id"]
+    assert self_hits.loc[0] == 5 and self_hits.loc[3] == 160
+
+
+def test_embedding_near_dup_join_verify_matches_inbucket(ray_session):
+    """verify="join" ships only (id, band, bucket) through the band
+    shuffle yet emits the same verified pairs (VERDICT r2 item 6)."""
+    rng = np.random.RandomState(21)
+    base = rng.standard_normal((6, 16)).astype(np.float32)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):                      # 3 near-copies per seed
+            rows.append({"vec_id": vid,
+                         "embedding": (b + 0.002 * rng.standard_normal(16))
+                         .tolist()})
+            vid += 1
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    t = 0.99
+    a = D.embedding_near_dup_pairs(ds, threshold=t,
+                                   verify="inbucket").to_pandas()
+    b = D.embedding_near_dup_pairs(ds, threshold=t,
+                                   verify="join").to_pandas()
+    pa_ = {(int(x), int(y)) for x, y in zip(a["a"], a["b"])}
+    pb_ = {(int(x), int(y)) for x, y in zip(b["a"], b["b"])}
+    assert pa_ == pb_ and len(pa_) >= 6          # every seed clusters

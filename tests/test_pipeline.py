@@ -207,3 +207,55 @@ def test_incremental_append_hash_keying(ray_session, tmp_path, unit_graph):
     want = set(zip(unit_graph["subj"], unit_graph["pred"],
                    unit_graph["obj"], unit_graph["graph"]))
     assert got == want
+
+
+def test_spill_guard_estimates_dataset_sources(ray_session, monkeypatch):
+    """The 40%-of-store parquet-pin guard engages for Dataset (non-path)
+    sources too, via input-file sizes or the in-memory estimate
+    (VERDICT r2 item 8)."""
+    from pikes_ray.pipelines import kg
+
+    ds = read_transcripts(transcripts_dir("unit"))
+
+    # path source: below threshold with a huge mocked store → no spill
+    big_store = {"object_store_memory": float(1 << 50)}
+    monkeypatch.setattr("ray.cluster_resources", lambda: big_store)
+    assert kg._auto_spill_dir(transcripts_dir("unit")) is None
+    assert kg._auto_spill_dir(ds) is None
+
+    # tiny mocked store → both source kinds trip the guard
+    tiny_store = {"object_store_memory": 1024.0}
+    monkeypatch.setattr("ray.cluster_resources", lambda: tiny_store)
+    d1 = kg._auto_spill_dir(transcripts_dir("unit"))
+    d2 = kg._auto_spill_dir(ds)
+    assert d1 is not None and d2 is not None
+    import shutil
+    shutil.rmtree(d1, ignore_errors=True)
+    shutil.rmtree(d2, ignore_errors=True)
+
+    # a Dataset with no input files still yields a usable estimate
+    import pandas as pd
+    mem_ds = rd.from_pandas(pd.DataFrame({"text": ["x" * 100] * 50}))
+    assert kg._estimate_parquet_bytes(mem_ds)
+
+
+def test_spill_split_refuses_foreign_dirs(ray_session, tmp_path):
+    """_spill_split never rmtree()s a directory it doesn't recognize
+    (ADVICE r2: unrelated data must not be deleted silently)."""
+    from pikes_ray.pipelines.kg import transcripts_to_graph
+
+    foreign = tmp_path / "precious"
+    foreign.mkdir()
+    (foreign / "keep.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="refusing"):
+        transcripts_to_graph(transcripts_dir("unit"), concurrency=2,
+                             spill_dir=str(foreign)).to_pandas()
+    assert (foreign / "keep.txt").read_text() == "do not delete"
+
+    # a previous spill layout (scope=* only) IS reclaimed
+    prior = tmp_path / "spill"
+    (prior / "scope=doc").mkdir(parents=True)
+    (prior / "scope=doc" / "old.parquet").write_bytes(b"x")
+    out = transcripts_to_graph(transcripts_dir("unit"), concurrency=2,
+                               spill_dir=str(prior)).to_pandas()
+    assert len(out) > 300

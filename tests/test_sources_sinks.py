@@ -393,9 +393,16 @@ def test_naf_reference_shaped_parse(ray_session, tmp_path):
  </entities>
  <srl>
   <predicate id="pr1">
-   <externalRef resource="PropBank" reference="acquire.01"/>
+   <externalReferences>
+    <externalRef resource="PropBank" reference="acquire.01"/>
+   </externalReferences>
    <span><target id="t2" head="yes"/></span>
-   <role id="r1" semRole="A0"><span><target id="t1" head="yes"/></span></role>
+   <role id="r1" semRole="A0">
+    <externalReferences>
+     <externalRef resource="VerbNet" reference="rolemustnotleak"/>
+    </externalReferences>
+    <span><target id="t1" head="yes"/></span>
+   </role>
    <role id="r2" semRole="A1"><span><target id="t3" head="yes"/></span></role>
   </predicate>
  </srl>
