@@ -328,6 +328,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return evaluate_reference()
 
+    def eval_pm_sac_reference(sf_dir):
+        """Held-out scorer validation: the reference's SAC-2016
+        configuration output scored against gold (published table:
+        docs/eval-pm.html #separate-sac; six categories exact)."""
+        from pikes_ray.pipelines.evalpm import evaluate_reference
+
+        return evaluate_reference("pikes-sac")
+
+    def eval_pm_ablated(sf_dir):
+        """Off-lexicon generalization: every gold-derived lexicon entry
+        quarantined, open-vocabulary fallbacks active (VERDICT r2 top
+        item).  Honest degraded number, reported next to eval_pm's."""
+        from pikes_ray.pipelines.evalpm import evaluate_ours
+
+        return evaluate_ours(profile="ablated")
+
+    def eval_pm_core(sf_dir):
+        """Ablation baseline: gold vocabulary quarantined AND the
+        programmatic growth off — shows what lexicon_growth buys."""
+        from pikes_ray.pipelines.evalpm import evaluate_ours
+
+        return evaluate_ours(profile="core")
+
     def eval_framebase(sf_dir):
         from pikes_ray.pipelines.evalfb import evaluate_ours_fb
 
@@ -342,6 +365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg_triples,
         "eval_pm": eval_pm,
         "eval_pm_reference": eval_pm_reference,
+        "eval_pm_ablated": eval_pm_ablated,
+        "eval_pm_core": eval_pm_core,
+        "eval_pm_sac_reference": eval_pm_sac_reference,
         "eval_framebase": eval_framebase,
         "eval_framebase_reference": eval_framebase_reference,
         "kg_entity_degree": kg_entity_degree,

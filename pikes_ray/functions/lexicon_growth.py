@@ -193,22 +193,37 @@ NOMINALIZATION_IRREGULAR: dict[str, str] = {
 }
 
 
+# common words the forward rules would wrongly analyze as deverbal
+# nominals (letter ≠ one who lets); never emit these
+NOMINALIZATION_BLOCKLIST = frozenset({
+    "better", "letter", "signal", "closer", "matter", "winter", "summer",
+    "corner", "chapter", "quarter", "formal", "normal", "mission",
+    "station", "nation", "fashion", "caption", "section", "carrion",
+})
+
+
 @lru_cache(maxsize=None)
-def grown_noun_frames() -> tuple[dict[str, tuple[str, str]],
-                                 dict[str, tuple[list[int], list[int]]]]:
+def grown_noun_frames(extra_verbs: tuple[tuple[str, str], ...] = ()) -> tuple[
+        dict[str, tuple[str, str]],
+        dict[str, tuple[list[int], list[int]]]]:
     """(noun lemma → (NomBank id, PropBank id),
         NomBank id → (mandatory, optional) self-arg numbers).
 
     NomBank-style: the noun's roleset shares the source verb's
     argument structure; agentive -er/-or nominals incorporate their A0
     (resources/NomBank.java self-arg semantics), process/result
-    nominals get an optional A1.
+    nominals get an optional A1.  ``extra_verbs`` lets the caller feed
+    additional (lemma, roleset) pairs (e.g. the pinned core verbs) into
+    the generation.
     """
-    verbs = grown_verb_frames()
+    verbs = dict(grown_verb_frames())
+    verbs.update(dict(extra_verbs))
     frames: dict[str, tuple[str, str]] = {}
     self_args: dict[str, tuple[list[int], list[int]]] = {}
-    for verb, roleset in verbs.items():
+    for verb, roleset in sorted(verbs.items()):
         for noun, kind in _nominal_candidates(verb):
+            if noun in NOMINALIZATION_BLOCKLIST:
+                continue
             nb_id = f"{noun}.01"
             frames.setdefault(noun, (nb_id, roleset))
             if kind == "agent":

@@ -297,8 +297,14 @@ def evaluate_ours_fb():
              "tool": "", "ts": dt.datetime(2015, 11, 6)}
             for i, t in enumerate(texts)]
     batch = pa.Table.from_pylist(rows, schema=TRANSCRIPT_SCHEMA)
-    stage = KGStage(static_canon=False, local_smush=False, per_mention=True)
-    out = stage(batch).to_pandas()
+    # pinned lexicon: the conformance configuration (see
+    # evalpm.evaluate_ours)
+    from pikes_ray.functions.lexicon import lexicon_profile
+
+    with lexicon_profile("pinned"):
+        stage = KGStage(static_canon=False, local_smush=False,
+                        per_mention=True)
+        out = stage(batch).to_pandas()
 
     tests = []
     for i, text in enumerate(texts):

@@ -11,8 +11,22 @@ from pikes_ray.stages.filter import FilterConfig, filter_document
 from pikes_ray.stages.normalize import normalize_batch
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _pinned_lexicon():
+    """These tests pin the filter/extractor SEMANTICS against the
+    round-2 reference behavior — run them on the pinned lexicon so the
+    programmatic growth (functions/lexicon_growth, profile "full")
+    can't shift the sentence bank's vocabulary under them.  Growth and
+    the open-vocab fallbacks have their own tests
+    (test_lexicon_growth.py)."""
+    from pikes_ray.functions.lexicon import lexicon_profile
+
+    with lexicon_profile("pinned"):
+        yield
+
+
 @pytest.fixture(scope="module")
-def model():
+def model(_pinned_lexicon):
     return RuleAnnotator()
 
 

@@ -110,3 +110,34 @@ def test_our_pipeline_honest_score():
     # every category must at least be reported
     assert {"edges", "roles (PB)", "types (PB)", "linking",
             "triples"} <= set(df.index)
+
+
+def test_scorer_matches_published_sac_numbers():
+    """HELD-OUT scorer validation (VERDICT r2 item 2): score the
+    frozen SAC-2016 output (docs/eval-pm/pikes-sac/*.ttl — a different
+    annotator configuration round 2 never consumed, linked via
+    x:denotes/x:implies in x:schema namespaces) and compare to the
+    published SAC table (docs/eval-pm.html #separate-sac).  Six
+    categories reproduce exactly; the rest sit within the same small
+    gold-revision drift as the November column."""
+    df = evaluate_reference("pikes-sac").set_index("component")
+
+    exact = {
+        "instances": (148, 9, 5),
+        "linking": (14, 6, 4),
+        "types (VN)": (24, 10, 20),
+        "types (PB)": (38, 7, 15),
+        "roles (VN)": (46, 16, 48),
+        "roles (FN)": (28, 28, 80),
+    }
+    for cat, (tp, fp, fn) in exact.items():
+        row = df.loc[cat]
+        assert (row["tp"], row["fp"], row["fn"]) == (tp, fp, fn), cat
+
+    # drift-tolerant (published: types NB 29/13, roles PB 68/14,
+    # roles NB 32/19, sameAs 5/2, edges 131/16, triples 303/122)
+    approx = {"types (NB)": (29, 2), "roles (PB)": (68, 2),
+              "roles (NB)": (32, 2), "owl:sameAs": (5, 2),
+              "edges": (131, 3), "triples": (303, 6)}
+    for cat, (tp, tol) in approx.items():
+        assert abs(df.loc[cat, "tp"] - tp) <= tol, (cat, df.loc[cat, "tp"])
