@@ -93,6 +93,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_triples(sf_dir):
         return _kg_triples(sf_dir)
 
+    def kg_triples_kem(sf_dir):
+        """Second-generation KEM extractor (NAFExtractor semantics,
+        VERDICT r2 item 7): annotate → filter → reified-annotation
+        triples via the extension-registry Extractor plugin surface."""
+        from pikes_ray.extension import resolve
+        from pikes_ray.pipelines.kg import annotate_transcripts
+
+        import ray.data as rd
+
+        kem = resolve("extract_kem")
+        ann = annotate_transcripts(rd.read_parquet(_transcripts_path(sf_dir)),
+                                   concurrency=(2, 8))
+        return ann.map_batches(kem, batch_format="pyarrow")
+
     def kg_entity_degree(sf_dir):
         from pikes_ray.pipelines.stats import entity_degree
 
@@ -375,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_links": kg_sameas_links,
         "kg_entity_quads": kg_entity_quads,
         "kg_docs_triples": kg_docs_triples,
+        "kg_triples_kem": kg_triples_kem,
         "t_turn_stats": t_turn_stats,
         "t_conv_turns": t_conv_turns,
         "q_pricing_summary": R.pricing_summary,

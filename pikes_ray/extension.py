@@ -31,6 +31,9 @@ STAGE_REGISTRY: dict[str, str] = {
     # per-record maps (stateless tasks)
     "normalize": "pikes_ray.stages.normalize:normalize_batch",       # M1
     "extract": "pikes_ray.stages.extract:extract_batch",             # T0-T8
+    # second registered Extractor (≙ NAFExtractor/KEM behind
+    # api/Extractor.java — the plugin surface with two real impls)
+    "extract_kem": "pikes_ray.stages.kem:kem_extract_batch",
     "smush_local": "pikes_ray.pipelines.canonicalize:smush_local_batch",  # E2a
     "kg": "pikes_ray.stages.fused:kg_stage_task",                    # fused flagship
     # stateful stages (actor pools — model built once per actor)
