@@ -375,6 +375,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return evaluate_reference_fb("both")
 
+    def eval_framebase_semafor_reference(sf_dir):
+        """Held-out: the reference's Semafor-only configuration scored
+        against the FrameBase gold (published eval-framebase.md row)."""
+        from pikes_ray.pipelines.evalfb import evaluate_reference_fb
+
+        return evaluate_reference_fb("semafor")
+
+    def eval_framebase_mate_reference(sf_dir):
+        """Held-out: the reference's Mate-only configuration scored
+        against the FrameBase gold (published eval-framebase.md row)."""
+        from pikes_ray.pipelines.evalfb import evaluate_reference_fb
+
+        return evaluate_reference_fb("mate")
+
     return {
         "kg_triples": kg_triples,
         "eval_pm": eval_pm,
@@ -384,6 +398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_pm_sac_reference": eval_pm_sac_reference,
         "eval_framebase": eval_framebase,
         "eval_framebase_reference": eval_framebase_reference,
+        "eval_framebase_semafor_reference": eval_framebase_semafor_reference,
+        "eval_framebase_mate_reference": eval_framebase_mate_reference,
         "kg_entity_degree": kg_entity_degree,
         "kg_type_counts": kg_type_counts,
         "kg_sameas_links": kg_sameas_links,

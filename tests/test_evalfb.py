@@ -55,3 +55,25 @@ def test_framebase_lu_clustering():
     # singleton clusters keep their own LU
     assert microframe("Organization", "group", "n") == \
         "fb:frame-Organization-group.n"
+
+
+def test_evalfb_heldout_configs_near_published():
+    """Held-out scorer validation (VERDICT r2 item 2): score the
+    Semafor-only and Mate-only frozen outputs — configurations this
+    repo never consumed before round 3 — and land within a few points
+    of the published eval-framebase.md table (Semafor all-triples
+    .605/.466, Mate .704/.236, Both .599/.528)."""
+    from pikes_ray.pipelines.evalfb import evaluate_reference_fb
+
+    published = {
+        "semafor": {"types (FB)": (0.617, 0.698), "roles (FB)": (0.594, 0.352),
+                    "triples": (0.605, 0.466)},
+        "mate": {"types (FB)": (0.792, 0.358), "roles (FB)": (0.633, 0.176),
+                 "triples": (0.704, 0.236)},
+    }
+    for system, rows in published.items():
+        df = evaluate_reference_fb(system).set_index("component")
+        for cat, (p, r) in rows.items():
+            got_p, got_r = df.loc[cat, "precision"], df.loc[cat, "recall"]
+            assert abs(got_p - p) <= 0.09, (system, cat, got_p, p)
+            assert abs(got_r - r) <= 0.05, (system, cat, got_r, r)
