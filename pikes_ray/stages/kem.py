@@ -20,11 +20,8 @@ Implemented steps (reference line anchors):
 - entities    — processEntity     :500  (NER class, linking, properName)
 - predicates  — processPredicate  :637  (lemma/oliaLink + roleset class)
 - coordinations — processCoordinations :699 (group + conjunct annotations)
+- coreferences — processCoref      :868  (kemt:Coreference + coreferring)
 - roles       — processRole       :940  (reified participation)
-
-Deferred (documented): processCoreferences (:846) — the KS extractor's
-T6 covers coref semantics; KEM's reified-coref shape adds no new
-machinery beyond what's here.
 
 Registered as the second Extractor in extension.STAGE_REGISTRY
 ("extract_kem") — a real second implementation behind the plugin
@@ -276,11 +273,37 @@ class _KemDoc:
                 self.emit(coord_ann, "kemt:conjunct", item)
                 self.emit(coord_ann, "kemt:conjunctString", m_men)
 
+    def coreferences(self) -> None:                   # :846-913
+        for k, cluster in enumerate(self.row["corefs"]):
+            members = []                # (span, head, mention IRI)
+            for sp in cluster:
+                head = self.graph.terms_head(range(sp["start"], sp["end"]))
+                if head is None:
+                    head = sp["end"] - 1
+                cur = self.mentions.get(head)
+                if cur is not None:
+                    members.append((sp, cur))
+            if len(members) <= 1:
+                continue                # cluster degenerates — skip
+            lo = min(m[1][0] for m in members)
+            hi = max(m[1][1] for m in members)
+            coref_men = self.fragment(lo, hi)
+            self.emit(coref_men, "rdf:type", "kem:Mention")
+            coref = self.ann(f"co{k}", coref_men, "kemt:Coreference")
+            for sp, (s0, s1, men_iri) in members:
+                coreferent = self.ann(f"co{k}", men_iri,
+                                      "kemt:EntityAnnotation")
+                self.emit(coref, "kemt:coreferring", coreferent)
+                frag = self.fragment(sp["start"], sp["end"])
+                self.emit(coreferent, "kemt:rawString", frag)
+            self.emit(coref, "kemt:rawString", coref_men)
+
     def run(self):
         self.metadata()
         self.timexes()
         self.entities()
         self.predicates()
+        self.coreferences()
         self.roles()
         self.coordinations()
         return self.triples

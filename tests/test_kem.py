@@ -129,3 +129,16 @@ def test_kem_via_extension_registry(ray_session):
                           o.replace(f"turn={i}", "turn=X"))
                          for s, p, o in df.itertuples(index=False)}
     assert fix(a, 0) == fix(b, 1)
+
+
+def test_kem_coreference():
+    t = _triples("Alice Johnson founded Acme Corp. She leads it.")
+    got = spo(t)
+    corefs = [s for s, p, o in got
+              if p == "rdf:type" and o == "kemt:Coreference"]
+    assert corefs
+    links = [(s, o) for s, p, o in got if p == "kemt:coreferring"]
+    assert len(links) >= 2
+    # every coreferent is an annotation hanging off a mention
+    ann_targets = {o for _, p, o in got if p == "kem:hasAnnotation"}
+    assert all(o in ann_targets for _, o in links)
