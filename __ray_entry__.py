@@ -107,6 +107,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    concurrency=(2, 8))
         return ann.map_batches(kem, batch_format="pyarrow")
 
+    def doc_opinion_learned(sf_dir):
+        """pikes-raid analogue: averaged-perceptron opinion-expression
+        tagger trained with iterative parameter mixing on the lexicon
+        teacher (even docs), evaluated on held-out odd docs.  Returns
+        the span P/R metrics row (rows-only check)."""
+        import ray.data as rd
+
+        from pikes_ray.ops.opinion_ml import (
+            _teacher_spans,
+            evaluate_opinion_spans,
+            opinion_training_frames,
+            tag_opinion_spans,
+            train_opinion_tagger,
+        )
+        from pikes_ray.pipelines.kg import annotate_transcripts
+        from pikes_ray.sources.ingest import read_documents_as_transcripts
+
+        ann = annotate_transcripts(
+            read_documents_as_transcripts(sf_dir), concurrency=(2, 8)
+        ).materialize()
+        # docs are single-turn (conv_id = doc-<nnn>): split by doc parity
+        def _par(r):
+            return int(r["conv_id"].rsplit("-", 1)[-1]) % 2
+
+        train = ann.filter(lambda r: _par(r) == 0)
+        test = ann.filter(lambda r: _par(r) == 1)
+        w = train_opinion_tagger(opinion_training_frames(train),
+                                 rounds=3, n_parts=8)
+        pred = tag_opinion_spans(test, w).to_pandas()
+        gold_rows = []
+        for r in test.iter_rows():
+            for (b, e) in _teacher_spans(r):
+                gold_rows.append(
+                    {"doc_id": f"{r['conv_id']}#turn={r['turn_idx']}",
+                     "start": b, "end": e})
+        m = evaluate_opinion_spans(
+            pred, pd.DataFrame(gold_rows,
+                               columns=["doc_id", "start", "end"]))
+        return pd.DataFrame([m])
+
     def kg_entity_degree(sf_dir):
         from pikes_ray.pipelines.stats import entity_degree
 
@@ -406,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_quads": kg_entity_quads,
         "kg_docs_triples": kg_docs_triples,
         "kg_triples_kem": kg_triples_kem,
+        "doc_opinion_learned": doc_opinion_learned,
         "t_turn_stats": t_turn_stats,
         "t_conv_turns": t_conv_turns,
         "q_pricing_summary": R.pricing_summary,

@@ -538,3 +538,66 @@ def test_embedding_near_dup_join_verify_matches_inbucket(ray_session):
     pa_ = {(int(x), int(y)) for x, y in zip(a["a"], a["b"])}
     pb_ = {(int(x), int(y)) for x, y in zip(b["a"], b["b"])}
     assert pa_ == pb_ and len(pa_) >= 6          # every seed clusters
+
+
+def test_opinion_ml_learns_rule_layer(ray_session):
+    """pikes-raid analogue: the averaged-perceptron tagger trained with
+    iterative parameter mixing on lexicon-teacher labels recovers the
+    teacher's opinion spans on HELD-OUT documents (proves the learned
+    pipeline end-to-end: features -> distributed training -> tagging ->
+    span P/R)."""
+    import datetime as _dt
+
+    import ray.data as _rd
+
+    from pikes_ray.ops.opinion_ml import (
+        evaluate_opinion_spans,
+        opinion_training_frames,
+        tag_opinion_spans,
+        train_opinion_tagger,
+        _teacher_spans,
+    )
+    from pikes_ray.stages.annotate import RuleAnnotator
+    from pikes_ray.stages.filter import FilterConfig, filter_document
+
+    texts = [
+        "Very strong supporters backed Acme Corp.",
+        "Analysts reported the excellent quarterly growth.",
+        "The weak launch surprised investors.",
+        "A terrible loss worried the board in Paris.",
+        "The poor delivery schedule caused a bad outcome.",
+        "The strong results surprised the market.",
+        "Beta LLC delivered a weak performance in Paris.",
+        "Good growth followed the fast launch.",
+        "The excellent report surprised analysts.",
+        "A poor outcome followed the weak launch.",
+        "Strong growth pleased donors abroad.",
+        "The bad schedule caused a terrible loss.",
+    ]
+    model = RuleAnnotator()
+    rows = []
+    for i, t in enumerate(texts):
+        ann = filter_document(model.annotate(t), FilterConfig())
+        rows.append({"conv_id": "op", "turn_idx": i, "role": "user",
+                     "text": t, "tool": "", "ts": _dt.datetime(2024, 1, 1),
+                     "quarantined": False, **ann})
+    train_rows, test_rows = rows[:8], rows[8:]
+    train_ds = _rd.from_items(train_rows)
+    test_ds = _rd.from_items(test_rows)
+
+    frames = opinion_training_frames(train_ds)
+    w = train_opinion_tagger(frames, rounds=3, n_parts=4)
+    assert w, "training produced no weights"
+
+    pred = tag_opinion_spans(test_ds, w).to_pandas()
+    gold = []
+    for r in test_rows:
+        for (b, e) in _teacher_spans(r):
+            gold.append({"doc_id": f"op#turn={r['turn_idx']}",
+                         "start": b, "end": e})
+    import pandas as _pd
+
+    m = evaluate_opinion_spans(pred, _pd.DataFrame(gold))
+    # the lexicon feature makes the teacher learnable — expect near-
+    # perfect recovery on held-out docs
+    assert m["recall"] >= 0.9 and m["precision"] >= 0.8, m
