@@ -31,7 +31,11 @@ TRANSCRIPT_SCHEMA = pa.schema(
 # ---------------------------------------------------------------------------
 
 # token ≙ WF+Term merged (ixa/kaflib/WF.java + Term.java:25-74): surface
-# form, char offset/len, sentence index, POS (coarse + Penn), lemma.
+# form, char offset/len, sentence index, POS (coarse + Penn), lemma, plus
+# the M11-normalized term-sense refs (NAFUtils.normalize,
+# pikes-resources/.../NAFUtils.java:116-151: legacy Term attributes
+# `wordnet`/`supersense`/`bbn` and externalRefs with resources
+# wn30-ukb/wn30-sst/BBN fold into one canonical column each; "" = absent).
 TOKEN_T = pa.struct(
     [
         ("form", pa.string()),
@@ -41,6 +45,9 @@ TOKEN_T = pa.struct(
         ("pos", pa.string()),        # coarse: N V G A R Q P D O C (Term.java pos codes)
         ("morphofeat", pa.string()),  # Penn tag
         ("lemma", pa.string()),
+        ("synset", pa.string()),     # wn30-ukb synset id ("" = none)
+        ("sst", pa.string()),        # wn30-sst supersense tag ("" = none)
+        ("bbn", pa.string()),        # BBN entity tag ("" = none)
     ]
 )
 

@@ -237,6 +237,30 @@ def _parse_naf_doc(xml_text: str) -> dict | None:
         form = (wf.text or "") if wf is not None else ""
         penn = term.get("morphofeat") or ""
         pos = term.get("pos") or (penn[:1] if penn else "O")
+        # M11 term-sense normalization (NAFUtils.normalize,
+        # pikes-resources/.../NAFUtils.java:116-141): an externalRef with
+        # resource wn30-ukb / wn30-sst / BBN wins; the legacy Term
+        # attributes (`wordnet` / `supersense` / `bbn`,
+        # ReadWriteManager.java:1031-1042) fill in ONLY when no ref with
+        # that resource exists.  Term-level refs sit either as direct
+        # children or inside an <externalReferences> wrapper.
+        synset = sst = bbn = ""
+        t_refs = list(term.findall("externalRef"))
+        t_wrapper = term.find("externalReferences")
+        if t_wrapper is not None:
+            t_refs.extend(t_wrapper.iter("externalRef"))
+        for ref in t_refs:
+            res = (ref.get("resource") or "").lower()
+            val = ref.get("reference") or ""
+            if res == "wn30-ukb" and not synset:
+                synset = val
+            elif res == "wn30-sst" and not sst:
+                sst = val
+            elif res == "bbn" and not bbn:
+                bbn = val
+        synset = synset or term.get("wordnet") or ""
+        sst = sst or term.get("supersense") or ""
+        bbn = bbn or term.get("bbn") or ""
         tokens.append({
             "form": form,
             "offset": int(wf.get("offset", 0)) if wf is not None else 0,
@@ -245,6 +269,9 @@ def _parse_naf_doc(xml_text: str) -> dict | None:
             "pos": pos,
             "morphofeat": penn,
             "lemma": term.get("lemma") or form.lower(),
+            "synset": synset,
+            "sst": sst,
+            "bbn": bbn,
         })
 
     def span_bounds(span_el):
@@ -309,6 +336,12 @@ def _parse_naf_doc(xml_text: str) -> dict | None:
         wrapper = pr.find("externalReferences")
         if wrapper is not None:
             pred_refs.extend(wrapper.iter("externalRef"))
+        # M11 normalizeRefs (NAFUtils.java:527-537): drop duplicate
+        # (resource, reference) pairs before folding.
+        _seen_refs: set[tuple[str, str]] = set()
+        pred_refs = [r for r in pred_refs
+                     if (k := (r.get("resource") or "", r.get("reference") or ""))
+                     not in _seen_refs and not _seen_refs.add(k)]
         for ref in pred_refs:
             res = (ref.get("resource") or "").lower()
             if not sense or res.startswith(("propbank", "nombank")):

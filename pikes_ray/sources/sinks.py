@@ -128,6 +128,8 @@ def write_naf_xml(annotated, out_dir: str) -> int:
     import uuid
     from xml.sax.saxutils import escape, quoteattr
 
+    from pikes_ray.functions.constituency import constituency_layers
+
     os.makedirs(out_dir, exist_ok=True)
 
     def chunk_layer(toks, deps) -> str:
@@ -174,10 +176,20 @@ def write_naf_xml(annotated, out_dir: str) -> int:
                 f'sent="{t["sent"]}">{escape(t["form"])}</wf>')
         buf.append("</text><terms>")
         for i, t in enumerate(toks):
+            # M11 canonical form: term senses travel as externalRefs with
+            # the kaflib resource names (NAFUtils.java:61-65 wn30-ukb /
+            # wn30-sst / BBN), wrapped per ReadWriteManager (~2934).
+            refs = "".join(
+                f'<externalRef resource="{res}" reference={quoteattr(val)}/>'
+                for res, val in (("wn30-ukb", t.get("synset") or ""),
+                                 ("wn30-sst", t.get("sst") or ""),
+                                 ("BBN", t.get("bbn") or ""))
+                if val)
+            refs = f"<externalReferences>{refs}</externalReferences>" if refs else ""
             buf.append(
                 f'<term id="t{i}" lemma={quoteattr(t["lemma"])} '
                 f'pos={quoteattr(t["pos"])} morphofeat={quoteattr(t["morphofeat"])}>'
-                f'<span><target id="w{i}"/></span></term>')
+                f'<span><target id="w{i}"/></span>{refs}</term>')
         buf.append("</terms><entities>")
         for k, e in enumerate(ents):
             targets = "".join(f'<target id="t{j}"/>'
@@ -196,6 +208,11 @@ def write_naf_xml(annotated, out_dir: str) -> int:
                 f'<span><target id="t{p["head"]}"/></span>{roles}</predicate>')
         buf.append("</srl>")
         buf.append(chunk_layer(toks, dps))
+        # M8: real constituency trees (dep→constituency projection +
+        # Collins head finder) in both kaflib forms — the head-marked
+        # Penn string (constituencyStrings) and the structured
+        # nt/t/edge layer (AnnotationPipeline.java:901-915).
+        buf.append(constituency_layers(toks, dps))
         buf.append("</NAF>")
         return "".join(buf)
 

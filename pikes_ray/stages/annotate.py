@@ -1464,7 +1464,7 @@ class RuleAnnotator:
             "tokens": [
                 {"form": t.form, "offset": t.offset, "length": t.length,
                  "sent": t.sent, "pos": t.pos, "morphofeat": t.morphofeat,
-                 "lemma": t.lemma}
+                 "lemma": t.lemma, "synset": "", "sst": "", "bbn": ""}
                 for t in toks
             ],
             "deps": [{"frm": g, "to": d, "rfunc": r} for g, d, r in deps],

@@ -368,14 +368,26 @@ class _DocExtractor:
         toks = self.tokens[start:end]
         if not toks:
             return
-        syn, sst, _sumo, _yago = noun_types_ctx(toks[-1]["lemma"], self.wn_ctx)
+        # M11: a term sense already normalized onto the token (NAF
+        # ingest of an annotator-assigned wn30-ukb/wn30-sst ref or
+        # legacy attribute) takes precedence over our lexicon WSD —
+        # the reference's RDFGenerator reads exactly those term refs.
+        # F1 termSenseFiltering applies to the ingested path (the only
+        # path that can carry a sense on a proper noun): WN refs on
+        # NNP* heads are dropped (NAFFilter.java:375-386).
+        is_proper = toks[-1]["morphofeat"].startswith("NNP")
+        syn = (toks[-1].get("synset") or None) if not is_proper else None
+        sst = (toks[-1].get("sst") or "") if syn else ""
+        if syn is None:
+            syn, sst, _sumo, _yago = noun_types_ctx(toks[-1]["lemma"], self.wn_ctx)
         if syn is None:
             return
         b = toks[0]["offset"]
         e = toks[-1]["offset"] + toks[-1]["length"]
         men = mention_iri(self.doc, b, e)
         self.meta(men, "ks:synset", f"wnsyn:{syn}")
-        self.meta(men, "ks:sst", f"sst:{sst}")
+        if sst:
+            self.meta(men, "ks:sst", f"sst:{sst}")
 
     def _factuality(self, head: int) -> str:
         """T4 — deterministic FactBank-style value per event

@@ -432,6 +432,104 @@ def test_naf_reference_shaped_parse(ray_session, tmp_path):
     assert [ (s["start"], s["end"]) for s in row.corefs[0] ] == [(0, 1), (3, 4)]
 
 
+def test_m11_term_sense_normalization(ray_session, tmp_path):
+    """M11 (NAFUtils.normalize, NAFUtils.java:116-151): legacy Term
+    attributes (`wordnet`/`supersense`/`bbn`) and externalRefs with
+    resources wn30-ukb/wn30-sst/BBN fold into one canonical token
+    column each, refs winning over attributes; the extractor prefers
+    the carried sense over lexicon WSD; F1 termSenseFiltering drops
+    carried senses on proper-noun heads (NAFFilter.java:375-386);
+    and the S6 writer round-trips the refs in canonical form."""
+    from pikes_ray.sources.ingest import read_naf_documents
+    from pikes_ray.sources.sinks import write_naf_xml
+    from pikes_ray.stages.extract import extract_batch
+    from pikes_ray.stages.filter import FilterStage
+
+    naf = """<?xml version="1.0" encoding="UTF-8"?>
+<NAF xml:lang="en" version="v3">
+ <nafHeader><public publicId="m11"/></nafHeader>
+ <raw>The company acquired the factory. Beta grew.</raw>
+ <text>
+  <wf id="w1" offset="0" length="3" sent="1">The</wf>
+  <wf id="w2" offset="4" length="7" sent="1">company</wf>
+  <wf id="w3" offset="12" length="8" sent="1">acquired</wf>
+  <wf id="w4" offset="21" length="3" sent="1">the</wf>
+  <wf id="w5" offset="25" length="7" sent="1">factory</wf>
+  <wf id="w6" offset="32" length="1" sent="1">.</wf>
+  <wf id="w7" offset="34" length="4" sent="2">Beta</wf>
+  <wf id="w8" offset="39" length="4" sent="2">grew</wf>
+  <wf id="w9" offset="43" length="1" sent="2">.</wf>
+ </text>
+ <terms>
+  <term id="t1" lemma="the" pos="D" morphofeat="DT"><span><target id="w1"/></span></term>
+  <term id="t2" lemma="company" pos="N" morphofeat="NN"><span><target id="w2"/></span>
+   <externalReferences>
+    <externalRef resource="wn30-ukb" reference="08058098-n"/>
+    <externalRef resource="wn30-sst" reference="noun.group"/>
+   </externalReferences></term>
+  <term id="t3" lemma="acquire" pos="V" morphofeat="VBD"><span><target id="w3"/></span></term>
+  <term id="t4" lemma="the" pos="D" morphofeat="DT"><span><target id="w4"/></span></term>
+  <term id="t5" lemma="factory" pos="N" morphofeat="NN" wordnet="99999998-n"
+        supersense="noun.artifact" bbn="FAC"><span><target id="w5"/></span>
+   <externalReferences>
+    <externalRef resource="wn30-ukb" reference="03316406-n"/>
+   </externalReferences></term>
+  <term id="t6" lemma="." pos="O" morphofeat="."><span><target id="w6"/></span></term>
+  <term id="t7" lemma="Beta" pos="R" morphofeat="NNP" wordnet="99999999-n">
+   <span><target id="w7"/></span></term>
+  <term id="t8" lemma="grow" pos="V" morphofeat="VBD"><span><target id="w8"/></span></term>
+  <term id="t9" lemma="." pos="O" morphofeat="."><span><target id="w9"/></span></term>
+ </terms>
+ <srl>
+  <predicate id="pr1">
+   <externalReferences><externalRef resource="PropBank" reference="acquire.01"/>
+    <externalRef resource="PropBank" reference="acquire.01"/></externalReferences>
+   <span><target id="t3" head="yes"/></span>
+   <role id="r1" semRole="A0"><span><target id="t2" head="yes"/></span></role>
+   <role id="r2" semRole="A1"><span><target id="t5" head="yes"/></span></role>
+  </predicate>
+  <predicate id="pr2">
+   <externalReferences><externalRef resource="PropBank" reference="grow.01"/></externalReferences>
+   <span><target id="t8" head="yes"/></span>
+   <role id="r3" semRole="A1"><span><target id="t7" head="yes"/></span></role>
+  </predicate>
+ </srl>
+</NAF>"""
+    p = tmp_path / "m11.naf"
+    p.write_text(naf)
+    df = read_naf_documents(str(p)).to_pandas()
+    toks = df.iloc[0].tokens
+    # externalRef form
+    assert (toks[1]["synset"], toks[1]["sst"], toks[1]["bbn"]) == \
+        ("08058098-n", "noun.group", "")
+    # ref wins over the legacy attribute; attribute fills the missing ones
+    assert (toks[4]["synset"], toks[4]["sst"], toks[4]["bbn"]) == \
+        ("03316406-n", "noun.artifact", "FAC")
+    # legacy attribute alone (normalization keeps it; F1 filters at
+    # extraction because the head is NNP)
+    assert toks[6]["synset"] == "99999999-n"
+    # duplicated (resource, reference) predicate refs dedupe (normalizeRefs)
+    assert df.iloc[0].predicates[0]["sense"] == "acquire.01"
+
+    # the CLI's `extract --naf` composition: filter (F7 entityAddition
+    # mints role-filler entities) then extract
+    tr = read_naf_documents(str(p)) \
+        .map_batches(FilterStage(), batch_format="pyarrow") \
+        .map_batches(extract_batch, batch_format="pyarrow").to_pandas()
+    objs = set(tr["obj"])
+    assert "wnsyn:08058098-n" in objs          # carried ref preferred
+    assert "sst:noun.group" in objs
+    assert "wnsyn:03316406-n" in objs          # ref-over-attribute value
+    assert "wnsyn:99999999-n" not in objs      # F1: NNP head filtered
+
+    # S6 writer round-trips the senses in canonical (wrapped-ref) form
+    out = str(tmp_path / "naf_out")
+    write_naf_xml(read_naf_documents(str(p)), out)
+    back = read_naf_documents(out).to_pandas().iloc[0].tokens
+    assert (back[1]["synset"], back[1]["sst"]) == ("08058098-n", "noun.group")
+    assert (back[4]["synset"], back[4]["bbn"]) == ("03316406-n", "FAC")
+
+
 def test_naf_malformed_inputs_are_skipped(ray_session, tmp_path):
     """Malformed/non-NAF files yield zero rows, never an exception
     (log-and-continue posture, SURVEY §4 retries row)."""
