@@ -405,6 +405,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return evaluate_ours(profile="core")
 
+    def eval_pm_fred_reference(sf_dir):
+        """Third-party scorer validation (round 3): FRED's frozen
+        output scored against the simplified comparative gold — ALL
+        EIGHT published categories reproduce integer-exact
+        (docs/eval-pm.html #comparative-latest, FRED column)."""
+        from pikes_ray.pipelines.evalpm import evaluate_comparative
+
+        return evaluate_comparative("fred")
+
+    def eval_pm_comparative_reference(sf_dir):
+        """The PIKES column of the published comparative table
+        (nominal-frame replacement + simplified namespaces)."""
+        from pikes_ray.pipelines.evalpm import evaluate_comparative
+
+        return evaluate_comparative("pikes")
+
+    def eval_pm_comparative(sf_dir):
+        """OUR engine on the same simplified (FRED-comparable) gold."""
+        from pikes_ray.pipelines.evalpm import evaluate_ours_comparative
+
+        return evaluate_ours_comparative()
+
     def eval_framebase(sf_dir):
         from pikes_ray.pipelines.evalfb import evaluate_ours_fb
 
@@ -436,6 +458,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_pm_ablated": eval_pm_ablated,
         "eval_pm_core": eval_pm_core,
         "eval_pm_sac_reference": eval_pm_sac_reference,
+        "eval_pm_fred_reference": eval_pm_fred_reference,
+        "eval_pm_comparative_reference": eval_pm_comparative_reference,
+        "eval_pm_comparative": eval_pm_comparative,
         "eval_framebase": eval_framebase,
         "eval_framebase_reference": eval_framebase_reference,
         "eval_framebase_semafor_reference": eval_framebase_semafor_reference,

@@ -103,6 +103,10 @@ class TurtleParser:
         self.i = 0
         self.prefixes: dict[str, str] = dict(prefixes or {})
         self.triples: list[tuple[str, str, str]] = []
+        # TriG graph context per triple: "" = default graph (top level or
+        # an anonymous ``{ ... }`` block), else the expanded graph IRI
+        self.quads: list[tuple[str, str, str, str]] = []
+        self._graph = ""
 
     def _peek(self):
         return self.tokens[self.i] if self.i < len(self.tokens) else ("eof", "")
@@ -157,8 +161,13 @@ class TurtleParser:
                 pk, _ = self._next()          # '.'
                 assert pk == "punct"
                 continue
+            if kind == "punct" and val == "{":
+                self._next()                   # anonymous TriG block → default
+                self._graph = ""
+                continue
             if kind == "punct" and val == "}":
                 self._next()                   # close TriG block
+                self._graph = ""
                 continue
             self._statement()
         return self.triples
@@ -168,12 +177,14 @@ class TurtleParser:
         kind, val = self._peek()
         if kind == "punct" and val == "{":     # TriG: subj was a graph name
             self._next()
+            self._graph = subj
             return                             # contents parse as statements
         while True:
             pred = self._term()
             while True:
                 obj = self._term()
                 self.triples.append((subj, pred, obj))
+                self.quads.append((self._graph, subj, pred, obj))
                 kind, val = self._peek()
                 if kind == "punct" and val == ",":
                     self._next()
@@ -197,3 +208,14 @@ class TurtleParser:
 def parse_turtle(text: str,
                  prefixes: dict[str, str] | None = None) -> list[tuple[str, str, str]]:
     return TurtleParser(text, prefixes).parse()
+
+
+def parse_trig(text: str,
+               prefixes: dict[str, str] | None = None
+               ) -> list[tuple[str, str, str, str]]:
+    """Parse TriG, keeping graph context: → [(graph, s, p, o)] where
+    graph is "" for the default graph (top-level statements and
+    anonymous ``{ ... }`` blocks) or the expanded graph-name IRI."""
+    p = TurtleParser(text, prefixes)
+    p.parse()
+    return p.quads

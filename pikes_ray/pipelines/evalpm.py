@@ -73,6 +73,7 @@ _NS = {
     "http://www.w3.org/1999/02/22-rdf-syntax-ns#": "rdf:",
     "http://www.w3.org/2000/01/rdf-schema#": "rdfs:",
     "http://dbpedia.org/resource/": "dbpedia:",
+    "http://www.ontologydesignpatterns.org/ont/dul/DUL.owl#": "dul:",
     "http://groundedannotationframework.org/gaf#": "gaf:",
     "http://dkm.fbk.eu/ontologies/knowledgestore#": "ks:",
     "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#": "nif:",
@@ -88,6 +89,17 @@ _EVAL_MARKERS = {"eval:associableTo", "eval:notAssociableTo",
 
 ROLE_NS = ("pb:", "nb:", "vn:", "fn:", "owl:")
 TYPE_NS = ("pb:", "nb:", "vn:", "fn:")
+
+# The reference's labelledEvaluation compares owl:sameAs statements
+# DIRECTIONALLY like any other predicate (Evaluation.java:217-231,
+# 620-650 — no symmetric normalization); reproducing its published
+# numbers (e.g. FRED's sameAs tp=5/fp=9, where way_1~thing_1 mismatches
+# gold's this~way on direction alone) requires False.  True treats
+# sameAs as the symmetric relation it semantically is — kinder to a
+# system whose emission order differs from gold's authoring order.
+# Scorer-validation entry points pin this False; our own conformance
+# numbers are reported under the reference-exact setting too.
+SAMEAS_SYMMETRIC = False
 
 
 def shorten(iri: str) -> str:
@@ -245,16 +257,28 @@ def _local(iri: str) -> str:
 
 def load_gold(path: str) -> tuple[str, EvalGraph]:
     raw = open(path).read()
-    # two author glitches in the shipped gold files (strict Turtle would
-    # reject them; intent is unambiguous):
+    # author glitches in the shipped gold files (strict Turtle would
+    # reject some; we reproduce the REFERENCE'S parse, not the intent):
     #   gold.5/gold.7:  "a nb:group.01 ; fn:Organization ."  (';' for ',')
     #   gold.8:         ":americans :eval:associableTo :making ."
+    #     — ':eval:associableTo' is a PN_LOCAL containing a colon, i.e.
+    #     a DEFAULT-namespace junk predicate, NOT the eval:associableTo
+    #     marker; rdf4j parses it as a plain triple, which makes
+    #     (americans, making) a regular gold relation — visible as a
+    #     gold EDGE row in the published reports
+    #     (separate.edges.html, comparative.edges.html).  Our tokenizer
+    #     cannot carry the inner colon, so rewrite to an equivalent
+    #     default-namespace predicate.
     raw = raw.replace("a nb:group.01 ; fn:Organization .",
                       "a nb:group.01 , fn:Organization .")
-    raw = raw.replace(":americans :eval:associableTo", ":americans eval:associableTo")
-    # gold.6: '.' for ';' leaves "nb:am-loc :iraq_2 ." subject-less
+    raw = raw.replace(":americans :eval:associableTo",
+                      ":americans :eval_associableTo_glitch")
+    # gold.6: '.' for ';' leaves "nb:am-loc :iraq_2 ." subject-less —
+    # the reference's parse DROPS it (no veteran_v/iraq_2 role or edge
+    # appears anywhere in the published reports: separate.edges.html,
+    # separate.roles.nb.html, comparative.edges.html), so we drop it too
     raw = raw.replace("nb:a2 :qaeda .\n    nb:am-loc :iraq_2 .",
-                      "nb:a2 :qaeda ;\n    nb:am-loc :iraq_2 .")
+                      "nb:a2 :qaeda .")
     triples = parse_turtle(raw)
 
     text = None
@@ -372,8 +396,363 @@ def load_reference_output(n: int, system: str = "pikes") -> tuple[str, EvalGraph
 
 
 # --------------------------------------------------------------------------
-# OUR pipeline output → EvalGraph
+# FRED output loading (Converter.java FRED_CONVERTER, :55-117) — the
+# third-party system the reference comparatively evaluates; scoring its
+# frozen graphs (docs/eval-pm/fred/) against the published FRED column
+# of docs/eval-pm.html #comparative is a scorer validation on a system
+# whose output shares NOTHING with this repo's pipeline.
 # --------------------------------------------------------------------------
+
+_FRED_VNR = "http://www.ontologydesignpatterns.org/ont/vn/abox/role/"
+_FRED_VNC = "http://www.ontologydesignpatterns.org/ont/vn/data/"
+_FRED_BOXER = "http://www.ontologydesignpatterns.org/ont/boxer/boxer.owl#"
+_FSEM = "http://ontologydesignpatterns.org/cp/owl/semiotics.owl#"
+_META_GRAPH = "http://pikes.fbk.eu/ontologies/eval#metadata"
+
+# IGNORABLE_TERMS (Converter.java:189-197): never emitted as predicates
+# or rdf:type objects
+_FRED_SKIP = {
+    _FSEM + "denotes", _FSEM + "hasInterpretant",
+    "http://www.ontologydesignpatterns.org/ont/fred/pos.owl#boxerpos",
+    "http://groundedannotationframework.org/gaf#denotedBy",
+    "http://www.newsreader-project.eu/ontologies/propbank/adv",
+    "http://www.newsreader-project.eu/ontologies/nombank/adv",
+    "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#OffsetBasedString",
+    "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#beginIndex",
+    "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#endIndex",
+    "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#referenceContext",
+}
+
+
+def _vn_class_code(name: str) -> str:
+    """FRED VN class local name → dotted VerbNet code
+    (Converter.java:86-113): ``Flow_47020000`` → ``47.2``."""
+    code = name[name.rfind("_") + 1:]
+    ln = len(code)
+    n1 = int(code[0:2]) if ln >= 2 else 0
+    n2 = int(code[2:4]) if ln >= 4 else 0
+    n3 = int(code[4]) if ln >= 5 else 0
+    n4 = int(code[5]) if ln >= 6 else 0
+    n5 = int(code[6]) if ln >= 7 else 0
+    n6 = int(code[7]) if ln >= 8 else 0
+    b = str(n1)
+    if n2:
+        b += f".{n2}"
+        if n3:
+            b += f".{n3}"
+    if n4:
+        b += f"-{n4}"
+        if n5:
+            b += f"-{n5}"
+            if n6:
+                b += f"-{n6}"
+    return b
+
+
+def _fred_uri(iri: str) -> str:
+    """FRED uriRewriter (Converter.java:77-116) + shortening."""
+    if iri.startswith('"'):
+        return iri
+    if iri.startswith(_FRED_VNR):
+        return "vn:" + iri[len(_FRED_VNR):].lower()
+    if iri.startswith(_FRED_BOXER):
+        name = iri[len(_FRED_BOXER):]
+        if name in ("agent", "patient", "theme"):
+            return "vn:" + name
+    if iri.startswith(_FRED_VNC):
+        return "vn:" + _vn_class_code(iri[len(_FRED_VNC):])
+    return shorten(iri)
+
+
+def _fred_closed_triples(n: int) -> list[tuple[str, str, str]]:
+    """fred.N.ttl + the patch's default-graph additions for sentence N,
+    expanded with the RDFS/OWL type closure (see load_fred_output)."""
+    base = f"file:///eswc.{n}.ttl/"
+    from pikes_ray.functions.turtle import parse_trig
+
+    extra = [(s, p, o) for g, s, p, o in _fred_patch_quads()
+             if g != _META_GRAPH and s.startswith(base)]
+    raw = parse_turtle(
+        open(os.path.join(EVAL_DIR, "fred", f"fred.{n}.ttl")).read()) + extra
+
+    super_edges: dict[str, set[str]] = {}
+
+    def _edge(a: str, b: str) -> None:
+        super_edges.setdefault(a, set()).add(b)
+
+    for s, p, o in raw:
+        ps = shorten(p)
+        if o.startswith('"'):
+            continue
+        if ps == "rdfs:subClassOf":
+            _edge(s, o)
+        elif ps == "owl:equivalentClass":
+            _edge(s, o)
+            _edge(o, s)
+
+    def _closure(c: str) -> set[str]:
+        seen: set[str] = set()
+        stack = [c]
+        while stack:
+            for y in super_edges.get(stack.pop(), ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        return seen
+
+    existing = set(raw)
+    inferred = []
+    for s, p, o in list(raw):
+        if shorten(p) == _RDF_TYPE and not o.startswith('"'):
+            for sup in _closure(o):
+                t = (s, p, sup)
+                if t not in existing:
+                    existing.add(t)
+                    inferred.append(t)
+    return raw + inferred
+
+
+def _fred_patch_quads():
+    from pikes_ray.functions.turtle import parse_trig
+
+    global _FRED_PATCH_CACHE
+    try:
+        return _FRED_PATCH_CACHE
+    except NameError:
+        pass
+    _FRED_PATCH_CACHE = parse_trig(
+        open(os.path.join(EVAL_DIR, "fred", "fred.patch.trig")).read())
+    return _FRED_PATCH_CACHE
+
+
+def _fred_filter_sets():
+    """Node-query FILTER sets over the UNION of all 8 sentence graphs +
+    patch — the reference converted all sentences in one model, so e.g.
+    owl:Thing is excluded as a node everywhere because fred.4/6/7 type
+    instances with it, even though fred.8 (where a mention has it as
+    interpretant) does not."""
+    global _FRED_FILTERS
+    try:
+        return _FRED_FILTERS
+    except NameError:
+        pass
+    subjects: set[str] = set()
+    predicates: set[str] = set()
+    classes: set[str] = set()
+    owl_classes: set[str] = set()
+    all_stmts: list[tuple[str, str, str]] = []
+    for n in range(1, 9):
+        all_stmts += _fred_closed_triples(n)
+    all_stmts += [(s, p, o) for g, s, p, o in _fred_patch_quads()
+                  if g == _META_GRAPH]
+    for s, p, o in all_stmts:
+        subjects.add(s)
+        predicates.add(p)
+        if shorten(p) == _RDF_TYPE:
+            classes.add(o)
+            if shorten(o) == "owl:Class":
+                owl_classes.add(s)
+    _FRED_FILTERS = (subjects, predicates, classes, owl_classes)
+    return _FRED_FILTERS
+
+
+def load_fred_output(n: int) -> tuple[str, EvalGraph]:
+    """Load docs/eval-pm/fred/fred.N.ttl (+ fred.patch.trig) per the
+    FRED_CONVERTER semantics: mentions via fsem:denotes /
+    fsem:hasInterpretant, node candidate filters (has outgoing stmt,
+    never used as predicate / class, not owl:Class), hand-patched
+    mention heads, FN frame types from the patch default graph,
+    coreference splitting resolved by the patch metadata statements,
+    and the denotes→owl:sameAs expansion.
+
+    The RDFS/OWL type closure applied by ``_fred_closed_triples`` is
+    provably part of the reference's preparation: the patch metadata
+    asserts wni:/dbpedia/schema.org INSTANCE types that exist in the
+    raw FRED output only at the CLASS level (fred.1.ttl:129-131,533
+    `United_states owl:equivalentClass dbpedia:United_States;
+    dbpedia:United_States rdfs:subClassOf schema:Country` vs
+    fred.patch.trig's united_states_1_States rdf:type list) — and it
+    is required for FRED's class-level VerbNet mapping (`Flow
+    owl:equivalentClass vnc:Flow_47020000`) to reach instances as vn:
+    types at all."""
+    base = f"file:///eswc.{n}.ttl/"
+    heads: dict[str, str] = {}
+    split_stmts: set[tuple[str, str, str]] = set()
+    for g, s, p, o in _fred_patch_quads():
+        if g == _META_GRAPH and s.startswith(base):
+            if shorten(p) == "eval:head":
+                heads[s] = _local(o)
+            else:
+                split_stmts.add((s, p, o))
+
+    raw = _fred_closed_triples(n)
+
+    # text (REPLACE(_,' ') + trim, FRED_CONVERTER text query)
+    text = None
+    for s, p, o in raw:
+        if shorten(p) == "nif:isString" and o.startswith('"'):
+            text = literal_value(o).replace("_", " ").strip()
+    assert text is not None, f"fred.{n}.ttl has no nif:isString"
+    sent = Sentence(text)
+
+    # the SPARQL filters run over the UNION model of all sentences +
+    # the metadata graph (the reference converted everything in one
+    # QuadModel — that is what makes the hand-added boxerpos
+    # statements visible to the node query, and what excludes e.g.
+    # owl:Thing globally even in sentences that never type with it)
+    subjects, predicates, classes, owl_classes = _fred_filter_sets()
+
+    mentions: dict[str, list] = {}
+    for s, p, o in raw:
+        ps = shorten(p)
+        if ps == "nif:beginIndex":
+            mentions.setdefault(s, [None, None])[0] = int(literal_value(o))
+        elif ps == "nif:endIndex":
+            mentions.setdefault(s, [None, None])[1] = int(literal_value(o))
+
+    def term_of(men: str) -> str:
+        if men in heads:
+            return sent.term_by_localname(heads[men])
+        b, e = mentions[men]
+        return sent.term_by_span(b, e)
+
+    # node query (ORDER BY ?m for deterministic term collection)
+    node_terms: dict[str, list[str]] = {}
+    pairs = sorted((s, o) for s, p, o in raw
+                   if p in (_FSEM + "denotes", _FSEM + "hasInterpretant")
+                   and s in mentions and None not in mentions[s])
+    for men, node in pairs:
+        if node not in subjects or node in predicates or node in classes \
+                or node in owl_classes:
+            continue
+        t = term_of(men)
+        node_terms.setdefault(node, [])
+        if t not in node_terms[node]:
+            node_terms[node].append(t)
+
+    def splits(node: str) -> list[str]:
+        ts = node_terms.get(node, [])
+        if len(ts) <= 1:
+            return [node]
+        return [f"{node}_{t}" for t in ts]
+
+    # expand query: ?s fsem:denotes ?o where ?s is itself denoted →
+    # owl:sameAs (how FRED's DBpedia links reach the instances)
+    denoted_things = {o for s, p, o in raw if p == _FSEM + "denotes"}
+    expanded = [(s, "http://www.w3.org/2002/07/owl#sameAs", o)
+                for s, p, o in raw
+                if p == _FSEM + "denotes" and s in denoted_things]
+
+    # normalized split-resolution statements (the patch pre-encodes the
+    # REWRITTEN predicate/object forms, Converter.java:327-335)
+    split_norm = set()
+    for s, p, o in split_stmts:
+        ps = _fred_uri(p)
+        os_ = o if o.startswith('"') else (
+            _fred_uri(o) if ps == _RDF_TYPE else o)
+        split_norm.add((s, ps, os_))
+
+    g = EvalGraph()
+    for node in node_terms:
+        for sn, t in zip(splits(node), node_terms[node]):
+            g.nodes.add(sn)
+            g.denoted[sn] = t
+
+    emitted: set[tuple[str, str, str]] = set()
+
+    def emit(s: str, p: str, o: str) -> None:
+        if s != o:
+            emitted.add((s, p, o))
+
+    for s, p, o in raw + expanded:
+        if p in _FRED_SKIP:
+            continue
+        ps = _fred_uri(p)
+        if ps == _RDF_TYPE and o in _FRED_SKIP:
+            continue
+        if s not in node_terms:
+            continue
+        os_ = o if o.startswith('"') else (
+            _fred_uri(o) if ps == _RDF_TYPE else o)
+        subj_splits = splits(s)
+        obj_splits = splits(o) if (not o.startswith('"') and o in node_terms) \
+            else [os_]
+        splitting = len(subj_splits) > 1 or len(obj_splits) > 1
+        # sameAs among splits (corefer, Converter.java:425-436)
+        for sp_list in (subj_splits, obj_splits):
+            if len(sp_list) > 1:
+                for i in range(len(sp_list)):
+                    for j in range(i + 1, len(sp_list)):
+                        a, b = sorted((sp_list[i], sp_list[j]))
+                        emit(a, "owl:sameAs", b)
+        added = False
+        for ss in subj_splits:
+            for oo in obj_splits:
+                if not splitting or (ss, ps, oo) in split_norm:
+                    emit(ss, ps, oo)
+                    added = True
+        if not added:
+            raise ValueError(
+                f"fred.{n}: could not split statement ({s}, {ps}, {os_}); "
+                f"subj splits {subj_splits}, obj splits {obj_splits}")
+
+    # final normalization: non-node IRI objects shorten to the CURIE
+    # space gold/pikes graphs use (node IRIs stay raw file:/// — they
+    # only need to be consistent within the graph)
+    g.triples = {
+        (s, p, o if o.startswith('"') or o in g.nodes else _fred_uri(o))
+        for s, p, o in emitted}
+    return text, g
+
+
+# --------------------------------------------------------------------------
+# nominal-frame replacement (Converter.replaceNominalFrames,
+# Converter.java:345-400) — the gold/PIKES simplification that makes
+# their graphs comparable with FRED's (which has no nominal frames)
+# --------------------------------------------------------------------------
+
+_FRAME_NS = ("pb:", "nb:", "vn:", "fn:")
+
+
+def replace_nominal_frames(g: EvalGraph) -> EvalGraph:
+    """In-place: every frame node that is NB-typed or frame-typed
+    without a PB type is dissolved — its roles become
+    dul:associatedWith relations from the frame's incorporated
+    argument (an argument denoted by the same term) if one exists,
+    else from the frame node itself; frame types/roles are removed;
+    an incorporated frame node disappears entirely."""
+    def frame_ns(t: str) -> bool:
+        return t.startswith(_FRAME_NS)
+
+    all_preds, pb_preds, nb_preds = set(), set(), set()
+    for s, p, o in g.triples:
+        if p == _RDF_TYPE and not o.startswith('"') and frame_ns(o):
+            all_preds.add(s)
+            if o.startswith("pb:"):
+                pb_preds.add(s)
+            if o.startswith("nb:"):
+                nb_preds.add(s)
+    nom_preds = nb_preds | (all_preds - pb_preds)
+
+    for pred in sorted(nom_preds):
+        pred_term = g.denoted.get(pred)
+        stmts = sorted((s, p, o) for s, p, o in g.triples if s == pred)
+        new_subj = pred
+        for s, p, o in stmts:
+            if o in g.denoted and g.denoted[o] == pred_term:
+                new_subj = o
+                break
+        for s, p, o in stmts:
+            is_role = frame_ns(p)
+            is_type = (not is_role and not o.startswith('"') and frame_ns(o))
+            if is_role and o != new_subj:
+                g.triples.add((new_subj, "dul:associatedWith", o))
+            if is_role or is_type or new_subj != pred:
+                g.triples.discard((s, p, o))
+        if new_subj != pred:
+            g.nodes.discard(pred)
+            g.denoted.pop(pred, None)
+    return g
 
 def our_graph(text: str, triples_df) -> EvalGraph:
     """Convert our triple table (CURIE terms, NIF mentions via
@@ -522,7 +901,9 @@ class _PR:
 
 
 def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
-                   acc: dict[str, _PR]) -> None:
+                   acc: dict[str, _PR],
+                   role_ns: tuple[str, ...] = ROLE_NS,
+                   type_ns: tuple[str, ...] = TYPE_NS) -> None:
     # --- instances -------------------------------------------------------
     inst = acc["instances"]
     aligned_gold = set(mapping.values())
@@ -563,9 +944,9 @@ def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
             edges.fp += 1
 
     # --- labelled roles per namespace -----------------------------------
-    for ns in ROLE_NS:
+    for ns in role_ns:
         pr = acc[f"roles ({ns[:-1].upper()})" if ns != "owl:" else "owl:sameAs"]
-        sym = ns == "owl:"     # owl:sameAs is symmetric — normalize direction
+        sym = ns == "owl:" and SAMEAS_SYMMETRIC
         gold_stmts = {(min(s, o), p, max(s, o)) if sym else (s, p, o)
                       for s, p, o in gold.triples
                       if s in gold.nodes and o in gold.nodes and s != o
@@ -596,7 +977,7 @@ def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
                 pr.fp += 1
 
     # --- types per namespace --------------------------------------------
-    for ns in TYPE_NS:
+    for ns in type_ns:
         pr = acc[f"types ({ns[:-1].upper()})"]
         gold_stmts = {(s, p, o) for s, p, o in gold.triples
                       if s in gold.nodes and p == _RDF_TYPE
@@ -640,26 +1021,43 @@ def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
             pr.fp += 1
 
 
-_CATEGORIES = (["instances", "edges"]
-               + [f"roles ({ns[:-1].upper()})" for ns in ROLE_NS if ns != "owl:"]
-               + ["owl:sameAs"]
-               + [f"types ({ns[:-1].upper()})" for ns in TYPE_NS]
-               + ["linking"])
+def _categories(role_ns: tuple[str, ...], type_ns: tuple[str, ...]) -> list[str]:
+    return (["instances", "edges"]
+            + [f"roles ({ns[:-1].upper()})" for ns in role_ns if ns != "owl:"]
+            + ["owl:sameAs"]
+            + [f"types ({ns[:-1].upper()})" for ns in type_ns]
+            + ["linking"])
 
 
-def evaluate(golds: list[EvalGraph], tests: list[EvalGraph]):
+_CATEGORIES = _categories(ROLE_NS, TYPE_NS)
+
+# the FRED-comparable ("simplified") category restriction
+# (Evaluation.java:320,335: labelled = vn+owl, types = vn+fn — FRED
+# emits no PB/NB data, so those namespaces are excluded from scoring)
+SIMPLIFIED_ROLE_NS = ("vn:", "owl:")
+SIMPLIFIED_TYPE_NS = ("vn:", "fn:")
+
+
+def evaluate(golds: list[EvalGraph], tests: list[EvalGraph],
+             simplified: bool = False):
     """→ pandas DataFrame of per-category aggregate counts + P/R/F1,
     plus the 'triples' roll-up (labelled + types + linking,
-    Evaluation.java:345-347)."""
+    Evaluation.java:345-347).  ``simplified=True`` restricts the
+    scored namespaces to the FRED-comparable subset
+    (Evaluation.java:320,335)."""
     import pandas as pd
 
-    acc = {c: _PR() for c in _CATEGORIES}
+    role_ns = SIMPLIFIED_ROLE_NS if simplified else ROLE_NS
+    type_ns = SIMPLIFIED_TYPE_NS if simplified else TYPE_NS
+    cats = _categories(role_ns, type_ns)
+
+    acc = {c: _PR() for c in cats}
     for gold, test in zip(golds, tests):
         mapping = align(gold, test)
-        _eval_sentence(gold, test, mapping, acc)
+        _eval_sentence(gold, test, mapping, acc, role_ns, type_ns)
 
     trip = _PR()
-    for c in _CATEGORIES:
+    for c in cats:
         if c in ("instances", "edges"):
             continue
         trip.tp += acc[c].tp
@@ -667,7 +1065,7 @@ def evaluate(golds: list[EvalGraph], tests: list[EvalGraph]):
         trip.fn += acc[c].fn
 
     rows = []
-    for c in _CATEGORIES:
+    for c in cats:
         rows.append({"component": c, **acc[c].asdict()})
     rows.append({"component": "triples", **trip.asdict()})
     return pd.DataFrame(rows)
@@ -698,7 +1096,49 @@ def evaluate_reference(system: str = "pikes"):
     return evaluate(golds, tests)
 
 
-def evaluate_ours(profile: str = "pinned"):
+def comparative_gold_graphs() -> list[EvalGraph]:
+    """The simplified gold standard of the comparative evaluation
+    (docs/eval-pm.html #comparative): nominal frames replaced by
+    dul:associatedWith relations (Converter --replace-nominal); the
+    PB/NB/FN-role namespaces FRED cannot emit are excluded by the
+    ``simplified`` scoring restriction, not by graph edits."""
+    _, golds = gold_graphs()
+    for g in golds:
+        replace_nominal_frames(g)
+    return golds
+
+
+def evaluate_comparative(system: str = "fred"):
+    """Score a frozen system output against the SIMPLIFIED gold —
+    validates this scorer against the published comparative tables
+    (docs/eval-pm.html #comparative-latest: FRED column for
+    system="fred", PIKES column for system="pikes").  FRED's graphs
+    are consumed as-is (they already lack nominal frames); the
+    reference's own output gets the same nominal-frame replacement as
+    gold (eval-pm.md: 'we automatically transform the latter
+    representation — both in the gold standard and in PIKES output —
+    into FRED one')."""
+    golds = comparative_gold_graphs()
+    tests = []
+    for n in range(1, 9):
+        if system == "fred":
+            _, t = load_fred_output(n)
+        else:
+            _, t = load_reference_output(n, system)
+            replace_nominal_frames(t)
+        tests.append(t)
+    return evaluate(golds, tests, simplified=True)
+
+
+def evaluate_ours_comparative(profile: str = "pinned"):
+    """OUR engine on the simplified (FRED-comparable) gold standard."""
+    golds = comparative_gold_graphs()
+    full = evaluate_ours(profile=profile, return_graphs=True)
+    tests = [replace_nominal_frames(t) for t in full]
+    return evaluate(golds, tests, simplified=True)
+
+
+def evaluate_ours(profile: str = "pinned", return_graphs: bool = False):
     """Run OUR pipeline on the 8 gold sentences and score it.
 
     ``profile`` selects the lexicon (functions/lexicon.set_profile):
@@ -734,4 +1174,6 @@ def evaluate_ours(profile: str = "pinned"):
     for i, text in enumerate(texts):
         sub = out[out["turn_idx"] == i]
         tests.append(our_graph(text, sub))
+    if return_graphs:
+        return tests
     return evaluate(golds, tests)

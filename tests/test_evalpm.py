@@ -100,13 +100,24 @@ def test_our_pipeline_honest_score():
     assert df.loc["roles (VN)", "f1"] >= 0.97
     assert df.loc["roles (FN)", "f1"] >= 0.95
     assert df.loc["roles (NB)", "f1"] >= 0.95
-    assert df.loc["owl:sameAs", "f1"] >= 0.99
+    # round 3 switched the scorer to the reference-exact DIRECTIONAL
+    # owl:sameAs comparison (Evaluation.java has no symmetric
+    # normalization — proven by the FRED comparative reproduction,
+    # test_scorer_matches_published_fred_comparative).  Four of our
+    # coref sameAs pairs now mismatch gold on direction alone; gold's
+    # own direction convention is editorially inconsistent (gold.6
+    # ":veteran owl:sameAs :who" is textual antecedent→anaphor order,
+    # gold.7/8 ":it owl:sameAs :group" / ":group owl:sameAs :front"
+    # are the reverse), so we do NOT overfit the engine's emission
+    # order to it; under the round-2 symmetric convention this
+    # category still scores 1.0 (test below).
+    assert df.loc["owl:sameAs", "f1"] >= 0.72
     assert df.loc["edges", "f1"] >= 0.97
     # the headline: far above the reference's own published .628 and
     # above the north-rule conformance bar (P/R >= 0.95)
     assert df.loc["triples", "precision"] >= 0.95
     assert df.loc["triples", "recall"] >= 0.95
-    assert df.loc["triples", "f1"] >= 0.995
+    assert df.loc["triples", "f1"] >= 0.985
     # every category must at least be reported
     assert {"edges", "roles (PB)", "types (PB)", "linking",
             "triples"} <= set(df.index)
@@ -141,3 +152,108 @@ def test_scorer_matches_published_sac_numbers():
               "edges": (131, 3), "triples": (303, 6)}
     for cat, (tp, tol) in approx.items():
         assert abs(df.loc[cat, "tp"] - tp) <= tol, (cat, df.loc[cat, "tp"])
+
+
+def test_scorer_matches_published_fred_comparative():
+    """STRONGEST scorer validation (round 3): score FRED's frozen
+    output (docs/eval-pm/fred/*.ttl + fred.patch.trig — a THIRD-PARTY
+    system whose graphs share nothing with this repo or with Pikes'
+    own output format) against the simplified comparative gold and
+    compare to the published FRED column (docs/eval-pm.html
+    #comparative-latest / comparative/*.html).  ALL EIGHT published
+    categories reproduce with integer-exact tp/fp/fn — this pins down
+    the whole chain: the FRED converter (mention queries, node
+    filters over the union model, URI rewriting incl. VerbNet class
+    codes, coreference splitting via the patch metadata, the
+    denotes→sameAs expansion, the RDFS/OWL type closure), the
+    nominal-frame replacement applied to gold, the simplified
+    namespace restriction, the aligner, and the directional
+    owl:sameAs comparison."""
+    from pikes_ray.pipelines.evalpm import evaluate_comparative
+
+    df = evaluate_comparative("fred").set_index("component")
+    exact = {
+        "instances": (119, 9, 18),
+        "edges": (86, 13, 69),
+        "roles (VN)": (29, 24, 47),
+        "owl:sameAs": (5, 9, 10),
+        "types (VN)": (16, 11, 15),
+        "types (FN)": (11, 9, 15),
+        "linking": (8, 5, 10),
+        "triples": (69, 58, 97),
+    }
+    for cat, (tp, fp, fn) in exact.items():
+        row = df.loc[cat]
+        assert (row["tp"], row["fp"], row["fn"]) == (tp, fp, fn), \
+            (cat, row["tp"], row["fp"], row["fn"])
+
+
+def test_scorer_matches_published_pikes_comparative():
+    """The PIKES column of the same published comparative table
+    (nominal-frame replacement applied to the reference's own frozen
+    output).  Six of eight categories integer-exact; edges and
+    types (FN) carry the same ±1-element drift as the separate
+    tables (our pikes loader takes single-term mentions, round-2
+    simplification)."""
+    from pikes_ray.pipelines.evalpm import evaluate_comparative
+
+    df = evaluate_comparative("pikes").set_index("component")
+    exact = {
+        "instances": (133, 13, 4),
+        "roles (VN)": (40, 14, 36),
+        "owl:sameAs": (6, 1, 9),
+        "types (VN)": (18, 9, 13),
+        "linking": (14, 6, 4),
+    }
+    for cat, (tp, fp, fn) in exact.items():
+        row = df.loc[cat]
+        assert (row["tp"], row["fp"], row["fn"]) == (tp, fp, fn), cat
+    # published: edges 122/12/33, types FN 19/12/7, triples 97/42/69
+    assert abs(df.loc["edges", "tp"] - 122) <= 2
+    assert abs(df.loc["edges", "fp"] - 12) <= 6
+    assert abs(df.loc["types (FN)", "fp"] - 12) <= 2
+    assert abs(df.loc["triples", "tp"] - 97) <= 2
+
+
+def test_scorer_matches_published_sac_comparative():
+    """The SAC-2016 PIKES column of the published comparative table
+    (docs/eval-pm.html #comparative-sac) — seven of eight categories
+    integer-exact (edges carries a +6 fp drift from the same loader
+    simplification as the latest column)."""
+    from pikes_ray.pipelines.evalpm import evaluate_comparative
+
+    df = evaluate_comparative("pikes-sac").set_index("component")
+    exact = {
+        "instances": (134, 9, 3),
+        "roles (VN)": (39, 15, 37),
+        "owl:sameAs": (5, 2, 10),
+        "types (VN)": (18, 9, 13),
+        "types (FN)": (16, 5, 10),
+        "linking": (14, 6, 4),
+    }
+    for cat, (tp, fp, fn) in exact.items():
+        row = df.loc[cat]
+        assert (row["tp"], row["fp"], row["fn"]) == (tp, fp, fn), cat
+    assert (df.loc["edges", "tp"], df.loc["edges", "fn"]) == (119, 36)
+    assert abs(df.loc["edges", "fp"] - 8) <= 6
+    # triples ratios match published .713/.554 exactly
+    assert df.loc["triples", "precision"] == pytest.approx(0.713, abs=0.001)
+    assert df.loc["triples", "recall"] == pytest.approx(0.554, abs=0.001)
+
+
+def test_sameas_direction_is_the_only_sameas_gap():
+    """Under the round-2 symmetric-sameAs convention our pinned
+    engine still scores sameAs 1.0 — the reference-exact directional
+    scorer's 4 fp/fn pairs are pure direction mismatches against
+    gold's editorially inconsistent ordering, not missing/extra
+    coreference links."""
+    import pikes_ray.pipelines.evalpm as E
+
+    old = E.SAMEAS_SYMMETRIC
+    E.SAMEAS_SYMMETRIC = True
+    try:
+        df = evaluate_ours("pinned").set_index("component")
+    finally:
+        E.SAMEAS_SYMMETRIC = old
+    assert df.loc["owl:sameAs", "f1"] >= 0.99
+    assert df.loc["triples", "f1"] >= 0.995

@@ -126,7 +126,10 @@ def test_grown_verbs_drive_extraction():
 
 def test_eval_pm_ablation_ordering():
     """pinned ≥ full ≥ ablated ≥ core on gold triples F1, with the
-    pinned number unchanged (.997) and growth buying a real lift over
+    pinned number at its reference-exact-scorer level (.988 — the
+    round-2 .997 reproduces under symmetric sameAs, see
+    test_evalpm.test_sameas_direction_is_the_only_sameas_gap) and
+    growth buying a real lift over
     the bare core off-lexicon."""
     from pikes_ray.pipelines.evalpm import evaluate_ours
 
@@ -136,6 +139,6 @@ def test_eval_pm_ablation_ordering():
 
     pinned, full, ablated, core = (f1(p) for p in
                                    ("pinned", "full", "ablated", "core"))
-    assert pinned >= 0.99
+    assert pinned >= 0.985
     assert full >= 0.95
     assert pinned >= full > ablated > core
