@@ -427,6 +427,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return evaluate_ours_comparative()
 
+    def eval_pm_comparative_union(sf_dir):
+        """FRED + reference Pikes under the union-of-correct-answers
+        criterion (the published reports' second results block; 13/14
+        rows integer-exact)."""
+        from pikes_ray.pipelines.evalpm import evaluate_comparative_union
+
+        return evaluate_comparative_union()
+
     def eval_framebase(sf_dir):
         from pikes_ray.pipelines.evalfb import evaluate_ours_fb
 
@@ -461,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_pm_fred_reference": eval_pm_fred_reference,
         "eval_pm_comparative_reference": eval_pm_comparative_reference,
         "eval_pm_comparative": eval_pm_comparative,
+        "eval_pm_comparative_union": eval_pm_comparative_union,
         "eval_framebase": eval_framebase,
         "eval_framebase_reference": eval_framebase_reference,
         "eval_framebase_semafor_reference": eval_framebase_semafor_reference,

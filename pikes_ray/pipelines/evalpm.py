@@ -903,7 +903,16 @@ class _PR:
 def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
                    acc: dict[str, _PR],
                    role_ns: tuple[str, ...] = ROLE_NS,
-                   type_ns: tuple[str, ...] = TYPE_NS) -> None:
+                   type_ns: tuple[str, ...] = TYPE_NS,
+                   matched: dict[str, set] | None = None) -> None:
+    """Accumulate per-category P/R counts; when ``matched`` is given,
+    also record the gold keys this system matched per category (the
+    input to the union-of-correct-answers evaluation — gold IRIs are
+    sentence-scoped, so keys aggregate safely across sentences)."""
+    def _hit(cat: str, key) -> None:
+        if matched is not None:
+            matched.setdefault(cat, set()).add(key)
+
     # --- instances -------------------------------------------------------
     inst = acc["instances"]
     aligned_gold = set(mapping.values())
@@ -911,6 +920,7 @@ def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
     for gn in gold.nodes:
         if gn in aligned_gold:
             inst.tp += 1
+            _hit("instances", gn)
         else:
             inst.fn += 1
     inst.fp += len(test.nodes - aligned_test)
@@ -934,6 +944,7 @@ def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
     for gr in gold_rel:
         if gr in test_keys:
             edges.tp += 1
+            _hit("edges", gr)
         else:
             edges.fn += 1
     for key, extra in test_keys.items():
@@ -967,6 +978,8 @@ def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
         for gs in gold_stmts:
             if gs in tkeys:
                 pr.tp += 1
+                _hit(f"roles ({ns[:-1].upper()})" if ns != "owl:"
+                     else "owl:sameAs", gs)
             else:
                 pr.fn += 1
         for (ks, kp, ko), extra in tkeys.items():
@@ -993,6 +1006,7 @@ def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
         for gs in gold_stmts:
             if gs in tkeys:
                 pr.tp += 1
+                _hit(f"types ({ns[:-1].upper()})", gs)
             else:
                 pr.fn += 1
         for key, extra in tkeys.items():
@@ -1014,6 +1028,7 @@ def _eval_sentence(gold: EvalGraph, test: EvalGraph, mapping: dict[str, str],
     for gs in gold_stmts:
         if gs in tkeys:
             pr.tp += 1
+            _hit("linking", gs)
         else:
             pr.fn += 1
     for key, extra in tkeys.items():
@@ -1094,6 +1109,68 @@ def evaluate_reference(system: str = "pikes"):
         _, g = load_reference_output(n, system)
         tests.append(g)
     return evaluate(golds, tests)
+
+
+def evaluate_union(golds: list[EvalGraph],
+                   tests_by_system: dict[str, list[EvalGraph]],
+                   simplified: bool = False):
+    """The 'union of correct answers' evaluation — the second results
+    block in every published report (Evaluation.java unionEvaluators):
+    TP/FP per system as in the gold-standard evaluation, but FN counts
+    only gold items matched by AT LEAST ONE evaluated system, i.e.
+    each tool is scored within the space of answers some tool got
+    right.  → DataFrame with a ``system`` column."""
+    import pandas as pd
+
+    role_ns = SIMPLIFIED_ROLE_NS if simplified else ROLE_NS
+    type_ns = SIMPLIFIED_TYPE_NS if simplified else TYPE_NS
+    cats = _categories(role_ns, type_ns)
+
+    accs = {sys: {c: _PR() for c in cats} for sys in tests_by_system}
+    hits: dict[str, dict[str, set]] = {sys: {} for sys in tests_by_system}
+    for i, gold in enumerate(golds):
+        for sys, tests in tests_by_system.items():
+            mapping = align(gold, tests[i])
+            _eval_sentence(gold, tests[i], mapping, accs[sys],
+                           role_ns, type_ns, matched=hits[sys])
+
+    union: dict[str, set] = {}
+    for c in cats:
+        union[c] = set()
+        for sys in tests_by_system:
+            union[c] |= hits[sys].get(c, set())
+
+    rows = []
+    for sys in tests_by_system:
+        trip = _PR()
+        for c in cats:
+            pr = _PR()
+            pr.tp = accs[sys][c].tp
+            pr.fp = accs[sys][c].fp
+            pr.fn = len(union[c] - hits[sys].get(c, set()))
+            if c not in ("instances", "edges"):
+                trip.tp += pr.tp
+                trip.fp += pr.fp
+                trip.fn += pr.fn
+            rows.append({"system": sys, "component": c, **pr.asdict()})
+        rows.append({"system": sys, "component": "triples", **trip.asdict()})
+    return pd.DataFrame(rows)
+
+
+def evaluate_comparative_union():
+    """FRED and the reference Pikes scored jointly against the
+    simplified gold under the union-of-correct-answers criterion —
+    reproduces the second results block of the published
+    comparative/*.html reports."""
+    golds = comparative_gold_graphs()
+    systems: dict[str, list[EvalGraph]] = {"fred": [], "pikes": []}
+    for n in range(1, 9):
+        _, f = load_fred_output(n)
+        systems["fred"].append(f)
+        _, p = load_reference_output(n, "pikes")
+        replace_nominal_frames(p)
+        systems["pikes"].append(p)
+    return evaluate_union(golds, systems, simplified=True)
 
 
 def comparative_gold_graphs() -> list[EvalGraph]:

