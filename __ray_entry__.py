@@ -330,6 +330,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["doc_id", "lang"]].sort_values("doc_id") \
             .reset_index(drop=True)
 
+    def doc_pii_scrub(sf_dir):
+        """PII redaction over the documents table.  The synthetic corpus
+        carries no PII, so the query first derives a PII-bearing column
+        DETERMINISTICALLY from doc_id (same expression in the SQL
+        oracle) — the comparison then exercises the real redaction
+        semantics (pattern order, counts, replacement) bit-for-bit."""
+        def _inject(df):
+            d = df["doc_id"]
+            injected = (df["text"].fillna("") + " Contact user"
+                        + d.astype(str) + "@example.com or +1-555-"
+                        + (d % 1000).astype(str).str.zfill(3) + "-"
+                        + (d % 10000).astype(str).str.zfill(4)
+                        + " from 10." + (d % 256).astype(str) + ".0.1")
+            out = df.copy()
+            out["text"] = df["text"].fillna("").where(d % 3 == 0, injected)
+            return out
+
+        out = (_docs(sf_dir)
+               .map_batches(_inject, batch_format="pandas")
+               .map_batches(T.pii_scrub, batch_format="pandas")
+               .to_pandas())
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def doc_decontaminate(sf_dir):
+        """Benchmark-decontamination flags: every doc whose token
+        8-grams overlap a 'benchmark' set (here: the docs with
+        doc_id % 97 == 0, i.e. a deterministic in-corpus holdout —
+        those docs flag themselves, plus any true n-gram collisions).
+        Broadcast-set shape: no shuffle at any scale."""
+        import pyarrow.dataset as pads
+
+        bench = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+            columns=["doc_id", "text"]).to_pandas()
+        bench = bench[bench["doc_id"] % 97 == 0]["text"].tolist()
+        out = T.decontaminate(_docs(sf_dir), bench, n=8).to_pandas()
+        return out[["doc_id", "n_contaminated", "contaminated"]] \
+            .sort_values("doc_id").reset_index(drop=True)
+
     def emb_near_dup_exact(sf_dir):
         # brute-force float64 all-pairs baseline (no LSH, no seed):
         # the exact counterpart oracle-anchoring the near-dup family
@@ -508,6 +546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": doc_simhash_pairs,
         "doc_pack": doc_pack,
         "doc_sample": doc_sample,
+        "doc_pii_scrub": doc_pii_scrub,
+        "doc_decontaminate": doc_decontaminate,
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_exact": emb_near_dup_exact,
         "emb_knn_brute": emb_knn_brute,
@@ -712,6 +752,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(CONCAT('0x', substr(md5(doc_id::VARCHAR || '-42'), 1, 8))
                        AS UBIGINT) < CAST(0.25 * 4294967296 AS UBIGINT)
             ORDER BY doc_id
+        """,
+        "doc_pii_scrub": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '')
+                            ELSE coalesce(text, '') || ' Contact user'
+                                 || doc_id || '@example.com or +1-555-'
+                                 || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                                 || '-'
+                                 || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                                 || ' from 10.' || (doc_id % 256) || '.0.1'
+                       END AS t0
+                FROM documents),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(t0,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1
+                           AS n_email,
+                       regexp_replace(t0,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g') AS t1
+                FROM inj),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_split_to_array(t1,
+                           '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) - 1 AS n_phone,
+                       regexp_replace(t1, '\+\d{1,2}-\d{3}-\d{3}-\d{4}',
+                                      '[PHONE]', 'g') AS t2
+                FROM s1)
+            SELECT doc_id,
+                   n_email::BIGINT AS n_email,
+                   n_phone::BIGINT AS n_phone,
+                   (len(regexp_split_to_array(t2,
+                        '\b(\d{1,3}\.){3}\d{1,3}\b')) - 1)::BIGINT AS n_ipv4,
+                   regexp_replace(t2, '\b(\d{1,3}\.){3}\d{1,3}\b',
+                                  '[IP]', 'g') AS clean_text
+            FROM s2 ORDER BY doc_id
         """,
         "emb_near_dup_exact": """
             SELECT q.vec_id::BIGINT AS a, v.vec_id::BIGINT AS b

@@ -228,3 +228,80 @@ def sentiment_counts(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     out["n_neg"] = [v[1] for v in vals]
     out["sum_deci"] = [v[2] for v in vals]
     return out
+
+
+# --------------------------------------------------------------------------
+# PII redaction (the scrub stage every public training-data pipeline
+# carries — cf. Dolma/CCNet-style pipelines).  Pattern syntax restricted
+# to the RE2 ∩ Python-re subset so a DuckDB regexp_replace oracle
+# reproduces the output bit-for-bit.
+# --------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    # (kind, regex, replacement) — applied IN ORDER; order matters when
+    # a later pattern could match inside an earlier replacement's span
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{3}-\d{4}", "[PHONE]"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+)
+
+_PII_COMPILED = [(kind, re.compile(pat), repl) for kind, pat, repl in PII_PATTERNS]
+
+
+def pii_scrub(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses, appending one
+    match-count column per kind plus the scrubbed text.  Vectorized
+    pandas str ops per batch; at 100 TB this is a pure map stage
+    (no shuffle, no state)."""
+    text = df[col].fillna("")
+    out = df[["doc_id"]].copy()
+    for kind, rx, repl in _PII_COMPILED:
+        out[f"n_{kind}"] = text.str.count(rx).astype("int64")
+        text = text.str.replace(rx, repl, regex=True)
+    out["clean_text"] = text
+    return out
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against a broadcast set)
+# --------------------------------------------------------------------------
+
+def ngram_hashes(text: str, n: int = 8) -> set[int]:
+    """Hashes of the whitespace-token n-grams of one document
+    (crc32 over the lowercased space-joined n-gram)."""
+    toks = [t.lower() for t in _WS_TOKEN.findall(text or "")]
+    return {zlib.crc32(" ".join(toks[i:i + n]).encode())
+            for i in range(len(toks) - n + 1)}
+
+
+def decontaminate(ds, benchmark_texts: list[str], n: int = 8,
+                  col: str = "text", mode: str = "flag"):
+    """Flag (or drop) documents sharing any token n-gram with a
+    benchmark set — the eval-leakage scrub run before training.
+
+    Scale shape: the benchmark n-gram hash set is built once on the
+    driver (benchmarks are small — MMLU-sized sets are ~10^6 n-grams)
+    and BROADCAST via ray.put; each batch then does set lookups per
+    document.  No shuffle; the corpus streams through one map stage.
+    ``mode="flag"`` appends n_contaminated (matching n-gram count) and
+    contaminated; ``mode="drop"`` filters the corpus instead.
+    """
+    import ray
+
+    bench: set[int] = set()
+    for t in benchmark_texts:
+        bench |= ngram_hashes(t, n)
+    bench_ref = ray.put(bench)
+
+    def _check(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        counts = [len(ngram_hashes(t, n) & b) for t in df[col].fillna("")]
+        out = df.copy()
+        out["n_contaminated"] = pd.Series(counts, index=df.index, dtype="int64")
+        out["contaminated"] = out["n_contaminated"] > 0
+        return out
+
+    flagged = ds.map_batches(_check, batch_format="pandas")
+    if mode == "drop":
+        return flagged.filter(lambda r: not r["contaminated"])
+    return flagged

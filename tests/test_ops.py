@@ -601,3 +601,46 @@ def test_opinion_ml_learns_rule_layer(ray_session):
     # the lexicon feature makes the teacher learnable — expect near-
     # perfect recovery on held-out docs
     assert m["recall"] >= 0.9 and m["precision"] >= 0.8, m
+
+
+def test_pii_scrub_patterns_and_order():
+    from pikes_ray.ops.text import pii_scrub
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "mail bob.smith+x@corp.example.co or +1-555-123-4567 from 10.0.0.1",
+            "two mails a@b.io c.d@e.org and versions 1.2 and 1.2.3",  # 3-octet: no IP
+            "",
+            None,
+        ],
+    })
+    out = pii_scrub(df)
+    assert list(out["n_email"]) == [1, 2, 0, 0]
+    assert list(out["n_phone"]) == [1, 0, 0, 0]
+    assert list(out["n_ipv4"]) == [1, 0, 0, 0]
+    assert out["clean_text"][0] == "mail [EMAIL] or [PHONE] from [IP]"
+    # 1.2 / 1.2.3 stay: the IPv4 pattern needs exactly four octets
+    assert "1.2.3" in out["clean_text"][1]
+    assert out["clean_text"][2] == "" and out["clean_text"][3] == ""
+
+
+def test_decontaminate_flag_and_drop(ray_session):
+    from pikes_ray.ops.text import decontaminate
+
+    bench = ["the quick brown fox jumps over the lazy dog tonight"]
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            # contains an 8-gram of the benchmark sentence
+            "intro words then the quick brown fox jumps over the lazy dog again",
+            "completely unrelated text about ray data pipelines and arrow batches ok",
+            "short",
+        ],
+    })
+    ds = rd.from_pandas(docs)
+    flagged = decontaminate(ds, bench, n=8).to_pandas().sort_values("doc_id")
+    assert list(flagged["contaminated"]) == [True, False, False]
+    assert flagged["n_contaminated"].iloc[0] >= 1
+    kept = decontaminate(ds, bench, n=8, mode="drop").to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 2]
