@@ -9,6 +9,8 @@ pikes-rdf/.../Main.java:94-99 and the tintop server/orchestrator mains).
     python -m pikes_ray materialize  --input DIR --out DIR [--ntriples]
     python -m pikes_ray eval       --pred DIR --gold DIR
     python -m pikes_ray stats      --input DIR
+    python -m pikes_ray scrub      --input DOCS --out DIR
+                                   [--benchmark DOCS --drop-contaminated]
     python -m pikes_ray bench      [--sf-dir DIR]
     python -m pikes_ray serve      [--port P]
 
@@ -39,7 +41,13 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="pikes_ray")
     p.add_argument("command", choices=["ingest", "annotate", "extract",
                                        "canonicalize", "materialize", "eval",
-                                       "stats", "bench", "serve", "pipeline"])
+                                       "stats", "bench", "serve", "pipeline",
+                                       "scrub"])
+    p.add_argument("--benchmark",
+                   help="scrub: parquet of benchmark docs (text column) to "
+                        "decontaminate against")
+    p.add_argument("--drop-contaminated", action="store_true",
+                   help="scrub: drop flagged docs instead of keeping flags")
     p.add_argument("--config", help="pipeline: JSON PipelineSpec file")
     p.add_argument("--input")
     p.add_argument("--out")
@@ -147,6 +155,23 @@ def main(argv=None):
             ds.write_parquet(args.out)
             print(json.dumps({"rows": ds.count(), "out": args.out,
                               "stages": [s.stage for s in spec.stages]}))
+        elif args.command == "scrub":
+            # training-data hygiene pass: PII redaction (+ optional
+            # benchmark decontamination) over a documents table
+            import pyarrow.dataset as pads
+
+            from pikes_ray.ops.text import decontaminate, pii_scrub
+
+            ds = rd.read_parquet(args.input) \
+                .map_batches(pii_scrub, batch_format="pandas")
+            if args.benchmark:
+                bench = pads.dataset(args.benchmark).to_table(
+                    columns=["text"]).column("text").to_pylist()
+                ds = decontaminate(
+                    ds, bench, col="clean_text",
+                    mode="drop" if args.drop_contaminated else "flag")
+            ds.write_parquet(args.out)
+            print(json.dumps({"rows": ds.count(), "out": args.out}))
         elif args.command == "bench":
             import os
 

@@ -89,6 +89,8 @@ class _KemDoc:
         cur = self.mentions.get(head)
         if cur is not None and cur[1] - cur[0] >= end - start:
             return cur[2]
+        if start >= end:            # degenerate span: keep/make 1-token
+            start, end = head, head + 1
         iri = self.fragment(start, end)
         self.emit(iri, "rdf:type", "kem:Mention")
         self.mentions[head] = (start, end, iri)
