@@ -368,6 +368,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["doc_id", "n_contaminated", "contaminated"]] \
             .sort_values("doc_id").reset_index(drop=True)
 
+    def evt_top_users(sf_dir):
+        """Distributed Count-Min heavy hitters over the events stream
+        (ops/sketch.py): per-block sketch + candidates, driver merge —
+        no shuffle.  At this key cardinality (≪ sketch width) the CMS
+        min-estimate is collision-free, so the SQL group-by oracle
+        matches EXACTLY — the estimate-vs-exact gap is then covered by
+        the unit tests on adversarial skew."""
+        from pikes_ray.ops.sketch import heavy_hitters
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+        out = heavy_hitters(ev, "user_id", k=10)
+        out["est_count"] = out["est_count"].astype("int64")
+        return out.reset_index(drop=True)
+
+    def evt_approx_users(sf_dir):
+        """HyperLogLog distinct-user estimate (rows-only: approximate
+        by construction; the exact companion is q_distinct_segments'
+        COUNT DISTINCT shape and the ≤2%-error unit test)."""
+        from pikes_ray.ops.sketch import approx_distinct
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+        n = approx_distinct(ev, "user_id")
+        return pd.DataFrame({"approx_distinct_users": [n]})
+
     def emb_near_dup_exact(sf_dir):
         # brute-force float64 all-pairs baseline (no LSH, no seed):
         # the exact counterpart oracle-anchoring the near-dup family
@@ -548,6 +574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": doc_sample,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_decontaminate": doc_decontaminate,
+        "evt_top_users": evt_top_users,
+        "evt_approx_users": evt_approx_users,
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_exact": emb_near_dup_exact,
         "emb_knn_brute": emb_knn_brute,
@@ -752,6 +780,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(CONCAT('0x', substr(md5(doc_id::VARCHAR || '-42'), 1, 8))
                        AS UBIGINT) < CAST(0.25 * 4294967296 AS UBIGINT)
             ORDER BY doc_id
+        """,
+        "evt_top_users": """
+            SELECT user_id::VARCHAR AS value, count(*)::BIGINT AS est_count
+            FROM events GROUP BY user_id
+            ORDER BY est_count DESC, value LIMIT 10
         """,
         "doc_pii_scrub": r"""
             WITH inj AS (

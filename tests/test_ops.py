@@ -644,3 +644,49 @@ def test_decontaminate_flag_and_drop(ray_session):
     assert flagged["n_contaminated"].iloc[0] >= 1
     kept = decontaminate(ds, bench, n=8, mode="drop").to_pandas()
     assert sorted(kept["doc_id"]) == [1, 2]
+
+
+def test_hll_approx_distinct_accuracy_and_merge_invariance(ray_session):
+    from pikes_ray.ops.sketch import (approx_distinct, hll_estimate,
+                                      hll_merge, hll_sketch_batch)
+
+    # accuracy at three cardinalities, multi-chunk merge
+    for n in (100, 10_000, 100_000):
+        vals = pd.Series([f"k{i}" for i in range(n)] * 2)
+        parts = pd.concat(
+            hll_sketch_batch(pd.DataFrame({"c": vals[i:i + 37_000]}), "c")
+            for i in range(0, len(vals), 37_000))
+        est = hll_estimate(hll_merge(parts))
+        assert abs(est - n) / n < 0.02, (n, est)
+
+    # partitioning invariance: same registers whatever the block split
+    df = pd.DataFrame({"c": [f"v{i % 500}" for i in range(2000)]})
+    one = hll_merge(hll_sketch_batch(df, "c"))
+    many = hll_merge(pd.concat(
+        hll_sketch_batch(df.iloc[i:i + 123], "c") for i in range(0, 2000, 123)))
+    assert (one == many).all()
+
+    # distributed path over a Ray dataset
+    ds = rd.from_pandas(df)
+    est = approx_distinct(ds, "c")
+    assert abs(est - 500) / 500 < 0.02, est
+
+
+def test_cms_heavy_hitters_skew_and_exactness(ray_session):
+    from pikes_ray.ops.sketch import heavy_hitters
+
+    # zipf-ish skew: hot keys must surface with near-exact counts even
+    # when each block sees only a slice
+    rows = []
+    for i in range(8):
+        rows += [f"hot{i}"] * (800 - i * 80)
+    rows += [f"cold{i}" for i in range(4000)]
+    df = pd.DataFrame({"c": rows})
+    ds = rd.from_pandas(df).repartition(7)
+    top = heavy_hitters(ds, "c", k=8)
+    assert list(top["value"]) == [f"hot{i}" for i in range(8)]
+    for i in range(8):
+        true = 800 - i * 80
+        est = int(top.loc[top["value"] == f"hot{i}", "est_count"].iloc[0])
+        # CMS only ever overestimates, and by < 1% of N here
+        assert true <= est <= true + len(rows) // 100, (i, true, est)
