@@ -368,6 +368,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["doc_id", "n_contaminated", "contaminated"]] \
             .sort_values("doc_id").reset_index(drop=True)
 
+    def doc_weighted_sample(sf_dir):
+        """Efraimidis-Spirakis weighted sample (k=25, weight=n_chars):
+        per-block top-k summaries → driver merge, no shuffle, identical
+        at any parallelism.  Deterministic md5 priorities make the SQL
+        oracle reproduce the exact selected set."""
+        from pikes_ray.ops.sample import weighted_sample
+
+        out = weighted_sample(_docs(sf_dir), "doc_id", "n_chars", 25, seed=7)
+        return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
     def evt_top_users(sf_dir):
         """Distributed Count-Min heavy hitters over the events stream
         (ops/sketch.py): per-block sketch + candidates, driver merge —
@@ -574,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": doc_sample,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_decontaminate": doc_decontaminate,
+        "doc_weighted_sample": doc_weighted_sample,
         "evt_top_users": evt_top_users,
         "evt_approx_users": evt_approx_users,
         "emb_near_dup": emb_near_dup,
@@ -780,6 +791,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(CONCAT('0x', substr(md5(doc_id::VARCHAR || '-42'), 1, 8))
                        AS UBIGINT) < CAST(0.25 * 4294967296 AS UBIGINT)
             ORDER BY doc_id
+        """,
+        "doc_weighted_sample": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       -ln((CAST(CONCAT('0x', substr(md5(doc_id::VARCHAR
+                                  || '-7'), 1, 8)) AS UBIGINT) + 0.5)
+                           / 4294967296.0) / n_chars AS pri
+                FROM documents ORDER BY pri LIMIT 25
+            ) ORDER BY doc_id
         """,
         "evt_top_users": """
             SELECT user_id::VARCHAR AS value, count(*)::BIGINT AS est_count

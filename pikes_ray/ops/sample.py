@@ -74,3 +74,39 @@ def stratified_sample(ds, key: str, strata_col: str,
         return df[bucket(df[key], seed) < t.to_numpy()]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def weighted_sample(ds, key: str, weight: str, k: int, seed: int = 42):
+    """Weighted random sample WITHOUT replacement of exactly ``k`` rows
+    (Efraimidis-Spirakis A-ES, Inf. Process. Lett. 97(5), 2006):
+    row i gets priority ``-ln(u_i)/w_i`` with ``u_i`` a deterministic
+    per-key uniform; the k SMALLEST priorities win, which realizes
+    inclusion probabilities proportional to weight.
+
+    100-TB shape: each block reduces to its local top-k (a k-row
+    summary) inside ``map_batches``; the driver merges ``#blocks × k``
+    rows and takes the global top-k — no shuffle, and the result is
+    identical at any parallelism / block split / input order because
+    priorities are content-keyed, not RNG-streamed.
+
+    → pandas DataFrame of the k sampled rows (plus their priorities in
+    ``_priority``), sorted by priority ascending.
+    """
+    import numpy as np
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.copy()
+            out["_priority"] = pd.Series([], dtype="float64")
+            return out
+        u = (_bucket_md5(df[key], seed).to_numpy(dtype="float64") + 0.5) \
+            / _SPACE
+        w = df[weight].to_numpy(dtype="float64")
+        pri = np.where(w > 0, -np.log(u) / np.where(w > 0, w, 1.0), np.inf)
+        out = df.copy()
+        out["_priority"] = pri
+        return out.nsmallest(k, "_priority")
+
+    parts = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return parts.nsmallest(k, "_priority").sort_values("_priority") \
+        .reset_index(drop=True)

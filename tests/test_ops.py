@@ -690,3 +690,31 @@ def test_cms_heavy_hitters_skew_and_exactness(ray_session):
         est = int(top.loc[top["value"] == f"hot{i}", "est_count"].iloc[0])
         # CMS only ever overestimates, and by < 1% of N here
         assert true <= est <= true + len(rows) // 100, (i, true, est)
+
+
+def test_weighted_sample_invariance_and_weight_sensitivity(ray_session):
+    from pikes_ray.ops.sample import weighted_sample
+
+    df = pd.DataFrame({"doc_id": range(1000),
+                       "w": [1.0] * 999 + [5000.0]})
+    a = weighted_sample(rd.from_pandas(df), "doc_id", "w", 10, seed=1)
+    b = weighted_sample(rd.from_pandas(df).repartition(13),
+                        "doc_id", "w", 10, seed=1)
+    # partition/order-invariant exact result
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert len(a) == 10
+    # the overwhelming-weight item is effectively always selected
+    hits = sum(
+        999 in set(weighted_sample(rd.from_pandas(df), "doc_id", "w",
+                                   10, seed=s)["doc_id"])
+        for s in range(10))
+    assert hits == 10
+    # and equals the single-machine reference computation
+    import hashlib
+
+    import numpy as np
+    u = np.array([int(hashlib.md5(f"{i}-1".encode()).hexdigest()[:8], 16)
+                  for i in range(1000)], dtype="float64")
+    pri = -np.log((u + 0.5) / (1 << 32)) / df["w"].to_numpy()
+    expect = sorted(np.argsort(pri)[:10])
+    assert sorted(a["doc_id"]) == expect
