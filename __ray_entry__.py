@@ -378,6 +378,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = weighted_sample(_docs(sf_dir), "doc_id", "n_chars", 25, seed=7)
         return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
+    def doc_temperature_mix(sf_dir):
+        """Temperature-scaled domain mixing (kept share ∝ n^0.5):
+        tiny combiner-first domain-count groupby → driver rates →
+        ONE shuffle-free md5-keyed stratified Bernoulli pass.  The
+        synthetic sources are uniform, so the query derives a skewed
+        60/30/10 domain column deterministically from doc_id (same
+        expression in the SQL oracle); sqrt is IEEE-correctly-rounded,
+        so the oracle reproduces the exact selected set."""
+        from pikes_ray.ops.sample import temperature_mix
+
+        def _domain(df):
+            d = df["doc_id"] % 10
+            out = df[["doc_id"]].copy()
+            out["domain"] = np.where(d < 6, "web",
+                                     np.where(d < 9, "books", "code"))
+            return out
+
+        ds = _docs(sf_dir).map_batches(_domain, batch_format="pandas")
+        out, _rates = temperature_mix(ds, "doc_id", "domain", tau=0.5,
+                                      seed=13, digest="md5")
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def doc_repetition(sf_dir):
+        """Gopher-style repetition filters: per-doc duplicate-{2,3}-gram
+        and top-{2,3}-gram fractions in integer ppm (pure map stage —
+        no shuffle at any scale; the DuckDB list-lambda oracle
+        reproduces every number)."""
+        out = _docs(sf_dir).map_batches(T.repetition_stats,
+                                        batch_format="pandas").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def doc_top_bigrams(sf_dir):
+        """Corpus-level top-20 token bigrams — the word-count shuffle
+        done combiner-first (per-batch Counter partials → groupby-sum
+        over distinct n-grams → distributed sort + limit with a
+        deterministic tie-break)."""
+        out = T.top_ngrams(_docs(sf_dir), n=2, k=20).to_pandas()
+        return out.reset_index(drop=True)
+
+    def doc_jaccard_pairs(sf_dir):
+        """EXACT token-set Jaccard near-dup pairs (J >= 0.95) via the
+        prefix-filtered distributed inverted index (AllPairs/PPJoin
+        family) — the lossless complement anchoring the MinHash path.
+        Rational threshold arithmetic keeps the decision boundary
+        integer-exact vs the SQL cross-join oracle."""
+        return D.jaccard_pairs_exact(_docs(sf_dir), threshold=(19, 20))
+
     def evt_top_users(sf_dir):
         """Distributed Count-Min heavy hitters over the events stream
         (ops/sketch.py): per-block sketch + candidates, driver merge —
@@ -585,6 +632,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": doc_pii_scrub,
         "doc_decontaminate": doc_decontaminate,
         "doc_weighted_sample": doc_weighted_sample,
+        "doc_temperature_mix": doc_temperature_mix,
+        "doc_repetition": doc_repetition,
+        "doc_top_bigrams": doc_top_bigrams,
+        "doc_jaccard_pairs": doc_jaccard_pairs,
         "evt_top_users": evt_top_users,
         "evt_approx_users": evt_approx_users,
         "emb_near_dup": emb_near_dup,
@@ -800,6 +851,96 @@ def oracle_sql() -> dict[str, str]:
                            / 4294967296.0) / n_chars AS pri
                 FROM documents ORDER BY pri LIMIT 25
             ) ORDER BY doc_id
+        """,
+        "doc_temperature_mix": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 6 THEN 'web'
+                            WHEN doc_id % 10 < 9 THEN 'books'
+                            ELSE 'code' END AS domain
+                FROM documents),
+            cnt AS (SELECT domain, count(*) AS n FROM d GROUP BY domain),
+            ref AS (SELECT min(n) AS nmin FROM cnt),
+            r AS (SELECT domain,
+                         CAST(floor(sqrt(nmin::DOUBLE / n) * 4294967296)
+                              AS UBIGINT) AS thr
+                  FROM cnt, ref)
+            SELECT d.doc_id, d.domain
+            FROM d JOIN r USING (domain)
+            WHERE CAST(CONCAT('0x', substr(md5(d.doc_id::VARCHAR || '-13'),
+                                           1, 8)) AS UBIGINT) < thr
+            ORDER BY doc_id
+        """,
+        "doc_repetition": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\s+') END AS ws
+                FROM documents),
+            g AS (
+                SELECT doc_id, len(ws)::BIGINT AS n_ws,
+                       CASE WHEN len(ws) >= 2 THEN list_transform(
+                                range(1, len(ws)),
+                                i -> ws[i] || ' ' || ws[i+1])
+                            ELSE CAST([] AS VARCHAR[]) END AS bg,
+                       CASE WHEN len(ws) >= 3 THEN list_transform(
+                                range(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                            ELSE CAST([] AS VARCHAR[]) END AS tg
+                FROM t)
+            SELECT doc_id, n_ws,
+                (CASE WHEN len(bg) = 0 THEN 0
+                      ELSE (len(bg) - len(list_distinct(bg))) * 1000000
+                           // len(bg) END)::BIGINT AS dup2_ppm,
+                (CASE WHEN len(bg) = 0 THEN 0
+                      ELSE list_max(list_transform(list_distinct(bg),
+                               x -> len(list_filter(bg, y -> y = x))))
+                           * 1000000 // len(bg) END)::BIGINT AS top2_ppm,
+                (CASE WHEN len(tg) = 0 THEN 0
+                      ELSE (len(tg) - len(list_distinct(tg))) * 1000000
+                           // len(tg) END)::BIGINT AS dup3_ppm,
+                (CASE WHEN len(tg) = 0 THEN 0
+                      ELSE list_max(list_transform(list_distinct(tg),
+                               x -> len(list_filter(tg, y -> y = x))))
+                           * 1000000 // len(tg) END)::BIGINT AS top3_ppm
+            FROM g ORDER BY doc_id
+        """,
+        "doc_top_bigrams": r"""
+            WITH t AS (
+                SELECT CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\s+') END AS ws
+                FROM documents),
+            u AS (
+                SELECT unnest(CASE WHEN len(ws) >= 2 THEN list_transform(
+                                       range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i+1])
+                                   ELSE CAST([] AS VARCHAR[]) END) AS ngram
+                FROM t)
+            SELECT ngram, count(*)::BIGINT AS cnt
+            FROM u GROUP BY ngram
+            ORDER BY cnt DESC, ngram LIMIT 20
+        """,
+        "doc_jaccard_pairs": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(trim(lower(text)),
+                                                           '\s+')) AS toks
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) != ''),
+            p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       len(list_intersect(a.toks, b.toks)) AS inter,
+                       len(a.toks) + len(b.toks)
+                           - len(list_intersect(a.toks, b.toks)) AS uni
+                FROM s a, s b WHERE a.doc_id < b.doc_id)
+            SELECT a::BIGINT AS a, b::BIGINT AS b,
+                   inter::BIGINT AS inter, uni::BIGINT AS uni
+            FROM p WHERE inter * 20 >= 19 * uni
+            ORDER BY a, b
         """,
         "evt_top_users": """
             SELECT user_id::VARCHAR AS value, count(*)::BIGINT AS est_count

@@ -516,6 +516,104 @@ def ngram_jaccard_pairs(ds, pairs: list[tuple[int, int]], col: str = "text",
 
 
 # --------------------------------------------------------------------------
+# exact token-set Jaccard join (prefix-filtered inverted index)
+# --------------------------------------------------------------------------
+
+def jaccard_pairs_exact(ds, col: str = "text", id_col: str = "doc_id",
+                        threshold: tuple[int, int] = (9, 10),
+                        df_cap: int | None = None):
+    """EXACT token-set Jaccard near-dup pairs via a prefix-filtered
+    distributed inverted index — the AllPairs/PPJoin family (Bayardo
+    et al. WWW'07; Xiao et al. WWW'08), the lossless complement of the
+    probabilistic MinHash path.
+
+    ``threshold`` is a rational ``(num, den)`` so every comparison is
+    integer arithmetic (``inter * den >= num * union``) — bit-exact vs
+    a SQL oracle; no float ever crosses the decision boundary.
+
+    Stages (scale shapes):
+      1. ``map_batches``: per doc, the DISTINCT lowercased tokens in a
+         global canonical order (lexicographic) + the set size; only
+         the PREFIX (first ``|A| - ceil(t*|A|) + 1`` tokens) is
+         exploded into (token, id, size) postings — the prefix
+         principle guarantees two sets with J >= t share at least one
+         prefix token, so no qualifying pair is lost.
+      2. one bounded hash-bucket groupby over prefix tokens emits
+         in-posting candidate pairs; ``df_cap`` (optional) skips
+         postings hotter than the cap — a documented recall trade for
+         adversarial corpora where even prefixes stay hot.
+      3. candidates dedup (groupby pair, first) and are verified
+         EXACTLY against the full token sets of the candidate docs
+         only (broadcast gather — bounded by the near-dup density,
+         same policy as ``ngram_jaccard_pairs``).
+
+    → pandas DataFrame (a, b, inter, uni) with a < b, sorted.
+    """
+    import ray  # noqa: F401  (parity with the other dedup entry points)
+
+    from pikes_ray.pipelines.shuffle import partitioned_group_map
+
+    num, den = threshold
+
+    def prefix_postings(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks_out = [], []
+        for did, t in zip(df[id_col], df[col].fillna("")):
+            toks = sorted(set(_WS_TOKEN.findall(t.lower())))
+            size = len(toks)
+            if size == 0:
+                continue
+            # ceil(num*size/den) via integer arithmetic
+            plen = size - (-(num * size) // den) + 1
+            for tok in toks[:plen]:
+                ids.append(did)
+                toks_out.append(tok)
+        return pd.DataFrame({id_col: ids, "token": toks_out})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or (df_cap is not None and len(g) > df_cap):
+            return pd.DataFrame({"a": [], "b": []})
+        ids = sorted(set(g[id_col]))
+        A, B = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                A.append(ids[i]); B.append(ids[j])
+        return pd.DataFrame({"a": A, "b": B})
+
+    postings = ds.map_batches(prefix_postings, batch_format="pandas")
+    cands = partitioned_group_map(postings, ["token"], bucket_pairs)
+    cands = partitioned_group_map(cands, ["a", "b"], lambda g: g.head(1))
+    pairs = [(int(a), int(b)) for a, b in
+             zip(*(cands.to_pandas()[c] for c in ("a", "b")))] \
+        if cands.count() else []
+
+    wanted = {i for p in pairs for i in p}
+
+    def collect_sets(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df[id_col].isin(wanted)]
+        return pd.DataFrame({
+            id_col: sub[id_col].values,
+            "toks": [sorted(set(_WS_TOKEN.findall(t.lower())))
+                     for t in sub[col].fillna("")]})
+
+    token_sets: dict[int, frozenset] = {}
+    if wanted:
+        for b in ds.map_batches(collect_sets, batch_format="pandas") \
+                .iter_batches(batch_size=8192, batch_format="pandas"):
+            for did, tk in zip(b[id_col], b["toks"]):
+                token_sets[int(did)] = frozenset(tk)
+    rows = []
+    for a, b2 in pairs:
+        sa, sb = token_sets.get(a, frozenset()), token_sets.get(b2, frozenset())
+        inter = len(sa & sb)
+        uni = len(sa) + len(sb) - inter
+        if uni and inter * den >= num * uni:
+            rows.append({"a": a, "b": b2, "inter": inter, "uni": uni})
+    out = pd.DataFrame(rows, columns=["a", "b", "inter", "uni"]) \
+        .astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 

@@ -76,6 +76,48 @@ def stratified_sample(ds, key: str, strata_col: str,
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def temperature_rates(counts: dict, tau: float) -> dict:
+    """Per-stratum Bernoulli keep rates realizing temperature-scaled
+    domain mixing (expected kept counts ∝ n_s^tau — the GPT-3 / Pile
+    mixture rule; tau=1 keeps the natural distribution, tau→0 flattens
+    it).  For tau < 1 the rarest domain keeps 100% and larger domains
+    are downsampled (r_s = (n_min/n_s)^(1-tau)); for tau > 1 the
+    largest keeps 100%.  tau=0.5 routes through ``math.sqrt`` —
+    correctly rounded per IEEE 754, so a SQL ``sqrt()`` oracle
+    reproduces every rate (and thus every sampled row) bit-for-bit."""
+    import math
+
+    if not counts:
+        return {}
+    if tau < 1.0:
+        ref, expo = min(counts.values()), 1.0 - tau
+        frac = {s: ref / n for s, n in counts.items()}
+    else:
+        ref, expo = max(counts.values()), tau - 1.0
+        frac = {s: n / ref for s, n in counts.items()}
+    if expo == 0.5:
+        return {s: math.sqrt(f) for s, f in frac.items()}
+    return {s: f ** expo for s, f in frac.items()}
+
+
+def temperature_mix(ds, key: str, strata_col: str, tau: float = 0.5,
+                    seed: int = 13, digest: str = "fast"):
+    """Temperature-based domain mixing: resample the corpus so each
+    stratum's expected share ∝ (its natural count)^tau.
+
+    Scale shape: ONE tiny combiner-first ``groupby(strata_col).count()``
+    (the exchange carries #domains rows, not the corpus), rates computed
+    on the driver, then one shuffle-free content-keyed Bernoulli pass
+    (`stratified_sample`) — deterministic at any parallelism / block
+    split / input order.  → (Dataset, rates dict).
+    """
+    cnt = ds.groupby(strata_col).count().to_pandas()
+    counts = {s: int(n) for s, n in zip(cnt[strata_col], cnt["count()"])}
+    rates = temperature_rates(counts, tau)
+    return (stratified_sample(ds, key, strata_col, rates,
+                              seed=seed, digest=digest), rates)
+
+
 def weighted_sample(ds, key: str, weight: str, k: int, seed: int = 42):
     """Weighted random sample WITHOUT replacement of exactly ``k`` rows
     (Efraimidis-Spirakis A-ES, Inf. Process. Lett. 97(5), 2006):

@@ -123,6 +123,66 @@ def analyze(ds, col: str = "text"):
     return ds.map_batches(lambda d: fingerprint(d, col), batch_format="pandas")
 
 
+def repetition_stats(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, Table A1),
+    integer-exact (parts-per-million) so a DuckDB list-lambda oracle
+    reproduces every number bit-for-bit: per document, the fraction of
+    duplicate word {2,3}-grams and the fraction of n-gram occurrences
+    claimed by the single most frequent {2,3}-gram.  Pure map stage —
+    no shuffle at any scale; filter on the ppm columns downstream."""
+    from collections import Counter
+
+    def _stats(t: str) -> tuple[int, int, int, int, int]:
+        toks = _WS_TOKEN.findall(t.lower()) if t else []
+        out = [len(toks)]
+        for n in (2, 3):
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            total = len(grams)
+            if total == 0:
+                out += [0, 0]
+                continue
+            c = Counter(grams)
+            out.append((total - len(c)) * 1_000_000 // total)
+            out.append(max(c.values()) * 1_000_000 // total)
+        return tuple(out)
+
+    vals = [_stats(t) for t in df[col].fillna("")]
+    out = df[["doc_id"]].copy()
+    for i, name in enumerate(("n_ws", "dup2_ppm", "top2_ppm",
+                              "dup3_ppm", "top3_ppm")):
+        out[name] = pd.Series([v[i] for v in vals], index=df.index,
+                              dtype="int64")
+    return out
+
+
+def top_ngrams(ds, col: str = "text", n: int = 2, k: int = 20):
+    """Corpus-level top-k token n-grams — the word-count shuffle done
+    combiner-first: each batch collapses to its local (ngram, count)
+    partials inside ``map_batches`` (the exchange then carries
+    O(distinct n-grams per block), not O(corpus tokens)); a
+    ``groupby.sum`` merges partials; a distributed sort + limit takes
+    the top k with a deterministic (count desc, ngram asc) tie-break.
+    → Dataset[ngram, cnt]."""
+    from collections import Counter
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df[col].fillna(""):
+            toks = _WS_TOKEN.findall(t.lower())
+            for i in range(len(toks) - n + 1):
+                c[" ".join(toks[i:i + n])] += 1
+        return pd.DataFrame({
+            "ngram": list(c.keys()),
+            "cnt": np.fromiter(c.values(), dtype="int64", count=len(c))})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("ngram").sum("cnt"))
+    agg = agg.map_batches(lambda d: d.rename(columns={"sum(cnt)": "cnt"}),
+                          batch_format="pandas")
+    return agg.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
+
+
 # --- M18 analogues: stemming + sentiment lexicon scoring -------------------
 # (≙ resources/Stemming.java 75 LoC; SentiWordNet/SenticNet/
 # SubjectivityLexicon loaders — pikes-resources/.../resources/*.java)

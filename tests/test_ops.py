@@ -718,3 +718,114 @@ def test_weighted_sample_invariance_and_weight_sensitivity(ray_session):
     pri = -np.log((u + 0.5) / (1 << 32)) / df["w"].to_numpy()
     expect = sorted(np.argsort(pri)[:10])
     assert sorted(a["doc_id"]) == expect
+
+
+def test_temperature_rates_math():
+    from pikes_ray.ops.sample import temperature_rates
+
+    # tau=0.5: rates = sqrt(n_min / n_s); rarest keeps 100%
+    r = temperature_rates({"a": 100, "b": 25}, 0.5)
+    assert r == {"a": 0.5, "b": 1.0}
+    # tau=1 keeps the natural distribution
+    assert temperature_rates({"a": 100, "b": 25}, 1.0) == {"a": 1.0, "b": 1.0}
+    # tau=0 flattens: rates = n_min / n_s
+    assert temperature_rates({"a": 100, "b": 25}, 0.0) == {"a": 0.25, "b": 1.0}
+    # tau>1 upsamples the head: largest keeps 100%
+    r = temperature_rates({"a": 100, "b": 25}, 2.0)
+    assert r == {"a": 1.0, "b": 0.25}
+
+
+def test_temperature_mix_counts_and_determinism(ray_session):
+    from pikes_ray.ops.sample import stratified_sample, temperature_mix
+
+    df = pd.DataFrame({
+        "doc_id": range(1000),
+        "domain": ["web"] * 640 + ["books"] * 320 + ["code"] * 40,
+    })
+    ds = rd.from_pandas(df)
+    out, rates = temperature_mix(ds, "doc_id", "domain", tau=0.5, seed=13)
+    out = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert rates["code"] == 1.0 and 0 < rates["web"] < rates["books"] < 1
+    # all of the rarest domain survives; kept shares track sqrt(n)
+    kept = out.groupby("domain")["doc_id"].count()
+    assert kept["code"] == 40
+    assert abs(kept["web"] / 640 - rates["web"]) < 0.1
+    # equals a stratified_sample at the same rates (one source of truth)
+    manual = stratified_sample(ds, "doc_id", "domain", rates, seed=13) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, manual)
+    # reruns and input order changes select the identical subset
+    out2, _ = temperature_mix(ds.random_shuffle(seed=1), "doc_id",
+                              "domain", tau=0.5, seed=13)
+    assert sorted(out2.to_pandas()["doc_id"]) == out["doc_id"].tolist()
+
+
+def test_repetition_stats_gopher():
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["a b a b c", "x y z w", ""]})
+    out = T.repetition_stats(df).set_index("doc_id")
+    # bigrams of doc 0: [a b, b a, a b, b c] -> 4 total, 3 distinct
+    assert out.loc[0, "n_ws"] == 5
+    assert out.loc[0, "dup2_ppm"] == 1_000_000 // 4
+    assert out.loc[0, "top2_ppm"] == 500_000
+    # trigrams: [a b a, b a b, a b c] all distinct
+    assert out.loc[0, "dup3_ppm"] == 0
+    assert out.loc[0, "top3_ppm"] == 333_333
+    assert out.loc[1, "dup2_ppm"] == 0 and out.loc[1, "top2_ppm"] == 333_333
+    assert (out.loc[2] == 0).all()
+
+
+def test_top_ngrams_matches_local_counter(ray_session):
+    from collections import Counter
+
+    texts = ["the cat sat", "the cat ran", "a cat sat", "the dog sat",
+             "", "the cat sat on the mat"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)),
+                                      "text": texts}))
+    out = T.top_ngrams(ds, n=2, k=5).to_pandas()
+    c = Counter()
+    for t in texts:
+        toks = t.lower().split()
+        c.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(out["ngram"], out["cnt"])) == expect
+
+
+def test_jaccard_pairs_exact_matches_brute_force(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(60):
+        base = rng.choice(vocab, size=12, replace=False)
+        texts.append(" ".join(base))
+        if i % 5 == 0:   # plant a near-dup: one token swapped
+            mut = list(base)
+            mut[0] = "zzz"
+            texts.append(" ".join(mut))
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df)
+    got = D.jaccard_pairs_exact(ds, threshold=(4, 5))
+
+    sets = {i: frozenset(t.split()) for i, t in zip(df["doc_id"], df["text"])}
+    expect = []
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter * 5 >= 4 * uni:
+                expect.append((a, b, inter, uni))
+    assert [tuple(r) for r in got.itertuples(index=False)] == expect
+    assert len(expect) >= 12   # the planted near-dups qualify
+
+
+def test_jaccard_pairs_exact_df_cap_documented_trade(ray_session):
+    # every doc shares the hot token; with the cap below the posting
+    # size the hot posting is skipped -- pairs found only via rare
+    # prefix tokens (recall trade is explicit, not silent corruption)
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["hot a b c", "hot a b c", "hot x y z"]})
+    full = D.jaccard_pairs_exact(rd.from_pandas(df), threshold=(1, 2))
+    assert [tuple(r)[:2] for r in full.itertuples(index=False)] == [(0, 1)]
