@@ -425,6 +425,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         integer-exact vs the SQL cross-join oracle."""
         return D.jaccard_pairs_exact(_docs(sf_dir), threshold=(19, 20))
 
+    def doc_tfidf(sf_dir):
+        """Top-3 TF-IDF terms per document (min_df=2): ONE
+        combiner-first document-frequency groupby, the idf table
+        quantized to integer micro-nats on the driver and broadcast
+        once, then a pure map pass — scores are int64 end-to-end, so
+        the SQL oracle reproduces every row bit-for-bit."""
+        out = T.tfidf_top_terms(_docs(sf_dir), k=3, min_df=2).to_pandas()
+        return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    def _c4_inject(df):
+        """Derive a multi-line, punctuation-bearing text column
+        deterministically from (doc_id, text) — same expression as the
+        SQL oracle (the synthetic corpus has no newlines)."""
+        t = (df["text"].fillna("")
+             .str.replace(" value ", ".\n", regex=False)
+             .str.replace(" row ", "!\n", regex=False))
+        d = df["doc_id"]
+        t = (t
+             + np.where(d % 7 == 0, "\nEnable javascript to continue.", "")
+             + np.where(d % 11 == 0, "\nlorem ipsum dolor sit amet.", "")
+             + np.where(d % 13 == 0, "\nif (x) { return; }", ""))
+        out = df[["doc_id"]].copy()
+        out["text"] = t
+        return out
+
+    def doc_c4_clean(sf_dir):
+        """C4-style line cleaning (terminal punctuation, min words,
+        javascript lines, lorem-ipsum/'{' docs) — pure map stage; the
+        DuckDB list-lambda oracle reproduces counts, keep flags and the
+        cleaned text bit-for-bit."""
+        out = (_docs(sf_dir)
+               .map_batches(_c4_inject, batch_format="pandas")
+               .map_batches(T.c4_line_filter, batch_format="pandas")
+               .to_pandas())
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def _line_inject(df):
+        """Boilerplate-line injection shared with the SQL oracle."""
+        d = df["doc_id"]
+        t = ("Subscribe to our newsletter.\n" + df["text"].fillna("")
+             + np.where(d % 3 == 0, "\nAll rights reserved.", ""))
+        out = df[["doc_id"]].copy()
+        out["text"] = t
+        return out
+
+    def doc_line_dedup(sf_dir):
+        """Corpus-frequency line removal (CCNet/RefinedWeb boilerplate
+        scrub): combiner-first (line, count) groupby → frequent head
+        (>= 3 occurrences) broadcast → one filtering map pass (the
+        anti-join path covers drop sets beyond driver memory)."""
+        ds = _docs(sf_dir).map_batches(_line_inject, batch_format="pandas")
+        out = T.line_dedup(ds, threshold=3).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def doc_dup_clusters(sf_dir):
+        """Near-duplicate cluster assignment: MinHash band shuffle →
+        verified pairs → union-find → (doc_id, cluster_rep) for every
+        doc in a non-singleton cluster (rows-only: the exact companions
+        doc_exact_dedup / doc_jaccard_pairs carry the oracles)."""
+        mapping = D.minhash_lsh_clusters(_docs(sf_dir), threshold=0.8)
+        rows = sorted((int(k), int(v)) for k, v in mapping.items())
+        return pd.DataFrame(rows, columns=["doc_id", "cluster_rep"])
+
+    def kg_entity_pagerank(sf_dir):
+        """PageRank over the emitted KG's entity edge projection
+        (ops/graph.py): per-round combiner-first contribution groupby
+        with the rank vector broadcast (dict) or joined (Dataset) by
+        node count — entity salience for canon election / crawl
+        prioritization.  Rows-only (iterative float fixpoint)."""
+        from pikes_ray.ops.graph import pagerank_top_k
+
+        tr = _kg_triples(sf_dir)
+        ent = tr.map_batches(
+            lambda df: df[df["obj"].str.match(r"[a-z][a-z0-9]*:")
+                          & ~df["obj"].str.startswith('"')
+                          & (df["pred"] != "rdf:type")][["subj", "obj"]],
+            batch_format="pandas")
+        return pagerank_top_k(ent, k=100, n_iter=10)
+
     def evt_top_users(sf_dir):
         """Distributed Count-Min heavy hitters over the events stream
         (ops/sketch.py): per-block sketch + candidates, driver merge —
@@ -636,6 +715,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": doc_repetition,
         "doc_top_bigrams": doc_top_bigrams,
         "doc_jaccard_pairs": doc_jaccard_pairs,
+        "doc_tfidf": doc_tfidf,
+        "doc_c4_clean": doc_c4_clean,
+        "doc_line_dedup": doc_line_dedup,
+        "doc_dup_clusters": doc_dup_clusters,
+        "kg_entity_pagerank": kg_entity_pagerank,
         "evt_top_users": evt_top_users,
         "evt_approx_users": evt_approx_users,
         "emb_near_dup": emb_near_dup,
@@ -946,6 +1030,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id::VARCHAR AS value, count(*)::BIGINT AS est_count
             FROM events GROUP BY user_id
             ORDER BY est_count DESC, value LIMIT 10
+        """,
+        "doc_tfidf": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\s+') END AS ws
+                FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM tok GROUP BY term
+                    HAVING count(DISTINCT doc_id) >= 2),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                       tf.tf * CAST(floor(
+                           ln((n.n + 1) / (dfq.df + 1)) * 1000000 + 0.5)
+                           AS BIGINT) AS score_unats
+                FROM tf JOIN dfq USING (term) CROSS JOIN n),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_unats DESC, term) AS rnk
+                FROM scored)
+            SELECT doc_id, term, tf, df, score_unats,
+                   rnk::BIGINT AS "rank"
+            FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        "doc_c4_clean": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       replace(replace(coalesce(text, ''),
+                                       ' value ', '.' || chr(10)),
+                               ' row ', '!' || chr(10))
+                       || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+                               'Enable javascript to continue.' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                               'lorem ipsum dolor sit amet.' ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                               'if (x) { return; }' ELSE '' END AS t2
+                FROM documents),
+            l AS (SELECT doc_id, t2,
+                         string_split(t2, chr(10)) AS lines FROM inj),
+            k AS (SELECT doc_id, t2, lines,
+                         list_filter(lines, x ->
+                             trim(x) <> ''
+                             AND right(trim(x), 1) IN ('.', '!', '?', '"')
+                             AND len(regexp_split_to_array(trim(x),
+                                                           '\s+')) >= 3
+                             AND NOT contains(lower(x), 'javascript')
+                         ) AS kept
+                  FROM l)
+            SELECT doc_id,
+                   len(lines)::BIGINT AS n_lines,
+                   len(kept)::BIGINT AS n_kept,
+                   (len(kept) >= 1
+                    AND NOT contains(lower(t2), 'lorem ipsum')
+                    AND NOT contains(t2, '{')) AS keep_doc,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                       AS clean_text
+            FROM k ORDER BY doc_id
+        """,
+        "doc_line_dedup": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       'Subscribe to our newsletter.' || chr(10)
+                       || coalesce(text, '')
+                       || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                               'All rights reserved.' ELSE '' END AS t2
+                FROM documents),
+            l AS (
+                SELECT doc_id,
+                       unnest(string_split(t2, chr(10))) AS line,
+                       unnest(range(1, len(string_split(t2, chr(10))) + 1))
+                           AS idx
+                FROM inj),
+            c AS (SELECT line, count(*) AS cnt FROM l GROUP BY line),
+            kept AS (
+                SELECT l.doc_id, l.idx, l.line
+                FROM l JOIN c USING (line) WHERE c.cnt < 3),
+            nl AS (SELECT doc_id, count(*)::BIGINT AS n_lines
+                   FROM l GROUP BY doc_id),
+            agg AS (
+                SELECT doc_id, count(*)::BIGINT AS n_kept,
+                       string_agg(line, chr(10) ORDER BY idx) AS clean_text
+                FROM kept GROUP BY doc_id)
+            SELECT nl.doc_id, nl.n_lines,
+                   (nl.n_lines - coalesce(agg.n_kept, 0))::BIGINT
+                       AS n_removed,
+                   coalesce(agg.clean_text, '') AS clean_text
+            FROM nl LEFT JOIN agg USING (doc_id) ORDER BY nl.doc_id
         """,
         "doc_pii_scrub": r"""
             WITH inj AS (

@@ -365,3 +365,283 @@ def decontaminate(ds, benchmark_texts: list[str], n: int = 8,
     if mode == "drop":
         return flagged.filter(lambda r: not r["contaminated"])
     return flagged
+
+
+# --------------------------------------------------------------------------
+# corpus TF-IDF: document frequencies -> broadcast IDF -> top terms per doc
+# --------------------------------------------------------------------------
+
+def doc_frequencies(ds, col: str = "text", min_df: int = 1):
+    """Corpus document frequencies, combiner-first: each batch collapses
+    to its local (term, partial-df) counts over the per-document
+    DISTINCT terms (the exchange carries O(distinct terms per block),
+    not O(corpus tokens)); a ``groupby.sum`` merges partials.
+    → Dataset[term, df]."""
+    from collections import Counter
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df[col].fillna(""):
+            for w in {w.lower() for w in _WS_TOKEN.findall(t)}:
+                c[w] += 1
+        return pd.DataFrame({
+            "term": list(c.keys()),
+            "df": np.fromiter(c.values(), dtype="int64", count=len(c))})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("term").sum("df"))
+    agg = agg.map_batches(lambda d: d.rename(columns={"sum(df)": "df"}),
+                          batch_format="pandas")
+    if min_df > 1:
+        agg = agg.map_batches(lambda d, _m=min_df: d[d["df"] >= _m],
+                              batch_format="pandas")
+    return agg
+
+
+def tfidf_top_terms(ds, col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, min_df: int = 1,
+                    max_vocab: int | None = None):
+    """Top-k TF-IDF terms per document.
+
+    Two passes.  Pass 1 is the only shuffle: the combiner-first
+    document-frequency groupby (:func:`doc_frequencies`).  The scored
+    vocabulary is bounded — ``min_df`` plus an optional ``max_vocab``
+    cap keeping the highest-df terms (deterministic ``(df desc, term
+    asc)`` cutoff) — and broadcast ONCE via ``ray.put`` (a min_df>=5
+    web-corpus vocabulary is ~10^7 terms ≈ low-GB; beyond that swap the
+    broadcast for a ``hash_join`` of exploded (doc, term, tf) rows
+    against the df table).  Pass 2 is a pure map: per-document term
+    frequencies over the same tokenization and
+
+        score_unats = tf * floor(ln((N+1)/(df+1)) * 1e6 + 0.5)
+
+    i.e. the idf is quantized to integer micro-nats ONCE per term on
+    the driver, so ranking and the emitted scores are pure int64
+    arithmetic — reproducible bit-for-bit by the SQL oracle (ln feeds
+    from identical integers on both sides; same libm).  Top-k rows per
+    doc with a (score desc, term asc) tie-break.
+    → Dataset[doc_id, term, tf, df, score_unats, rank]."""
+    import math
+
+    import ray
+
+    n_docs = ds.count()
+    df_tbl = doc_frequencies(ds, col, min_df=min_df).to_pandas()
+    if max_vocab is not None and len(df_tbl) > max_vocab:
+        df_tbl = df_tbl.sort_values(["df", "term"],
+                                    ascending=[False, True]).head(max_vocab)
+    idf = {t: (int(d),
+               int(math.floor(math.log((n_docs + 1) / (d + 1)) * 1e6 + 0.5)))
+           for t, d in zip(df_tbl["term"], df_tbl["df"])}
+    idf_ref = ray.put(idf)
+
+    from collections import Counter
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(idf_ref)
+        ids, terms, tfs, dfs, scores, ranks = [], [], [], [], [], []
+        for did, t in zip(df[id_col], df[col].fillna("")):
+            tf = Counter(w.lower() for w in _WS_TOKEN.findall(t))
+            cand = []
+            for w, f in tf.items():
+                hit = table.get(w)
+                if hit is not None:
+                    cand.append((-f * hit[1], w, f, hit[0]))
+            cand.sort()
+            for r, (neg, w, f, d) in enumerate(cand[:k], start=1):
+                ids.append(did); terms.append(w); tfs.append(f)
+                dfs.append(d); scores.append(-neg); ranks.append(r)
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "term": terms,
+            "tf": pd.Series(tfs, dtype="int64"),
+            "df": pd.Series(dfs, dtype="int64"),
+            "score_unats": pd.Series(scores, dtype="int64"),
+            "rank": pd.Series(ranks, dtype="int64")})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# C4-style line cleaning (Raffel et al. 2020 "C4" §2.2 heuristics)
+# --------------------------------------------------------------------------
+
+_TERMINAL_PUNCT = ('.', '!', '?', '"')
+_LINE_BLOCKLIST = ("javascript",)
+_DOC_BLOCKLIST = ("lorem ipsum", "{")
+
+
+def _keep_line(line: str, min_words: int) -> bool:
+    s = line.strip()
+    if not s or s[-1] not in _TERMINAL_PUNCT:
+        return False
+    if len(s.split()) < min_words:
+        return False
+    low = s.lower()
+    return not any(b in low for b in _LINE_BLOCKLIST)
+
+
+def c4_line_filter(df: pd.DataFrame, col: str = "text",
+                   min_words: int = 3,
+                   min_kept_lines: int = 1) -> pd.DataFrame:
+    """C4 cleaning as a pure map stage: keep lines with >= ``min_words``
+    whitespace words that end in terminal punctuation (. ! ? ") and do
+    not mention javascript; flag documents that keep fewer than
+    ``min_kept_lines`` lines or contain a doc-level blocklist hit
+    (lorem ipsum / '{').  Emits per-doc counts, the keep flag and the
+    cleaned text — no shuffle at any scale.
+    → columns: doc_id, n_lines, n_kept, keep_doc, clean_text."""
+    out = df[["doc_id"]].copy()
+    n_lines, n_kept, keep_doc, cleaned = [], [], [], []
+    for t in df[col].fillna(""):
+        lines = t.split("\n")
+        kept = [ln for ln in lines if _keep_line(ln, min_words)]
+        low = t.lower()
+        ok = (len(kept) >= min_kept_lines
+              and not any(b in low for b in _DOC_BLOCKLIST))
+        n_lines.append(len(lines)); n_kept.append(len(kept))
+        keep_doc.append(ok); cleaned.append("\n".join(kept))
+    out["n_lines"] = pd.Series(n_lines, index=df.index, dtype="int64")
+    out["n_kept"] = pd.Series(n_kept, index=df.index, dtype="int64")
+    out["keep_doc"] = pd.Series(keep_doc, index=df.index, dtype="bool")
+    out["clean_text"] = pd.Series(cleaned, index=df.index)
+    return out
+
+
+# --------------------------------------------------------------------------
+# corpus-frequency line removal (CCNet / RefinedWeb boilerplate scrub)
+# --------------------------------------------------------------------------
+
+def line_dedup(ds, col: str = "text", threshold: int = 2,
+               mode: str = "auto", broadcast_line_limit: int = 2_000_000,
+               n_parts: int = 64):
+    """Remove every line that occurs >= ``threshold`` times across the
+    CORPUS (the CCNet/RefinedWeb boilerplate scrub: nav bars, cookie
+    banners, footers repeat across pages; prose does not).
+
+    Wide shape: pass 1 is a combiner-first (line, count) groupby (each
+    batch ships its local Counter partials — O(distinct lines per
+    block)); the frequent head (count >= threshold) is by construction
+    <= corpus_lines/threshold.  Pass 2 filters each document's lines:
+
+    - ``mode="broadcast"`` — frequent lines collected to one frozenset,
+      ``ray.put`` once, O(1) lookups per line; right while the head
+      fits the driver (``broadcast_line_limit``).
+    - ``mode="join"`` — the 100-TB shape: documents explode to
+      (doc_id, idx, line) rows, an anti ``hash_join`` against the
+      frequent-line Dataset drops matches, a bounded per-doc groupby
+      reassembles kept lines in idx order, and docs whose every line
+      was boilerplate are restored empty via a second anti join.
+    - ``mode="auto"`` — broadcast below the limit, join above
+      (the minhash drop-set policy, ops/dedup._apply_drop_filter).
+
+    → Dataset[doc_id, n_lines, n_removed, clean_text] (every input doc
+    appears exactly once)."""
+    from collections import Counter
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df[col].fillna(""):
+            c.update(t.split("\n"))
+        return pd.DataFrame({
+            "line": list(c.keys()),
+            "cnt": np.fromiter(c.values(), dtype="int64", count=len(c))})
+
+    freq = (ds.map_batches(partial, batch_format="pandas")
+              .groupby("line").sum("cnt")
+              .map_batches(
+                  lambda d, _t=threshold: d[d["sum(cnt)"] >= _t]
+                  .rename(columns={"sum(cnt)": "cnt"}),
+                  batch_format="pandas"))
+
+    freq = freq.materialize()   # small by construction; reused below
+    n_freq = freq.count()
+    if n_freq == 0:
+        # nothing frequent: pass-through map (an empty Dataset has no
+        # schema in Ray — the join/broadcast paths can't consume it)
+        def noop(df: pd.DataFrame) -> pd.DataFrame:
+            nl = [len(t.split("\n")) for t in df[col].fillna("")]
+            return pd.DataFrame({
+                "doc_id": pd.Series(df["doc_id"], dtype="int64"),
+                "n_lines": pd.Series(nl, index=df.index, dtype="int64"),
+                "n_removed": pd.Series([0] * len(df), index=df.index,
+                                       dtype="int64"),
+                "clean_text": df[col].fillna("")})
+
+        return ds.map_batches(noop, batch_format="pandas")
+    if mode == "auto":
+        mode = "broadcast" if n_freq <= broadcast_line_limit else "join"
+
+    if mode == "broadcast":
+        import ray
+
+        drop = frozenset(freq.to_pandas()["line"])
+        drop_ref = ray.put(drop)
+
+        def scrub(df: pd.DataFrame) -> pd.DataFrame:
+            d = ray.get(drop_ref)
+            ids, nl, nr, out = [], [], [], []
+            for did, t in zip(df["doc_id"], df[col].fillna("")):
+                lines = t.split("\n")
+                kept = [ln for ln in lines if ln not in d]
+                ids.append(did); nl.append(len(lines))
+                nr.append(len(lines) - len(kept)); out.append("\n".join(kept))
+            return pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_lines": pd.Series(nl, dtype="int64"),
+                "n_removed": pd.Series(nr, dtype="int64"),
+                "clean_text": out})
+
+        return ds.map_batches(scrub, batch_format="pandas")
+
+    # mode == "join": never materializes the frequent set on the driver
+    from pikes_ray.ops.joins import hash_join
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, lines, nls = [], [], [], []
+        for did, t in zip(df["doc_id"], df[col].fillna("")):
+            ls = t.split("\n")
+            for i, ln in enumerate(ls):
+                ids.append(did); idxs.append(i); lines.append(ln)
+                nls.append(len(ls))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "idx": pd.Series(idxs, dtype="int64"),
+            "line": lines,
+            "n_lines": pd.Series(nls, dtype="int64")})
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    kept = hash_join(exploded, freq.select_columns(["line"]),
+                     on="line", how="anti", n_parts=n_parts)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("idx")
+        first = g.iloc[0]
+        return pd.DataFrame({
+            "doc_id": pd.Series([first["doc_id"]], dtype="int64"),
+            "n_lines": pd.Series([first["n_lines"]], dtype="int64"),
+            "n_removed": pd.Series([int(first["n_lines"]) - len(g)],
+                                   dtype="int64"),
+            "clean_text": ["\n".join(g["line"])]})
+
+    from pikes_ray.pipelines.shuffle import partitioned_group_map
+
+    rebuilt = partitioned_group_map(kept, ["doc_id"], reassemble,
+                                    n_parts=n_parts)
+    # docs whose every line was boilerplate: restore them empty
+    all_docs = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": pd.Series(df["doc_id"], dtype="int64"),
+            "n_lines": pd.Series(
+                [len(t.split("\n")) for t in df[col].fillna("")],
+                index=df.index, dtype="int64")}),
+        batch_format="pandas")
+    emptied = hash_join(all_docs, rebuilt.select_columns(["doc_id"]),
+                        on="doc_id", how="anti", n_parts=n_parts)
+    emptied = emptied.map_batches(
+        lambda df: df.assign(
+            n_removed=pd.Series(df["n_lines"], index=df.index,
+                                dtype="int64"),
+            clean_text=pd.Series([""] * len(df), index=df.index)),
+        batch_format="pandas")
+    return rebuilt.union(emptied)

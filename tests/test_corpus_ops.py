@@ -1,0 +1,198 @@
+"""Tests for the round-3 corpus ops: TF-IDF, C4 line cleaning,
+corpus-frequency line dedup, and KG PageRank."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from pikes_ray.ops import graph as G
+from pikes_ray.ops import text as T
+
+
+# --------------------------------------------------------------------------
+# TF-IDF
+# --------------------------------------------------------------------------
+
+@pytest.fixture()
+def tfidf_docs(ray_session):
+    rows = [
+        {"doc_id": 0, "text": "apple apple banana"},
+        {"doc_id": 1, "text": "apple banana banana cherry"},
+        {"doc_id": 2, "text": "cherry cherry cherry durian"},
+        {"doc_id": 3, "text": ""},
+    ]
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_doc_frequencies(ray_session, tfidf_docs):
+    df = T.doc_frequencies(tfidf_docs).to_pandas().set_index("term")["df"]
+    assert df.to_dict() == {"apple": 2, "banana": 2, "cherry": 2, "durian": 1}
+    df2 = T.doc_frequencies(tfidf_docs, min_df=2).to_pandas()
+    assert set(df2["term"]) == {"apple", "banana", "cherry"}
+
+
+def test_tfidf_top_terms_matches_manual(ray_session, tfidf_docs):
+    out = (T.tfidf_top_terms(tfidf_docs, k=2).to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    n = 4
+
+    def unats(df):
+        return math.floor(math.log((n + 1) / (df + 1)) * 1e6 + 0.5)
+
+    # doc 0: apple tf=2 df=2, banana tf=1 df=2 → apple wins
+    d0 = out[out["doc_id"] == 0]
+    assert list(d0["term"]) == ["apple", "banana"]
+    assert list(d0["score_unats"]) == [2 * unats(2), 1 * unats(2)]
+    assert list(d0["rank"]) == [1, 2]
+    # doc 2: cherry tf=3 dominates; durian (df=1) beats nothing else
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["term"]) == ["cherry", "durian"]
+    # empty doc emits no rows
+    assert not (out["doc_id"] == 3).any()
+    # equal scores tie-break by term asc: doc 1 banana(tf2,df2) >
+    # apple(tf1,df2)=cherry(tf1,df2) → apple before cherry at rank 2
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["term"]) == ["banana", "apple"]
+
+
+def test_tfidf_min_df_and_max_vocab(ray_session, tfidf_docs):
+    out = T.tfidf_top_terms(tfidf_docs, k=3, min_df=2).to_pandas()
+    assert "durian" not in set(out["term"])
+    # max_vocab keeps highest-df terms with (df desc, term asc) cutoff
+    out2 = T.tfidf_top_terms(tfidf_docs, k=3, max_vocab=3).to_pandas()
+    assert set(out2["term"]) == {"apple", "banana", "cherry"}
+
+
+# --------------------------------------------------------------------------
+# C4 line filter
+# --------------------------------------------------------------------------
+
+def test_c4_line_filter_rules(ray_session):
+    doc0 = "\n".join([
+        "This sentence is properly terminated.",   # kept
+        "too short.",                               # < 3 words
+        "No terminal punctuation here",             # no . ! ? "
+        "Enable javascript to view this page.",     # blocklist word
+        "  An indented quote ends well!  ",         # kept (stripped)
+    ])
+    doc1 = "Contains lorem ipsum filler text, so the doc is dropped."
+    doc2 = "A code block { appears } in this doc."
+    doc3 = ""
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [doc0, doc1, doc2, doc3]}))
+    out = (ds.map_batches(T.c4_line_filter, batch_format="pandas")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "n_lines"] == 5 and out.loc[0, "n_kept"] == 2
+    assert bool(out.loc[0, "keep_doc"])
+    assert out.loc[0, "clean_text"] == (
+        "This sentence is properly terminated.\n"
+        "  An indented quote ends well!  ")
+    # doc-level blocklist: lorem ipsum / '{' → dropped even with kept lines
+    assert not bool(out.loc[1, "keep_doc"]) and out.loc[1, "n_kept"] == 1
+    assert not bool(out.loc[2, "keep_doc"])
+    assert not bool(out.loc[3, "keep_doc"]) and out.loc[3, "n_kept"] == 0
+
+
+# --------------------------------------------------------------------------
+# corpus line dedup
+# --------------------------------------------------------------------------
+
+@pytest.fixture()
+def line_docs(ray_session):
+    boiler = "Subscribe to our newsletter."
+    footer = "All rights reserved."
+    rows = []
+    for i in range(12):
+        lines = [boiler, f"Unique content line number {i}."]
+        if i % 2 == 0:
+            lines.append(footer)
+        if i == 11:
+            lines = [boiler, footer]        # all-boilerplate doc
+        rows.append({"doc_id": i, "text": "\n".join(lines)})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def _canon(df):
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_line_dedup_broadcast(ray_session, line_docs):
+    out = _canon(T.line_dedup(line_docs, threshold=3,
+                              mode="broadcast").to_pandas())
+    assert len(out) == 12
+    # boilerplate (12×) and footer (7×) removed; unique lines kept
+    assert out.loc[0, "clean_text"] == "Unique content line number 0."
+    assert out.loc[0, "n_removed"] == 2 and out.loc[0, "n_lines"] == 3
+    assert out.loc[1, "n_removed"] == 1
+    # the all-boilerplate doc survives with empty text
+    assert out.loc[11, "clean_text"] == "" and out.loc[11, "n_removed"] == 2
+
+
+def test_line_dedup_join_equals_broadcast(ray_session, line_docs):
+    a = _canon(T.line_dedup(line_docs, threshold=3,
+                            mode="broadcast").to_pandas())
+    b = _canon(T.line_dedup(line_docs, threshold=3, mode="join",
+                            n_parts=5).to_pandas())
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
+def test_line_dedup_threshold_keeps_rare(ray_session, line_docs):
+    out = _canon(T.line_dedup(line_docs, threshold=13,
+                              mode="broadcast").to_pandas())
+    assert (out["n_removed"] == 0).all()
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+
+def _edges(pairs):
+    return rd.from_pandas(pd.DataFrame(
+        {"subj": [a for a, _ in pairs], "obj": [b for _, b in pairs]}))
+
+
+def test_pagerank_cycle_uniform(ray_session):
+    r = G.pagerank(_edges([("a", "b"), ("b", "a")]), n_iter=10)
+    assert np.allclose(r["rank"], [0.5, 0.5])
+    assert abs(r["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_chain(ray_session):
+    # a -> b, b dangling; one iteration from uniform has closed form
+    r = G.pagerank(_edges([("a", "b")]), n_iter=1, damping=0.85)
+    r = r.set_index("node")["rank"]
+    base = 0.15 / 2 + 0.85 * 0.5 / 2
+    assert abs(r["a"] - base) < 1e-12
+    assert abs(r["b"] - (base + 0.85 * 0.5)) < 1e-12
+    assert abs(r.sum() - 1.0) < 1e-12
+
+
+def test_pagerank_star_hub_wins(ray_session):
+    edges = [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")]
+    top = G.pagerank_top_k(_edges(edges), k=1, n_iter=30)
+    assert top.loc[0, "node"] == "hub"
+
+
+def test_pagerank_join_equals_broadcast(ray_session):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+             ("d", "a"), ("e", "d"), ("e", "a")]
+    rb = G.pagerank(_edges(edges), n_iter=8, mode="broadcast")
+    rj = G.pagerank(_edges(edges), n_iter=8, mode="join",
+                    n_parts=3).to_pandas()
+    rb = rb.sort_values("node").reset_index(drop=True)
+    rj = rj.sort_values("node").reset_index(drop=True)
+    assert list(rb["node"]) == list(rj["node"])
+    assert np.allclose(rb["rank"], rj["rank"], atol=1e-12)
+
+
+def test_pagerank_self_loops_dropped_and_empty(ray_session):
+    r = G.pagerank(_edges([("a", "a")]), n_iter=3)
+    assert len(r) == 0
+    r2 = G.pagerank(_edges([("a", "a"), ("a", "b")]), n_iter=5)
+    assert set(r2["node"]) == {"a", "b"}
+    assert abs(r2["rank"].sum() - 1.0) < 1e-9
