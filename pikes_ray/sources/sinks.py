@@ -229,3 +229,95 @@ def write_naf_xml(annotated, out_dir: str) -> int:
     from ray.data.aggregate import Sum
 
     return int(parts.aggregate(Sum("n", alias_name="n"))["n"])
+
+
+# --------------------------------------------------------------------------
+# S5 counterpart: N-Quads READER (round-trips write_ntriples; also reads
+# reference-style .tql/.nq corpora — one quad per line, full IRIs)
+# --------------------------------------------------------------------------
+
+# one RDF term: <iri> | "literal"(^^<dt> | @lang)?  (blank nodes _:b are
+# matched by the bare-token fallback)
+_NQ_TERM = re.compile(
+    r'<[^>]*>'
+    r'|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z][A-Za-z0-9\-]*)?'
+    r'|\S+')
+
+# longest namespace first so e.g. premon pb17-/nb10- win over any shorter
+# shared base
+_NS_BY_LEN = sorted(NAMESPACES.items(), key=lambda kv: -len(kv[1]))
+_LIT_DT_RE = re.compile(r'^("(?:[^"\\]|\\.)*")\^\^<(.+)>$', re.S)
+
+
+def compact_iri(term: str) -> str:
+    """Full IRI / literal term → the engine's internal CURIE form
+    (reverse of :func:`expand_curie` for the plain-prefix cases; PreMOn
+    role IRIs keep their normalized ``sense@argN`` localname — the
+    normalization in ``_premon_role_local`` is lossy by design)."""
+    if term.startswith('"'):
+        m = _LIT_DT_RE.match(term)
+        if m:
+            return f"{m.group(1)}^^{compact_iri('<' + m.group(2) + '>')}"
+        return term
+    iri = term[1:-1] if term.startswith("<") and term.endswith(">") else term
+    for prefix, base in _NS_BY_LEN:
+        if iri.startswith(base):
+            return f"{prefix}:{iri[len(base):]}"
+    return iri
+
+
+def parse_ntriples_lines(lines, compact: bool = True,
+                         on_error: str = "raise"):
+    """Yield (subj, pred, obj, graph) tuples from N-Triples/N-Quads
+    lines.  ``on_error="skip"`` drops malformed lines (log-and-continue,
+    the reference's per-file policy); default raises."""
+    for ln_no, line in enumerate(lines, start=1):
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        terms = _NQ_TERM.findall(s)
+        if terms and terms[-1] == ".":
+            terms = terms[:-1]
+        if len(terms) not in (3, 4):
+            if on_error == "skip":
+                continue
+            raise ValueError(f"malformed N-Quads line {ln_no}: {line!r}")
+        if compact:
+            terms = [compact_iri(t) for t in terms]
+        else:
+            terms = [t[1:-1] if t.startswith("<") and t.endswith(">")
+                     else t for t in terms]
+        yield (terms[0], terms[1], terms[2],
+               terms[3] if len(terms) == 4 else "")
+
+
+def read_ntriples(paths, compact: bool = True, on_error: str = "raise"):
+    """N-Triples/N-Quads corpus → triples Dataset[subj, pred, obj,
+    graph] (file-per-task parallelism, ``.gz/.bz2/.xz`` transparent).
+
+    ``compact=True`` (default) folds full IRIs back into the engine's
+    CURIE namespace so ``read_ntriples(write_ntriples(tr))`` feeds the
+    same downstream stages as the in-memory triples; re-serializing the
+    result reproduces the original file content line-for-line
+    (tests/test_sources_sinks.py round-trip)."""
+    import ray.data as rd
+
+    from pikes_ray.sources.ingest import _decompress
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def parse(df: pd.DataFrame) -> pa.Table:
+        subj, pred, obj, graph = [], [], [], []
+        for p, b in zip(df["path"], df["bytes"]):
+            text = _decompress(p, b).decode("utf-8", "replace")
+            for s_, p_, o_, g_ in parse_ntriples_lines(
+                    text.splitlines(), compact=compact, on_error=on_error):
+                subj.append(s_); pred.append(p_)
+                obj.append(o_); graph.append(g_)
+        return pa.table({
+            "subj": pa.array(subj, pa.large_string()),
+            "pred": pa.array(pred, pa.large_string()),
+            "obj": pa.array(obj, pa.large_string()),
+            "graph": pa.array(graph, pa.large_string())})
+
+    return ds.map_batches(parse, batch_format="pandas")

@@ -542,3 +542,59 @@ def test_naf_malformed_inputs_are_skipped(ray_session, tmp_path):
                              ("broken.xml", "other.xml",
                               "truncated.naf")]).to_pandas()
     assert len(df) == 0
+
+
+def test_read_ntriples_roundtrip(ray_session, tmp_path):
+    """S5 round-trip: write_ntriples → read_ntriples(compact=True) →
+    re-serialize reproduces the original line set; compact=False
+    returns full IRIs; literals with datatypes / graphs survive."""
+    import pandas as pd
+
+    from pikes_ray.sources.sinks import (format_ntriples, read_ntriples,
+                                         write_ntriples)
+
+    tr = transcripts_to_graph(transcripts_dir("unit"), concurrency=2)
+    out = str(tmp_path / "nt")
+    n = write_ntriples(tr, out)
+    back = read_ntriples(out)
+    assert back.count() == n
+
+    import pyarrow as pa
+
+    orig_lines = set()
+    for f in glob.glob(os.path.join(out, "*.nt")):
+        orig_lines.update(ln for ln in open(f).read().splitlines() if ln)
+    re_lines = set()
+    for b in back.map_batches(format_ntriples, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        re_lines.update(b["text"].to_pylist())
+    assert re_lines == orig_lines
+
+    full = read_ntriples(out, compact=False).to_pandas()
+    assert full["pred"].str.startswith("http").all()
+
+
+def test_read_ntriples_malformed_and_skip(ray_session, tmp_path):
+    p = tmp_path / "bad.nt"
+    p.write_text('<http://a> <http://b> "ok" .\n'
+                 '# comment line\n'
+                 '\n'
+                 '<http://a> <http://b> .\n')   # 2 terms: malformed
+    import pytest as _pytest
+
+    from pikes_ray.sources.sinks import read_ntriples
+
+    with _pytest.raises(Exception):
+        read_ntriples(str(p)).to_pandas()
+    ok = read_ntriples(str(p), on_error="skip").to_pandas()
+    assert len(ok) == 1 and ok["obj"].iloc[0] == '"ok"'
+
+
+def test_compact_iri_inverse():
+    from pikes_ray.sources.sinks import compact_iri, expand_curie
+
+    for cur in ("rdf:type", "ks:Mention", "dbr:Berlin", "foaf:name",
+                '"5"^^xsd:decimal', '"plain lit with <angle>"'):
+        assert compact_iri(expand_curie(cur)) == cur
+    # PreMOn role IRIs compact to the normalized @arg form
+    assert compact_iri(expand_curie("pb:open.01-a0")) == "pb:open.01@arg0"
