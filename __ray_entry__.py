@@ -504,6 +504,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas")
         return pagerank_top_k(ent, k=100, n_iter=10)
 
+    def emb_kmeans(sf_dir):
+        """Distributed spherical k-means over the embeddings table
+        (ops/cluster.py): per-round broadcast centroids + per-block
+        partial sums to the driver — no shuffle; rows-only (float
+        fixpoint).  Returns the per-cluster size/mean-cos summary."""
+        from pikes_ray.ops.cluster import cluster_sizes, kmeans
+
+        _C, assignments, _stats = kmeans(_embs(sf_dir), n_clusters=8,
+                                         n_iter=6, seed=11)
+        return cluster_sizes(assignments)
+
     def evt_top_users(sf_dir):
         """Distributed Count-Min heavy hitters over the events stream
         (ops/sketch.py): per-block sketch + candidates, driver merge —
@@ -720,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_dedup": doc_line_dedup,
         "doc_dup_clusters": doc_dup_clusters,
         "kg_entity_pagerank": kg_entity_pagerank,
+        "emb_kmeans": emb_kmeans,
         "evt_top_users": evt_top_users,
         "evt_approx_users": evt_approx_users,
         "emb_near_dup": emb_near_dup,

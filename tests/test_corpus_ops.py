@@ -196,3 +196,70 @@ def test_pagerank_self_loops_dropped_and_empty(ray_session):
     r2 = G.pagerank(_edges([("a", "a"), ("a", "b")]), n_iter=5)
     assert set(r2["node"]) == {"a", "b"}
     assert abs(r2["rank"].sum() - 1.0) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# distributed spherical k-means
+# --------------------------------------------------------------------------
+
+def _cluster_fixture(n_per=40, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    centers = np.eye(dim)[:3] * 10          # 3 well-separated directions
+    rows = []
+    vid = 0
+    truth = []
+    for ci, c in enumerate(centers):
+        for _ in range(n_per):
+            v = c + rng.normal(0, 0.3, size=dim)
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            truth.append(ci)
+            vid += 1
+    return pd.DataFrame(rows), np.asarray(truth)
+
+
+def test_kmeans_recovers_separated_clusters(ray_session):
+    from pikes_ray.ops.cluster import cluster_sizes, kmeans
+
+    pdf, truth = _cluster_fixture()
+    ds = rd.from_pandas(pdf)
+    C, assignments, stats = kmeans(ds, n_clusters=3, n_iter=8, seed=1,
+                                   init_sample=64)
+    a = assignments.to_pandas().sort_values("vec_id")
+    # label-permutation-invariant agreement: each truth cluster maps to
+    # exactly one predicted cluster and vice versa
+    m = pd.crosstab(truth, a["cluster"].to_numpy())
+    assert (m.gt(0).sum(axis=1) == 1).all()
+    assert (m.gt(0).sum(axis=0) == 1).all()
+    assert sorted(stats["sizes"]) == [40, 40, 40]
+    # inertia non-increasing across Lloyd's iterations (tolerating the
+    # 1e-12 float-merge jitter)
+    it = stats["inertia_by_iter"]
+    assert all(b <= a_ + 1e-9 for a_, b in zip(it, it[1:]))
+    cs = cluster_sizes(assignments)
+    assert list(cs["n"]) == [40, 40, 40]
+    assert (cs["mean_cos"] > 0.95).all()
+
+
+def test_kmeans_input_order_invariant(ray_session):
+    from pikes_ray.ops.cluster import kmeans
+
+    pdf, _ = _cluster_fixture()
+    ds1 = rd.from_pandas(pdf)
+    ds2 = rd.from_pandas(pdf.sample(frac=1.0, random_state=9)
+                         .reset_index(drop=True))
+    C1, a1, _ = kmeans(ds1, n_clusters=3, n_iter=5, seed=1, init_sample=64)
+    C2, a2, _ = kmeans(ds2, n_clusters=3, n_iter=5, seed=1, init_sample=64)
+    assert np.allclose(C1, C2, atol=1e-9)
+    p1 = a1.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    p2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert (p1["cluster"] == p2["cluster"]).all()
+
+
+def test_kmeans_k_exceeds_n(ray_session):
+    from pikes_ray.ops.cluster import kmeans
+
+    pdf = pd.DataFrame({"vec_id": [0, 1],
+                        "embedding": [[1.0, 0.0], [0.0, 1.0]]})
+    C, assignments, stats = kmeans(rd.from_pandas(pdf), n_clusters=5,
+                                   n_iter=3, seed=0)
+    assert stats["k"] == 2 and len(assignments.to_pandas()) == 2
