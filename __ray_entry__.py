@@ -504,6 +504,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas")
         return pagerank_top_k(ent, k=100, n_iter=10)
 
+    def kg_khop(sf_dir):
+        """2-hop neighborhood of the two top-degree entities
+        (ops/graph.khop_subgraph: per-hop broadcast-frontier filter
+        passes, first-hop exact dedup).  Returns per-hop edge counts
+        (rows-only — the full edge list is the real product)."""
+        from pikes_ray.ops.graph import khop_subgraph
+        from pikes_ray.pipelines.stats import entity_degree
+
+        tr = _kg_triples(sf_dir)
+        top = entity_degree(tr, k=2)
+        seeds = (top["entity"] if "entity" in top
+                 else top.iloc[:, 0]).tolist()
+        sub = khop_subgraph(tr, seeds, k=2, direction="out")
+        out = (sub.to_pandas().groupby("hop").size()
+               .rename("n_edges").reset_index())
+        return out.sort_values("hop").reset_index(drop=True)
+
+    def doc_bloom_scrub(sf_dir):
+        """Bloom-filter exclusion scrub (ops/sketch.bloom_build /
+        bloom_filter_ds): the filter is built distributed over a
+        deterministic in-corpus 'banned' subset (doc_id % 97 == 0) and
+        broadcast once; the corpus drops members + false positives (the
+        safe direction).  Rows-only: FPs are sketch-inherent."""
+        from pikes_ray.ops.sketch import bloom_build, bloom_filter_ds
+
+        banned = _docs(sf_dir).map_batches(
+            lambda df: df[df["doc_id"] % 97 == 0][["doc_id", "text"]],
+            batch_format="pandas")
+        bloom = bloom_build(banned, "text", m_bits=1 << 16)
+        kept = bloom_filter_ds(_docs(sf_dir), "text", bloom)
+        out = kept.to_pandas()[["doc_id"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def emb_kmeans(sf_dir):
         """Distributed spherical k-means over the embeddings table
         (ops/cluster.py): per-round broadcast centroids + per-block
@@ -732,6 +765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": doc_dup_clusters,
         "kg_entity_pagerank": kg_entity_pagerank,
         "emb_kmeans": emb_kmeans,
+        "kg_khop": kg_khop,
+        "doc_bloom_scrub": doc_bloom_scrub,
         "evt_top_users": evt_top_users,
         "evt_approx_users": evt_approx_users,
         "emb_near_dup": emb_near_dup,

@@ -169,3 +169,75 @@ def heavy_hitters(ds, col: str, k: int = 10, width: int = 2048,
     rows = [(key, _cms_query(cms, key, width)) for key in cand]
     rows.sort(key=lambda r: (-r[1], r[0]))
     return pd.DataFrame(rows[:k], columns=["value", "est_count"])
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership scrub against a distributed key set)
+# ---------------------------------------------------------------------------
+# Bloom, "Space/time trade-offs in hash coding with allowable errors",
+# CACM 1970; double hashing per Kirsch-Mitzenmacher 2006 (two md5-derived
+# 64-bit hashes generate all k probe positions).
+
+def _bloom_positions(values: pd.Series, m_bits: int, k: int) -> np.ndarray:
+    """(len, k) probe positions via double hashing h1 + i*h2 mod m."""
+    h = np.empty((len(values), 2), dtype=np.uint64)
+    for i, v in enumerate(values.astype(str)):
+        d = hashlib.md5(v.encode()).digest()
+        h[i, 0] = int.from_bytes(d[:8], "little")
+        h[i, 1] = int.from_bytes(d[8:], "little") | 1   # odd → full cycle
+    ks = np.arange(k, dtype=np.uint64)
+    return ((h[:, :1] + ks[None, :] * h[:, 1:2]) % np.uint64(m_bits))
+
+
+def bloom_build(ds, col: str, m_bits: int = 1 << 20,
+                k: int = 7) -> np.ndarray:
+    """Distributed Bloom-filter build: every block sets its bits into a
+    local bitmap (``m_bits/8`` bytes) and the driver ORs #blocks
+    bitmaps — the shuffle-free all-reduce shape of the other sketches.
+    → packed uint8 bitmap (length m_bits/8).
+
+    Size rule of thumb: m_bits ≈ 10·n keys gives ~0.8% FPR at k=7;
+    never false negatives."""
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits, dtype=bool)
+        pos = _bloom_positions(df[col], m_bits, k)
+        bits[pos.ravel().astype(np.int64)] = True
+        return pd.DataFrame({"bmp": [np.packbits(bits).tobytes()]})
+
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in (ds.map_batches(part, batch_format="pandas")
+              .iter_batches(batch_format="pandas", batch_size=64)):
+        for raw in b["bmp"]:
+            merged |= np.frombuffer(raw, dtype=np.uint8)
+    return merged
+
+
+def bloom_filter_ds(ds, col: str, bloom: np.ndarray, k: int = 7,
+                    mode: str = "drop_members"):
+    """Scrub a corpus against a Bloom filter (e.g. previously crawled
+    URLs, an exclusion list too big to re-shuffle): the bitmap is
+    ``ray.put`` once (zero-copy numpy) and every batch tests
+    membership vectorized.  ``mode="drop_members"`` keeps definite
+    non-members (members AND false positives are dropped — the safe
+    direction for exclusion lists); ``mode="flag"`` appends a
+    ``bloom_member`` column instead."""
+    import ray
+
+    m_bits = len(bloom) * 8
+    bits = np.unpackbits(bloom).astype(bool)
+    bref = ray.put(bits)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        bt = ray.get(bref)
+        pos = _bloom_positions(df[col], m_bits, k).astype(np.int64)
+        member = bt[pos].all(axis=1)
+        if mode == "flag":
+            out = df.copy()
+            out["bloom_member"] = member
+            return out
+        return df[~member]
+
+    return ds.map_batches(check, batch_format="pandas")

@@ -263,3 +263,84 @@ def test_kmeans_k_exceeds_n(ray_session):
     C, assignments, stats = kmeans(rd.from_pandas(pdf), n_clusters=5,
                                    n_iter=3, seed=0)
     assert stats["k"] == 2 and len(assignments.to_pandas()) == 2
+
+
+# --------------------------------------------------------------------------
+# k-hop subgraph extraction
+# --------------------------------------------------------------------------
+
+def _khop_canon(ds):
+    return (ds.to_pandas().sort_values(["src", "dst"])
+            .reset_index(drop=True))
+
+
+def test_khop_out_direction(ray_session):
+    from pikes_ray.ops.graph import khop_subgraph
+
+    tr = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    h1 = _khop_canon(khop_subgraph(tr, ["a"], k=1))
+    assert list(zip(h1["src"], h1["dst"], h1["hop"])) == [("a", "b", 1)]
+    h2 = _khop_canon(khop_subgraph(tr, ["a"], k=2))
+    assert list(zip(h2["src"], h2["dst"], h2["hop"])) == [
+        ("a", "b", 1), ("b", "c", 2)]
+    # the disconnected x->y never appears even at large k
+    h9 = _khop_canon(khop_subgraph(tr, ["a"], k=9))
+    assert "x" not in set(h9["src"])
+
+
+def test_khop_directions_and_first_hop_dedup(ray_session):
+    from pikes_ray.ops.graph import khop_subgraph
+
+    tr = _edges([("a", "b"), ("b", "a"), ("c", "b")])
+    # "in": edges pointing AT the frontier
+    hin = _khop_canon(khop_subgraph(tr, ["b"], k=1, direction="in"))
+    assert list(zip(hin["src"], hin["dst"])) == [("a", "b"), ("c", "b")]
+    # "both" from a, k=2: a->b and b->a are hop-1 (both touch a);
+    # c->b reached at hop 2; first-hop dedup keeps hop 1 rows once
+    hb = _khop_canon(khop_subgraph(tr, ["a"], k=2, direction="both"))
+    assert list(zip(hb["src"], hb["dst"], hb["hop"])) == [
+        ("a", "b", 1), ("b", "a", 1), ("c", "b", 2)]
+
+
+def test_khop_empty_seed_and_no_match(ray_session):
+    from pikes_ray.ops.graph import khop_subgraph
+
+    tr = _edges([("a", "b")])
+    out = khop_subgraph(tr, ["zzz"], k=3).to_pandas()
+    assert len(out) == 0
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+# --------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fpr(ray_session):
+    from pikes_ray.ops.sketch import bloom_build, bloom_filter_ds
+
+    keys = pd.DataFrame({"url": [f"https://site{i}.example/x" for i in
+                                 range(2000)]})
+    bloom = bloom_build(rd.from_pandas(keys), "url", m_bits=1 << 15, k=7)
+    # every inserted key is a member (no false negatives)
+    flagged = bloom_filter_ds(rd.from_pandas(keys), "url", bloom,
+                              mode="flag").to_pandas()
+    assert flagged["bloom_member"].all()
+    # FPR on 2000 fresh keys stays near the design point (~2.5% at
+    # n=2000, m=32768, k=7; assert a generous bound)
+    fresh = pd.DataFrame({"url": [f"https://other{i}.example/y"
+                                  for i in range(2000)]})
+    fp = bloom_filter_ds(rd.from_pandas(fresh), "url", bloom,
+                         mode="flag").to_pandas()["bloom_member"].sum()
+    assert fp < 200
+    # drop_members keeps only definite non-members
+    kept = bloom_filter_ds(rd.from_pandas(fresh), "url", bloom).to_pandas()
+    assert len(kept) == 2000 - fp
+
+
+def test_bloom_merge_is_partition_invariant(ray_session):
+    from pikes_ray.ops.sketch import bloom_build
+
+    keys = pd.DataFrame({"u": [f"k{i}" for i in range(500)]})
+    b1 = bloom_build(rd.from_pandas(keys), "u", m_bits=1 << 12, k=5)
+    b2 = bloom_build(rd.from_pandas(keys).repartition(7), "u",
+                     m_bits=1 << 12, k=5)
+    assert (b1 == b2).all()
