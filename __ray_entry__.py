@@ -504,6 +504,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas")
         return pagerank_top_k(ent, k=100, n_iter=10)
 
+    def doc_unigram_lp(sf_dir):
+        """Per-doc log-probability under an in-corpus unigram LM (the
+        CCNet/KenLM perplexity-filter shape): ONE combiner-first word
+        -count groupby, the add-1-smoothed table quantized to integer
+        micro-nats on the driver and broadcast once, then a pure map —
+        int64 end-to-end, SQL-oracle bit-exact."""
+        out = T.unigram_logprob(_docs(sf_dir)).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def t_chat_render(sf_dir):
+        """Conversation → chat-format training text: per-conv turns
+        concatenated as '<role> text' lines in turn order (bounded
+        per-conv groupby — the SFT-sequence rendering step).  Oracle:
+        DuckDB string_agg ORDER BY turn_idx."""
+        from pikes_ray.pipelines.shuffle import partitioned_group_map
+
+        ds = rd.read_parquet(_transcripts_path(sf_dir),
+                             columns=["conv_id", "turn_idx", "role",
+                                      "text"])
+
+        def render(g):
+            g = g.sort_values("turn_idx")
+            chat = "\n".join(f"<{r}> {'' if t is None else t}"
+                             for r, t in zip(g["role"], g["text"]))
+            return pd.DataFrame({"conv_id": [g["conv_id"].iloc[0]],
+                                 "n_turns": pd.Series([len(g)],
+                                                      dtype="int64"),
+                                 "chat": [chat]})
+
+        out = partitioned_group_map(ds, ["conv_id"], render).to_pandas()
+        return out.sort_values("conv_id").reset_index(drop=True)
+
     def kg_khop(sf_dir):
         """2-hop neighborhood of the two top-degree entities
         (ops/graph.khop_subgraph: per-hop broadcast-frontier filter
@@ -767,6 +799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": emb_kmeans,
         "kg_khop": kg_khop,
         "doc_bloom_scrub": doc_bloom_scrub,
+        "doc_unigram_lp": doc_unigram_lp,
+        "t_chat_render": t_chat_render,
         "evt_top_users": evt_top_users,
         "evt_approx_users": evt_approx_users,
         "emb_near_dup": emb_near_dup,
@@ -826,6 +860,36 @@ def oracle_sql() -> dict[str, str]:
                    max(turn_idx)::INT AS max_turn
             FROM read_parquet('{tglob}')
             GROUP BY conv_id ORDER BY conv_id
+        """,
+        "t_chat_render": f"""
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   string_agg('<' || role || '> ' || coalesce(text, ''),
+                              chr(10) ORDER BY turn_idx) AS chat
+            FROM read_parquet('{tglob}')
+            GROUP BY conv_id ORDER BY conv_id
+        """,
+        "doc_unigram_lp": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\s+') END AS ws
+                FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+            cnt AS (SELECT term, count(*)::BIGINT AS c
+                    FROM tok GROUP BY term),
+            tot AS (SELECT sum(c)::DOUBLE + count(*)::DOUBLE AS denom
+                    FROM cnt),
+            lp AS (SELECT term,
+                          CAST(floor(ln((c + 1) / tot.denom) * 1000000
+                                     + 0.5) AS BIGINT) AS lp
+                   FROM cnt, tot),
+            d AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+                         sum(lp.lp)::BIGINT AS sum_lp_unats
+                  FROM tok JOIN lp USING (term) GROUP BY tok.doc_id)
+            SELECT doc_id, n_tokens, sum_lp_unats FROM d ORDER BY doc_id
         """,
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -645,3 +645,81 @@ def line_dedup(ds, col: str = "text", threshold: int = 2,
             clean_text=pd.Series([""] * len(df), index=df.index)),
         batch_format="pandas")
     return rebuilt.union(emptied)
+
+
+# --------------------------------------------------------------------------
+# unigram-LM document log-probability (CCNet-style perplexity filter)
+# --------------------------------------------------------------------------
+
+def word_counts(ds, col: str = "text"):
+    """Corpus token counts with multiplicity, combiner-first (the
+    ``top_ngrams`` exchange shape at n=1, without the limit).
+    → Dataset[term, cnt]."""
+    from collections import Counter
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df[col].fillna(""):
+            c.update(w.lower() for w in _WS_TOKEN.findall(t))
+        return pd.DataFrame({
+            "term": list(c.keys()),
+            "cnt": np.fromiter(c.values(), dtype="int64", count=len(c))})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("term").sum("cnt"))
+    return agg.map_batches(lambda d: d.rename(columns={"sum(cnt)": "cnt"}),
+                           batch_format="pandas")
+
+
+def unigram_logprob(ds, col: str = "text", id_col: str = "doc_id",
+                    max_vocab: int | None = None):
+    """Per-document log-probability under an in-corpus unigram LM — the
+    shape of the CCNet/KenLM perplexity quality filter (Wenzek et al.
+    2020) with the LM trained on the corpus itself.
+
+    Pass 1: corpus word counts (combiner-first groupby).  The driver
+    builds the add-1-smoothed table
+
+        lp_unats(w) = floor(ln((cnt+1) / (total+V)) * 1e6 + 0.5)
+
+    quantized to integer micro-nats (same trick as tfidf_top_terms: the
+    per-doc sums are then pure int64 and the SQL oracle reproduces them
+    bit-for-bit) and broadcasts it once (``max_vocab`` caps it with a
+    deterministic (cnt desc, term asc) cutoff; capped-out words score
+    as unseen).  Pass 2 is a pure map emitting per-doc token count and
+    summed log-prob; consumers threshold on sum/n (avg nats/token —
+    unusually improbable docs are gibberish, unusually probable ones
+    are boilerplate; CCNet keeps the middle).  Empty docs emit no row.
+    → Dataset[doc_id, n_tokens, sum_lp_unats]."""
+    import math
+
+    import ray
+
+    cnt_tbl = word_counts(ds, col).to_pandas()
+    total = int(cnt_tbl["cnt"].sum())
+    v = len(cnt_tbl)
+    if max_vocab is not None and v > max_vocab:
+        cnt_tbl = cnt_tbl.sort_values(["cnt", "term"],
+                                      ascending=[False, True]).head(max_vocab)
+    denom = float(total + v)
+    lp = {t: int(math.floor(math.log((c + 1) / denom) * 1e6 + 0.5))
+          for t, c in zip(cnt_tbl["term"], cnt_tbl["cnt"])}
+    unk = int(math.floor(math.log(1.0 / denom) * 1e6 + 0.5))
+    lp_ref = ray.put((lp, unk))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        table, u = ray.get(lp_ref)
+        ids, ns, sums = [], [], []
+        for did, t in zip(df[id_col], df[col].fillna("")):
+            toks = [w.lower() for w in _WS_TOKEN.findall(t)]
+            if not toks:
+                continue
+            ids.append(did)
+            ns.append(len(toks))
+            sums.append(sum(table.get(w, u) for w in toks))
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "n_tokens": pd.Series(ns, dtype="int64"),
+            "sum_lp_unats": pd.Series(sums, dtype="int64")})
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -344,3 +344,44 @@ def test_bloom_merge_is_partition_invariant(ray_session):
     b2 = bloom_build(rd.from_pandas(keys).repartition(7), "u",
                      m_bits=1 << 12, k=5)
     assert (b1 == b2).all()
+
+
+# --------------------------------------------------------------------------
+# unigram-LM log-probability
+# --------------------------------------------------------------------------
+
+def test_unigram_logprob_manual(ray_session):
+    import math
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a a b", "b c", ""]}))
+    out = (T.unigram_logprob(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # corpus: a=2 b=2 c=1, total=5, V=3, denom=8
+    denom = 8.0
+
+    def lp(c):
+        return math.floor(math.log((c + 1) / denom) * 1e6 + 0.5)
+
+    assert list(out["doc_id"]) == [0, 1]      # empty doc emits no row
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "sum_lp_unats"] == 2 * lp(2) + lp(2)
+    assert out.loc[1, "sum_lp_unats"] == lp(2) + lp(1)
+    # rarer tokens → lower (more negative) average log-prob
+    avg0 = out.loc[0, "sum_lp_unats"] / out.loc[0, "n_tokens"]
+    avg1 = out.loc[1, "sum_lp_unats"] / out.loc[1, "n_tokens"]
+    assert avg1 < avg0
+
+
+def test_unigram_logprob_max_vocab_unk(ray_session):
+    import math
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0], "text": ["a a a b"]}))
+    # max_vocab=1 keeps only 'a'; 'b' scores as unseen
+    out = T.unigram_logprob(docs, max_vocab=1).to_pandas()
+    denom = 6.0    # total=4, V=2 (V counted BEFORE the cap)
+    lp_a = math.floor(math.log(4 / denom) * 1e6 + 0.5)
+    unk = math.floor(math.log(1 / denom) * 1e6 + 0.5)
+    assert out.loc[0, "sum_lp_unats"] == 3 * lp_a + unk
