@@ -274,16 +274,22 @@ def khop_subgraph(triples, seeds, k: int = 2, src: str = "subj",
     Each hop is ONE filtering map pass with the current frontier
     broadcast as a frozenset (``ray.put``); the newly reached nodes
     come back as per-block distinct partials (O(distinct per block)) and
-    merge on the driver.  The frontier is bounded by
-    ``broadcast_node_limit`` — beyond it the hop switches to a
-    ``hash_join`` semi join of edges against the frontier Dataset (the
-    engine's standard small-side policy).  ``direction``: "out" follows
-    src→dst, "in" dst→src, "both" either way.
+    merge on the driver.  When the frontier (or the visited set)
+    outgrows ``broadcast_node_limit``, the BFS switches MID-FLIGHT to
+    the join shape: frontier and visited become Datasets, each hop is a
+    semi ``hash_join`` of edges against the frontier, reached nodes
+    come from a distributed distinct, and the next frontier is an anti
+    join against visited — nothing node-set-sized ever returns to the
+    driver again.  ``direction``: "out" follows src→dst, "in" dst→src,
+    "both" either way.
 
     → Dataset[src, dst, hop] — every edge with its first hop index
     (1-based), exact-deduplicated across hops.
     """
     import ray
+    import ray.data as rd
+
+    from pikes_ray.ops.joins import hash_join
 
     if direction not in ("out", "in", "both"):
         raise ValueError(f"bad direction {direction!r}")
@@ -293,43 +299,75 @@ def khop_subgraph(triples, seeds, k: int = 2, src: str = "subj",
     if k > 1:
         edges = edges.materialize()   # re-scanned every hop
 
+    def _nodes_ds(node_set):
+        return rd.from_pandas(pd.DataFrame({"node": sorted(node_set)}))
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.unique(
+            pd.concat([df["src"], df["dst"]]))})
+
+    mode = "broadcast"
     visited: set = set(str(s) for s in seeds)
-    frontier: set = set(visited)
+    frontier = set(visited)                 # set OR Dataset by mode
+    visited_ds = None
     hops = []
     for hop in range(1, k + 1):
-        if not frontier:
-            break
-        if len(frontier) > broadcast_node_limit:
-            raise ValueError(
-                f"frontier {len(frontier)} exceeds broadcast_node_limit; "
-                "pre-filter the graph or raise the limit")
-        fref = ray.put(frozenset(frontier))
+        if mode == "broadcast" and len(frontier) > broadcast_node_limit:
+            visited_ds = _nodes_ds(visited)
+            frontier = _nodes_ds(frontier)
+            mode = "join"
+        if mode == "broadcast":
+            if not frontier:
+                break
+            fref = ray.put(frozenset(frontier))
 
-        def take(df: pd.DataFrame, _hop=hop, _dir=direction) -> pd.DataFrame:
-            f = ray.get(fref)
-            m = df["src"].isin(f)
-            if _dir == "in":
-                m = df["dst"].isin(f)
-            elif _dir == "both":
-                m = m | df["dst"].isin(f)
-            out = df[m].copy()
-            out["hop"] = np.int64(_hop)
-            return out
+            def take(df: pd.DataFrame, _hop=hop,
+                     _dir=direction) -> pd.DataFrame:
+                f = ray.get(fref)
+                m = df["src"].isin(f)
+                if _dir == "in":
+                    m = df["dst"].isin(f)
+                elif _dir == "both":
+                    m = m | df["dst"].isin(f)
+                out = df[m].copy()
+                out["hop"] = np.int64(_hop)
+                return out
 
-        hop_edges = edges.map_batches(take, batch_format="pandas")
-        hop_edges = hop_edges.materialize()
-        hops.append(hop_edges)
+            hop_edges = edges.map_batches(
+                take, batch_format="pandas").materialize()
+            hops.append(hop_edges)
 
-        reached: set = set()
-        def ends(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": pd.unique(
-                pd.concat([df["src"], df["dst"]]))})
-
-        for b in (hop_edges.map_batches(ends, batch_format="pandas")
-                  .iter_batches(batch_format="pandas", batch_size=65536)):
-            reached.update(b["node"])
-        frontier = reached - visited
-        visited |= reached
+            reached: set = set()
+            for b in (hop_edges.map_batches(ends, batch_format="pandas")
+                      .iter_batches(batch_format="pandas",
+                                    batch_size=65536)):
+                reached.update(b["node"])
+            frontier = reached - visited
+            visited |= reached
+        else:
+            if frontier.count() == 0:
+                break
+            sides = ["src"] if direction == "out" else (
+                ["dst"] if direction == "in" else ["src", "dst"])
+            matched = [hash_join(edges, frontier, on=s, right_on="node",
+                                 how="semi", n_parts=n_parts)
+                       for s in sides]
+            hop_edges = matched[0]
+            for m in matched[1:]:
+                hop_edges = hop_edges.union(m)
+            hop_edges = hop_edges.map_batches(
+                lambda df, _hop=hop: df.assign(hop=np.int64(_hop)),
+                batch_format="pandas").materialize()
+            hops.append(hop_edges)
+            # distributed distinct of reached nodes, then anti vs visited
+            reached_ds = (hop_edges.map_batches(ends,
+                                                batch_format="pandas")
+                          .groupby("node").count()
+                          .map_batches(lambda d: d[["node"]],
+                                       batch_format="pandas"))
+            frontier = hash_join(reached_ds, visited_ds, on="node",
+                                 how="anti", n_parts=n_parts).materialize()
+            visited_ds = visited_ds.union(frontier).materialize()
 
     if not hops:
         return triples.map_batches(

@@ -385,3 +385,18 @@ def test_unigram_logprob_max_vocab_unk(ray_session):
     lp_a = math.floor(math.log(4 / denom) * 1e6 + 0.5)
     unk = math.floor(math.log(1 / denom) * 1e6 + 0.5)
     assert out.loc[0, "sum_lp_unats"] == 3 * lp_a + unk
+
+
+def test_khop_join_mode_equals_broadcast(ray_session):
+    from pikes_ray.ops.graph import khop_subgraph
+
+    tr = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                 ("b", "a"), ("x", "y")])
+    for direction in ("out", "both"):
+        bc = _khop_canon(khop_subgraph(tr, ["a", "b"], k=3,
+                                       direction=direction))
+        # broadcast_node_limit=1 < |seeds| → switches to join at hop 1
+        jn = _khop_canon(khop_subgraph(tr, ["a", "b"], k=3,
+                                       direction=direction,
+                                       broadcast_node_limit=1, n_parts=3))
+        pd.testing.assert_frame_equal(bc, jn[bc.columns.tolist()])
