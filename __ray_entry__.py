@@ -504,6 +504,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas")
         return pagerank_top_k(ent, k=100, n_iter=10)
 
+    def doc_leakage_split(sf_dir):
+        """Leakage-aware train/test split: near-dup clusters (MinHash
+        union-find) hash by their REPRESENTATIVE so no cluster straddles
+        the split (rows-only; determinism + no-straddle are gated by
+        test_leakage_safe_split_keeps_clusters_together)."""
+        from pikes_ray.ops.sample import leakage_safe_split
+
+        cmap = D.minhash_lsh_clusters(_docs(sf_dir), threshold=0.8)
+        _train, test = leakage_safe_split(_docs(sf_dir), "doc_id", cmap,
+                                          test_fraction=0.2, seed=7)
+        out = test.to_pandas()[["doc_id"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def doc_unigram_lp(sf_dir):
         """Per-doc log-probability under an in-corpus unigram LM (the
         CCNet/KenLM perplexity-filter shape): ONE combiner-first word
@@ -801,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bloom_scrub": doc_bloom_scrub,
         "doc_unigram_lp": doc_unigram_lp,
         "t_chat_render": t_chat_render,
+        "doc_leakage_split": doc_leakage_split,
         "evt_top_users": evt_top_users,
         "evt_approx_users": evt_approx_users,
         "emb_near_dup": emb_near_dup,

@@ -152,3 +152,38 @@ def weighted_sample(ds, key: str, weight: str, k: int, seed: int = 42):
     parts = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
     return parts.nsmallest(k, "_priority").sort_values("_priority") \
         .reset_index(drop=True)
+
+
+def leakage_safe_split(ds, key: str, cluster_map: dict,
+                       test_fraction: float = 0.1, seed: int = 77,
+                       digest: str = "fast"):
+    """Train/test split that never separates near-duplicates (the
+    leakage-aware split: a test doc whose near-dup sits in train leaks
+    the answer — Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" measure exactly this failure).
+
+    ``cluster_map`` assigns keys to near-dup cluster representatives
+    (e.g. ``minhash_lsh_clusters``); the split hashes the
+    REPRESENTATIVE, so every member of a cluster lands on the same
+    side, and singletons hash their own key — one shuffle-free pass
+    with the map broadcast via ``ray.put`` (bounded by the number of
+    non-singleton near-dup members; beyond driver memory, join the
+    cluster assignment on as a column first and hash that).  Same
+    determinism contract as ``hash_sample``: block/order/parallelism
+    independent.  → (train Dataset, test Dataset), same schema.
+    """
+    import ray
+
+    bucket = _bucket_md5 if digest == "md5" else _bucket_fast
+    threshold = int(test_fraction * _SPACE)
+    cref = ray.put({str(k): str(v) for k, v in cluster_map.items()})
+
+    def side(df: pd.DataFrame, want_test: bool) -> pd.DataFrame:
+        m = ray.get(cref)
+        rep = df[key].astype(str).map(lambda x: m.get(x, x))
+        is_test = bucket(rep, seed) < threshold
+        return df[is_test] if want_test else df[~is_test]
+
+    train = ds.map_batches(lambda d: side(d, False), batch_format="pandas")
+    test = ds.map_batches(lambda d: side(d, True), batch_format="pandas")
+    return train, test

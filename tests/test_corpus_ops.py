@@ -400,3 +400,38 @@ def test_khop_join_mode_equals_broadcast(ray_session):
                                        direction=direction,
                                        broadcast_node_limit=1, n_parts=3))
         pd.testing.assert_frame_equal(bc, jn[bc.columns.tolist()])
+
+
+# --------------------------------------------------------------------------
+# leakage-safe split
+# --------------------------------------------------------------------------
+
+def test_leakage_safe_split_keeps_clusters_together(ray_session):
+    from pikes_ray.ops.dedup import minhash_lsh_clusters
+    from pikes_ray.ops.sample import leakage_safe_split
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            text = base + f" tail{i % 8}"          # near-dup family
+        else:
+            text = f"completely unrelated document number {i} " \
+                   f"with its own words {i * 7} {i * 13}"
+        rows.append({"doc_id": i, "text": text})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    cmap = minhash_lsh_clusters(ds, threshold=0.6)
+    assert len(cmap) >= 2                           # sanity: found dups
+    train, test = leakage_safe_split(ds, "doc_id", cmap,
+                                     test_fraction=0.5, seed=3)
+    tr = set(train.to_pandas()["doc_id"])
+    te = set(test.to_pandas()["doc_id"])
+    assert tr.isdisjoint(te) and tr | te == set(range(40))
+    # no near-dup cluster straddles the split
+    for member, rep in cmap.items():
+        same = {m for m, r in cmap.items() if r == rep}
+        assert same <= tr or same <= te
+    # determinism under repartition
+    train2, _ = leakage_safe_split(ds.repartition(7), "doc_id", cmap,
+                                   test_fraction=0.5, seed=3)
+    assert set(train2.to_pandas()["doc_id"]) == tr
