@@ -435,3 +435,17 @@ def test_leakage_safe_split_keeps_clusters_together(ray_session):
     train2, _ = leakage_safe_split(ds.repartition(7), "doc_id", cmap,
                                    test_fraction=0.5, seed=3)
     assert set(train2.to_pandas()["doc_id"]) == tr
+
+
+def test_pagerank_join_mode_with_dangling(ray_session):
+    # b and d have no out-edges → dangling mass flows through the join
+    # path's inner-join + driver-sum; must equal the broadcast path
+    edges = [("a", "b"), ("a", "d"), ("c", "a"), ("c", "d")]
+    rb = G.pagerank(_edges(edges), n_iter=6, mode="broadcast")
+    rj = G.pagerank(_edges(edges), n_iter=6, mode="join",
+                    n_parts=3).to_pandas()
+    rb = rb.sort_values("node").reset_index(drop=True)
+    rj = rj.sort_values("node").reset_index(drop=True)
+    assert list(rb["node"]) == list(rj["node"])
+    assert np.allclose(rb["rank"], rj["rank"], atol=1e-12)
+    assert abs(rj["rank"].sum() - 1.0) < 1e-9
