@@ -70,6 +70,12 @@ def kmeans(ds, n_clusters: int = 8, vec_col: str = "embedding",
         cref = ray.put(C)
 
         def partial(df: pd.DataFrame, _k=k) -> pd.DataFrame:
+            if df.empty:  # filtered-upstream blocks can arrive 0-row
+                return pd.DataFrame(
+                    {"cluster": pd.Series([], dtype="int64"),
+                     "cnt": pd.Series([], dtype="int64"),
+                     "loss": pd.Series([], dtype="float64"),
+                     "vsum": pd.Series([], dtype="object")})
             cents = ray.get(cref)
             V = np.asarray(df[vec_col].tolist(), dtype=np.float64)
             Vn = _normalize(V)
@@ -107,6 +113,10 @@ def kmeans(ds, n_clusters: int = 8, vec_col: str = "embedding",
     cref = ray.put(C)
 
     def assign_pass(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: df[id_col],
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
         cents = ray.get(cref)
         V = np.asarray(df[vec_col].tolist(), dtype=np.float64)
         Vn = _normalize(V)

@@ -71,6 +71,8 @@ def pagerank(triples, src: str = "subj", dst: str = "obj",
     top-k.  ``mode="auto"`` picks broadcast below
     ``broadcast_node_limit`` nodes, join above.
     """
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"mode must be auto|broadcast|join, got {mode!r}")
     edges = triples.map_batches(
         lambda df, _s=src, _d=dst: _edge_frame(df, _s, _d),
         batch_format="pandas")

@@ -198,8 +198,11 @@ def bloom_build(ds, col: str, m_bits: int = 1 << 20,
 
     Size rule of thumb: m_bits ≈ 10·n keys gives ~0.8% FPR at k=7;
     never false negatives."""
-    if m_bits % 8:
-        raise ValueError("m_bits must be a multiple of 8")
+    if m_bits < 8 or m_bits & (m_bits - 1):
+        # power-of-two m is what makes the odd-h2 double-hashing probe
+        # sequence a full cycle (gcd(h2, m) == 1); a composite m sharing
+        # a factor with h2 collapses probe positions and inflates FPR.
+        raise ValueError("m_bits must be a power of two (>= 8)")
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m_bits, dtype=bool)

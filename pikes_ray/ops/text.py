@@ -44,6 +44,16 @@ def token_counts(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("bpe_tokens", pc.cast(bpe, pa.int64()))
 
 
+def _stopword_counts(toks: pd.Series) -> pd.Series:
+    """Per-row count of lowercased tokens in STOPWORDS, vectorized via
+    explode + isin (identical to a per-row membership loop)."""
+    t = toks.reset_index(drop=True)
+    ex = t.explode().str.lower()
+    cnt = (ex.isin(STOPWORDS).groupby(level=0).sum()
+           .reindex(range(len(t)), fill_value=0))
+    return pd.Series(cnt.to_numpy(dtype="int64"), index=toks.index)
+
+
 def quality_features(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     """Append n_chars_q, n_tokens, punct_ratio, stop_ratio, mean_tok_len,
     quality (a [0,1] composite).  pandas batch kernel (string-heavy)."""
@@ -52,7 +62,7 @@ def quality_features(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     n_tok = toks.str.len().astype("int64")
     n_chars = text.str.len().astype("int64")
     punct = text.str.count(_PUNCT).astype("int64")
-    stop = toks.map(lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS))
+    stop = _stopword_counts(toks)
     out = df.copy()
     out["n_chars_q"] = n_chars
     out["n_tokens"] = n_tok
@@ -69,26 +79,34 @@ def quality_features(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
 
 
 def lang_id(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
-    """Append pred_lang via stopword-profile / script heuristic."""
-    def _detect(t: str) -> str:
-        if not t:
-            return "und"
-        if _HAN.search(t):
-            return "zh"
-        words = [w.lower() for w in _WS_TOKEN.findall(t)[:200]]
-        if not words:
-            return "und"
-        best, best_score = "und", 0.0
-        for lang, profile in _LANG_PROFILES.items():
-            if not profile:
-                continue
-            score = sum(1 for w in words if w in profile) / len(words)
-            if score > best_score:
-                best, best_score = lang, score
-        return best if best_score > 0.02 else "und"
+    """Append pred_lang via stopword-profile / script heuristic.
 
+    Vectorized: one findall per row, then explode + ``isin`` per
+    profile — semantics identical to the per-row loop it replaced
+    (first-200-word window, strict-``>`` tie-break in profile order,
+    0.02 threshold)."""
     out = df.copy()
-    out["pred_lang"] = df[col].fillna("").map(_detect)
+    if df.empty:
+        out["pred_lang"] = pd.Series([], dtype="object")
+        return out
+    text = df[col].fillna("").reset_index(drop=True)
+    words = text.str.findall(_WS_TOKEN).str[:200]
+    n = words.str.len().to_numpy()
+    ex = words.explode().str.lower()
+    langs = [l for l, p in _LANG_PROFILES.items() if p]
+    scores = np.zeros((len(text), len(langs)))
+    for j, lang in enumerate(langs):
+        cnt = (ex.isin(_LANG_PROFILES[lang]).groupby(level=0).sum()
+               .reindex(range(len(text)), fill_value=0).to_numpy())
+        scores[:, j] = cnt / np.clip(n, 1, None)
+    best_j = np.argmax(scores, axis=1)        # first max == loop tie-break
+    best_score = scores[np.arange(len(text)), best_j]
+    pred = np.array(langs, dtype=object)[best_j]
+    pred[best_score <= 0.02] = "und"
+    pred[n == 0] = "und"
+    pred[text.str.contains(_HAN, regex=True).to_numpy()] = "zh"
+    pred[(text == "").to_numpy()] = "und"
+    out["pred_lang"] = pd.Series(pred, index=df.index)
     return out
 
 
@@ -221,19 +239,36 @@ _SENTIMENT = {
 }
 
 
+def _token_scores(text: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """(exploded lowercased tokens, their deci-lexicon scores or NaN).
+    Stemming runs once per UNIQUE token in the batch, not per
+    occurrence; the explode index groups back to rows."""
+    t = text.reset_index(drop=True)
+    ex = t.str.lower().str.findall(_WS_TOKEN).explode()
+    uniq = ex.dropna().unique()
+    smap = {w: _SENTIMENT.get(stem(w)) for w in uniq}
+    return ex, ex.map(smap)
+
+
 def sentiment(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     """Append ``polarity`` ∈ [-1, 1]: mean lexicon score over stemmed
-    tokens (vectorizable batch kernel; ≙ the opinion-lexicon scoring
-    the reference's RAID module applies per expression)."""
-    def _score(t: str) -> float:
-        ws = _WS_TOKEN.findall(t.lower()) if t else []
-        if not ws:
-            return 0.0
-        vals = [_SENTIMENT[s] for s in (stem(w) for w in ws) if s in _SENTIMENT]
-        return round(sum(vals) / len(ws), 6) if vals else 0.0
-
+    tokens (≙ the opinion-lexicon scoring the reference's RAID module
+    applies per expression).  Vectorized via explode + unique-token
+    stem map."""
+    text = df[col].fillna("")
     out = df.copy()
-    out["polarity"] = df[col].fillna("").map(_score)
+    if df.empty:
+        out["polarity"] = pd.Series([], dtype="float64")
+        return out
+    ex, sc = _token_scores(text)
+    n_ws = (ex.notna().groupby(level=0).sum()
+            .reindex(range(len(df)), fill_value=0).to_numpy())
+    ssum = (sc.fillna(0.0).groupby(level=0).sum()
+            .reindex(range(len(df)), fill_value=0.0).to_numpy())
+    any_hit = (sc.notna().groupby(level=0).any()
+               .reindex(range(len(df)), fill_value=False).to_numpy())
+    pol = np.where(any_hit, np.round(ssum / np.clip(n_ws, 1, None), 6), 0.0)
+    out["polarity"] = pd.Series(pol, index=df.index)
     return out
 
 
@@ -250,8 +285,7 @@ def quality_ppm(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     n_tok = toks.str.len().astype("int64")
     n_chars = text.str.len().astype("int64")
     punct = text.str.count(_ASCII_PUNCT).astype("int64")
-    stop = toks.map(lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)) \
-        .astype("int64")
+    stop = _stopword_counts(toks)
     out = df[["doc_id"]].copy()
     out["n_tokens"] = n_tok
     out["n_chars"] = n_chars
@@ -267,26 +301,20 @@ def sentiment_counts(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     companion of ``sentiment``): positive/negative token counts and the
     deci-score sum over stemmed tokens — no float division crosses the
     comparison boundary."""
-    def _count(t: str) -> tuple[int, int, int]:
-        ws = _WS_TOKEN.findall(t.lower()) if t else []
-        pos = neg = sum_deci = 0
-        for w in ws:
-            v = _SENTIMENT.get(stem(w))
-            if v is None:
-                continue
-            d = int(round(v * 10))
-            sum_deci += d
-            if d > 0:
-                pos += 1
-            else:
-                neg += 1
-        return pos, neg, sum_deci
-
-    vals = [_count(t) for t in df[col].fillna("")]
     out = df[["doc_id"]].copy()
-    out["n_pos"] = [v[0] for v in vals]
-    out["n_neg"] = [v[1] for v in vals]
-    out["sum_deci"] = [v[2] for v in vals]
+    if df.empty:
+        for c in ("n_pos", "n_neg", "sum_deci"):
+            out[c] = pd.Series([], dtype="int64")
+        return out
+    _, sc = _token_scores(df[col].fillna(""))
+    deci = np.round(sc.to_numpy(dtype="float64") * 10)  # NaN stays NaN
+    hit = ~np.isnan(deci)
+    idx = sc.index.to_numpy()[hit]
+    d = deci[hit].astype("int64")
+    n = len(df)
+    out["n_pos"] = np.bincount(idx[d > 0], minlength=n).astype("int64")
+    out["n_neg"] = np.bincount(idx[d <= 0], minlength=n).astype("int64")
+    out["sum_deci"] = np.bincount(idx, weights=d, minlength=n).astype("int64")
     return out
 
 
@@ -452,7 +480,8 @@ def tfidf_top_terms(ds, col: str = "text", id_col: str = "doc_id",
                 ids.append(did); terms.append(w); tfs.append(f)
                 dfs.append(d); scores.append(-neg); ranks.append(r)
         return pd.DataFrame({
-            id_col: pd.Series(ids, dtype="int64"),
+            # preserve the input id dtype (string/UUID ids work too)
+            id_col: pd.Series(ids, dtype=df[id_col].dtype),
             "term": terms,
             "tf": pd.Series(tfs, dtype="int64"),
             "df": pd.Series(dfs, dtype="int64"),
@@ -512,7 +541,8 @@ def c4_line_filter(df: pd.DataFrame, col: str = "text",
 # corpus-frequency line removal (CCNet / RefinedWeb boilerplate scrub)
 # --------------------------------------------------------------------------
 
-def line_dedup(ds, col: str = "text", threshold: int = 2,
+def line_dedup(ds, col: str = "text", id_col: str = "doc_id",
+               threshold: int = 2,
                mode: str = "auto", broadcast_line_limit: int = 2_000_000,
                n_parts: int = 64):
     """Remove every line that occurs >= ``threshold`` times across the
@@ -562,11 +592,10 @@ def line_dedup(ds, col: str = "text", threshold: int = 2,
         def noop(df: pd.DataFrame) -> pd.DataFrame:
             nl = [len(t.split("\n")) for t in df[col].fillna("")]
             return pd.DataFrame({
-                "doc_id": pd.Series(df["doc_id"], dtype="int64"),
-                "n_lines": pd.Series(nl, index=df.index, dtype="int64"),
-                "n_removed": pd.Series([0] * len(df), index=df.index,
-                                       dtype="int64"),
-                "clean_text": df[col].fillna("")})
+                id_col: df[id_col].reset_index(drop=True),
+                "n_lines": pd.Series(nl, dtype="int64"),
+                "n_removed": pd.Series([0] * len(df), dtype="int64"),
+                "clean_text": df[col].fillna("").reset_index(drop=True)})
 
         return ds.map_batches(noop, batch_format="pandas")
     if mode == "auto":
@@ -581,13 +610,13 @@ def line_dedup(ds, col: str = "text", threshold: int = 2,
         def scrub(df: pd.DataFrame) -> pd.DataFrame:
             d = ray.get(drop_ref)
             ids, nl, nr, out = [], [], [], []
-            for did, t in zip(df["doc_id"], df[col].fillna("")):
+            for did, t in zip(df[id_col], df[col].fillna("")):
                 lines = t.split("\n")
                 kept = [ln for ln in lines if ln not in d]
                 ids.append(did); nl.append(len(lines))
                 nr.append(len(lines) - len(kept)); out.append("\n".join(kept))
             return pd.DataFrame({
-                "doc_id": pd.Series(ids, dtype="int64"),
+                id_col: pd.Series(ids, dtype=df[id_col].dtype),
                 "n_lines": pd.Series(nl, dtype="int64"),
                 "n_removed": pd.Series(nr, dtype="int64"),
                 "clean_text": out})
@@ -599,13 +628,13 @@ def line_dedup(ds, col: str = "text", threshold: int = 2,
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         ids, idxs, lines, nls = [], [], [], []
-        for did, t in zip(df["doc_id"], df[col].fillna("")):
+        for did, t in zip(df[id_col], df[col].fillna("")):
             ls = t.split("\n")
             for i, ln in enumerate(ls):
                 ids.append(did); idxs.append(i); lines.append(ln)
                 nls.append(len(ls))
         return pd.DataFrame({
-            "doc_id": pd.Series(ids, dtype="int64"),
+            id_col: pd.Series(ids, dtype=df[id_col].dtype),
             "idx": pd.Series(idxs, dtype="int64"),
             "line": lines,
             "n_lines": pd.Series(nls, dtype="int64")})
@@ -618,7 +647,7 @@ def line_dedup(ds, col: str = "text", threshold: int = 2,
         g = g.sort_values("idx")
         first = g.iloc[0]
         return pd.DataFrame({
-            "doc_id": pd.Series([first["doc_id"]], dtype="int64"),
+            id_col: pd.Series([first[id_col]], dtype=g[id_col].dtype),
             "n_lines": pd.Series([first["n_lines"]], dtype="int64"),
             "n_removed": pd.Series([int(first["n_lines"]) - len(g)],
                                    dtype="int64"),
@@ -626,18 +655,18 @@ def line_dedup(ds, col: str = "text", threshold: int = 2,
 
     from pikes_ray.pipelines.shuffle import partitioned_group_map
 
-    rebuilt = partitioned_group_map(kept, ["doc_id"], reassemble,
+    rebuilt = partitioned_group_map(kept, [id_col], reassemble,
                                     n_parts=n_parts)
     # docs whose every line was boilerplate: restore them empty
     all_docs = ds.map_batches(
         lambda df: pd.DataFrame({
-            "doc_id": pd.Series(df["doc_id"], dtype="int64"),
+            id_col: df[id_col].reset_index(drop=True),
             "n_lines": pd.Series(
                 [len(t.split("\n")) for t in df[col].fillna("")],
-                index=df.index, dtype="int64")}),
+                dtype="int64")}),
         batch_format="pandas")
-    emptied = hash_join(all_docs, rebuilt.select_columns(["doc_id"]),
-                        on="doc_id", how="anti", n_parts=n_parts)
+    emptied = hash_join(all_docs, rebuilt.select_columns([id_col]),
+                        on=id_col, how="anti", n_parts=n_parts)
     emptied = emptied.map_batches(
         lambda df: df.assign(
             n_removed=pd.Series(df["n_lines"], index=df.index,
@@ -718,7 +747,7 @@ def unigram_logprob(ds, col: str = "text", id_col: str = "doc_id",
             ns.append(len(toks))
             sums.append(sum(table.get(w, u) for w in toks))
         return pd.DataFrame({
-            id_col: pd.Series(ids, dtype="int64"),
+            id_col: pd.Series(ids, dtype=df[id_col].dtype),
             "n_tokens": pd.Series(ns, dtype="int64"),
             "sum_lp_unats": pd.Series(sums, dtype="int64")})
 
