@@ -488,6 +488,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rows = sorted((int(k), int(v)) for k, v in mapping.items())
         return pd.DataFrame(rows, columns=["doc_id", "cluster_rep"])
 
+    def doc_dup_clusters_ds(sf_dir):
+        """Same assignment fully distributed: verified pairs →
+        min-label-propagation connected components — the cluster map
+        stays a Dataset end-to-end (never a driver dict), the 100-TB
+        path of doc_dup_clusters.  Must emit identical rows (the
+        no-straddle test also gates dict/Dataset equality)."""
+        cds = D.minhash_lsh_clusters(_docs(sf_dir), threshold=0.8,
+                                     as_dataset=True)
+        out = cds.to_pandas().rename(columns={"rep": "cluster_rep"})
+        out = out.astype({"doc_id": "int64", "cluster_rep": "int64"})
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def kg_entity_pagerank(sf_dir):
         """PageRank over the emitted KG's entity edge projection
         (ops/graph.py): per-round combiner-first contribution groupby
@@ -808,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_c4_clean": doc_c4_clean,
         "doc_line_dedup": doc_line_dedup,
         "doc_dup_clusters": doc_dup_clusters,
+        "doc_dup_clusters_ds": doc_dup_clusters_ds,
         "kg_entity_pagerank": kg_entity_pagerank,
         "emb_kmeans": emb_kmeans,
         "kg_khop": kg_khop,

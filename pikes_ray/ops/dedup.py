@@ -279,16 +279,32 @@ def minhash_lsh_clusters(ds, col: str = "text", id_col: str = "doc_id",
                          num_perm: int = 64, bands: int = 16,
                          threshold: float = 0.7, shingle_k: int = 3,
                          seed: int = 42, max_bucket: int = 200,
-                         verify: str = "inbucket") -> dict[int, int]:
-    """→ {doc_id: cluster_rep_id} for near-duplicate docs.
+                         verify: str = "inbucket",
+                         as_dataset: bool = False):
+    """Near-dup cluster assignment for every non-singleton member.
 
-    Driver-side tail of the pair pipeline: the verified pairs (bounded
-    — only bucket collisions, ``max_bucket`` cap per bucket) come back
-    to a union-find; use minhash_dedup's auto path selection instead
-    when the pair set may exceed driver memory."""
+    ``as_dataset=False`` (default) → ``{doc_id: cluster_rep_id}``:
+    the verified pairs (bounded — only bucket collisions,
+    ``max_bucket`` cap per bucket) come back to a driver union-find —
+    right while the non-singleton member count fits the driver.
+
+    ``as_dataset=True`` → ``Dataset[id_col, rep]`` from the
+    distributed min-label-propagation connected components
+    (pipelines/shuffle.connected_components) — the assignment NEVER
+    lands on the driver (VERDICT r3 item 3; a high-dup 100-TB corpus
+    has 10⁹⁺ non-singleton members).  Identical membership either way:
+    rep = min doc_id of the component; singletons appear in neither.
+    Feed it to ``leakage_safe_split_ds`` / joins downstream."""
     pairs = minhash_candidate_pairs(ds, col, id_col, num_perm, bands,
                                     threshold, shingle_k, seed, max_bucket,
                                     verify=verify)
+
+    if as_dataset:
+        from pikes_ray.pipelines.shuffle import connected_components
+
+        return connected_components(pairs).map_batches(
+            lambda df: df.rename(columns={"node": id_col, "label": "rep"}),
+            batch_format="pandas")
 
     from pikes_ray.pipelines.canonicalize import _UnionFind
 
@@ -521,7 +537,8 @@ def ngram_jaccard_pairs(ds, pairs: list[tuple[int, int]], col: str = "text",
 
 def jaccard_pairs_exact(ds, col: str = "text", id_col: str = "doc_id",
                         threshold: tuple[int, int] = (9, 10),
-                        df_cap: int | None = None):
+                        df_cap: int | None = None,
+                        verify: str = "driver", n_parts: int = 64):
     """EXACT token-set Jaccard near-dup pairs via a prefix-filtered
     distributed inverted index — the AllPairs/PPJoin family (Bayardo
     et al. WWW'07; Xiao et al. WWW'08), the lossless complement of the
@@ -543,16 +560,28 @@ def jaccard_pairs_exact(ds, col: str = "text", id_col: str = "doc_id",
          postings hotter than the cap — a documented recall trade for
          adversarial corpora where even prefixes stay hot.
       3. candidates dedup (groupby pair, first) and are verified
-         EXACTLY against the full token sets of the candidate docs
-         only (broadcast gather — bounded by the near-dup density,
-         same policy as ``ngram_jaccard_pairs``).
+         EXACTLY against the full token sets of the candidate docs.
+         ``verify`` picks where (identical output either way — the
+         minhash_candidate_pairs knob, VERDICT r3 item 2):
 
-    → pandas DataFrame (a, b, inter, uni) with a < b, sorted.
+         - ``"driver"`` (default): candidate token sets gather to the
+           driver, per-pair verify there, → pandas DataFrame — the
+           oracle-comparison path, right while the near-dup density is
+           small.
+         - ``"join"``: candidates stay a Dataset; two bounded
+           ``hash_join`` passes attach each side's token set and a
+           ``map_batches`` stage verifies integer-exactly →
+           Dataset[a, b, inter, uni] — nothing pair-shaped ever
+           lands on the driver (the 100-TB shape).
+
+    → pandas DataFrame / Dataset (a, b, inter, uni) with a < b, sorted
+      (Dataset is unsorted; it is hash-partitioned by pair).
     """
     import ray  # noqa: F401  (parity with the other dedup entry points)
 
     from pikes_ray.pipelines.shuffle import partitioned_group_map
 
+    assert verify in ("driver", "join")
     num, den = threshold
 
     def prefix_postings(df: pd.DataFrame) -> pd.DataFrame:
@@ -582,6 +611,46 @@ def jaccard_pairs_exact(ds, col: str = "text", id_col: str = "doc_id",
     postings = ds.map_batches(prefix_postings, batch_format="pandas")
     cands = partitioned_group_map(postings, ["token"], bucket_pairs)
     cands = partitioned_group_map(cands, ["a", "b"], lambda g: g.head(1))
+
+    if verify == "join":
+        from pikes_ray.ops.joins import hash_join
+
+        def token_sets_batch(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                id_col: df[id_col].values,
+                "toks": [sorted(set(_WS_TOKEN.findall(t.lower())))
+                         for t in df[col].fillna("")]})
+
+        tok_ds = ds.map_batches(token_sets_batch, batch_format="pandas")
+        if not cands.count():
+            return ray.data.from_pandas(
+                pd.DataFrame({c: pd.Series(dtype="int64")
+                              for c in ("a", "b", "inter", "uni")}))
+        j1 = hash_join(cands, tok_ds, on="a", right_on=id_col,
+                       right_cols=["toks"], n_parts=n_parts)
+        j2 = hash_join(j1, tok_ds, on="b", right_on=id_col,
+                       right_cols=["toks"], n_parts=n_parts)  # toks → toks_r
+
+        def verify_batch(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({c: pd.Series(dtype="int64")
+                                     for c in ("a", "b", "inter", "uni")})
+            inter = np.fromiter(
+                (len(frozenset(x) & frozenset(y))
+                 for x, y in zip(df["toks"], df["toks_r"])),
+                dtype="int64", count=len(df))
+            uni = (np.fromiter((len(x) for x in df["toks"]), dtype="int64",
+                               count=len(df))
+                   + np.fromiter((len(y) for y in df["toks_r"]),
+                                 dtype="int64", count=len(df)) - inter)
+            keep = (uni > 0) & (inter * den >= num * uni)
+            return pd.DataFrame({
+                "a": df["a"].to_numpy()[keep].astype("int64"),
+                "b": df["b"].to_numpy()[keep].astype("int64"),
+                "inter": inter[keep], "uni": uni[keep]})
+
+        return j2.map_batches(verify_batch, batch_format="pandas")
+
     pairs = [(int(a), int(b)) for a, b in
              zip(*(cands.to_pandas()[c] for c in ("a", "b")))] \
         if cands.count() else []

@@ -436,6 +436,23 @@ def test_leakage_safe_split_keeps_clusters_together(ray_session):
                                    test_fraction=0.5, seed=3)
     assert set(train2.to_pandas()["doc_id"]) == tr
 
+    # --- Dataset cluster assignment (as_dataset=True): identical
+    # membership to the driver dict, and the join-based split variant
+    # reproduces the broadcast split bit-for-bit with the map never on
+    # the driver (VERDICT r3 item 3)
+    from pikes_ray.ops.sample import leakage_safe_split_ds
+
+    cds = minhash_lsh_clusters(ds, threshold=0.6, as_dataset=True)
+    cdf = cds.to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(cdf["doc_id"], cdf["rep"])} \
+        == {(m, r) for m, r in cmap.items()}
+    train3, test3 = leakage_safe_split_ds(ds, "doc_id", cds,
+                                          test_fraction=0.5, seed=3,
+                                          n_parts=5)
+    assert set(train3.to_pandas()["doc_id"]) == tr
+    assert set(test3.to_pandas()["doc_id"]) == te
+    assert train3.schema().names == ds.schema().names
+
 
 def test_pagerank_join_mode_with_dangling(ray_session):
     # b and d have no out-edges → dangling mass flows through the join

@@ -819,6 +819,23 @@ def test_jaccard_pairs_exact_matches_brute_force(ray_session):
     assert [tuple(r) for r in got.itertuples(index=False)] == expect
     assert len(expect) >= 12   # the planted near-dups qualify
 
+    # distributed verify (verify="join") — identical pair set, but the
+    # result stays a Dataset and no token set ever lands on the driver
+    joined = D.jaccard_pairs_exact(ds, threshold=(4, 5), verify="join")
+    assert not isinstance(joined, pd.DataFrame)
+    jdf = joined.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert [tuple(r) for r in jdf.itertuples(index=False)] == expect
+
+
+def test_jaccard_pairs_exact_join_empty(ray_session):
+    # no qualifying candidates: join mode must still return a typed
+    # empty Dataset (not crash on Ray's schemaless empty dataset)
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["aa bb cc", "xx yy zz"]})
+    out = D.jaccard_pairs_exact(rd.from_pandas(df), threshold=(9, 10),
+                                verify="join")
+    assert out.schema().names == ["a", "b", "inter", "uni"]
+    assert out.count() == 0
+
 
 def test_jaccard_pairs_exact_df_cap_documented_trade(ray_session):
     # every doc shares the hot token; with the cap below the posting
