@@ -105,6 +105,25 @@ PRED_T = pa.struct(
 COREF_SPAN_T = pa.struct([("start", pa.int32()), ("end", pa.int32())])
 COREF_T = pa.list_(COREF_SPAN_T)
 
+# opinion ≙ Opinion (ixa/kaflib/Opinion.java: expression/holder/target
+# Span<Term> + polarity).  Carried through the NAF interop path
+# (ReadWriteManager.java parses the opinions layer); the native
+# annotator leaves the layer EMPTY and T8 derives opinions from the
+# polarity lexicon instead — when the layer is present (a
+# reference-annotated corpus) T8 reuses it verbatim.  -1/-1 = span
+# absent.
+OPINION_T = pa.struct(
+    [
+        ("expr_start", pa.int32()),
+        ("expr_end", pa.int32()),
+        ("target_start", pa.int32()),
+        ("target_end", pa.int32()),
+        ("holder_start", pa.int32()),
+        ("holder_end", pa.int32()),
+        ("polarity", pa.string()),   # "positive" | "negative" | raw NAF value
+    ]
+)
+
 ANNOTATED_SCHEMA = pa.schema(
     list(TRANSCRIPT_SCHEMA)
     + [
@@ -114,6 +133,7 @@ ANNOTATED_SCHEMA = pa.schema(
         pa.field("entities", pa.large_list(ENTITY_T)),
         pa.field("predicates", pa.large_list(PRED_T)),
         pa.field("corefs", pa.large_list(COREF_T)),
+        pa.field("opinions", pa.large_list(OPINION_T)),
     ]
 )
 

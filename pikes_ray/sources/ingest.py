@@ -228,11 +228,13 @@ def _parse_naf_doc(xml_text: str) -> dict | None:
         wfs.append(wf)
 
     term_idx: dict[str, int] = {}
+    term_of_wf: dict[int, int] = {}   # wf index → term index (1:1 here)
     tokens = []
     for i, term in enumerate(root.iter("term")):
         term_idx[term.get("id") or f"t{i}"] = i
         tgt = term.find(".//span/target")
         wi = wf_idx.get(tgt.get("id"), i) if tgt is not None else i
+        term_of_wf.setdefault(wi, i)
         wf = wfs[wi] if wi < len(wfs) else None
         form = (wf.text or "") if wf is not None else ""
         penn = term.get("morphofeat") or ""
@@ -375,10 +377,94 @@ def _parse_naf_doc(xml_text: str) -> dict | None:
         if len(spans) >= 2:
             corefs.append(spans)
 
+    def wf_span_bounds(span_el):
+        """(start, end) TERM indices from a span targeting WF ids —
+        timex3 and linkedEntity spans reference tokens, not terms
+        (Timex3.java / LinkedEntity.java hold Span<WF>)."""
+        ids = []
+        for t in span_el.findall("target"):
+            wi = wf_idx.get(t.get("id"))
+            if wi is None:
+                continue
+            ids.append(term_of_wf.get(wi, wi))
+        if not ids:
+            return None
+        return min(ids), max(ids) + 1
+
+    # timeExpressions layer (ReadWriteManager.java timex3 parse;
+    # Timex3.java:1-308): fold into the engine's entity model — a
+    # DATE/DURATION entity with norm = the TimeML value.  When an
+    # entities-layer DATE/DURATION already covers the span, the timex
+    # VALUE fills its empty norm (carried value wins; T1 then builds
+    # OWL-Time from it instead of re-deriving from the lexicon).
+    for tmx in root.iter("timex3"):
+        span = tmx.find("span")
+        b = wf_span_bounds(span) if span is not None else None
+        if b is None:
+            continue
+        val = tmx.get("value") or ""
+        ttype = (tmx.get("type") or "").upper()
+        etype = "DURATION" if ttype == "DURATION" else "DATE"
+        hit = next((e for e in entities
+                    if e["etype"] in ("DATE", "DURATION")
+                    and e["start"] < b[1] and b[0] < e["end"]), None)
+        if hit is not None:
+            if not hit["norm"]:
+                hit["norm"] = val
+        else:
+            entities.append({"etype": etype, "start": b[0], "end": b[1],
+                             "named": False, "link": "", "link_conf": 0.0,
+                             "norm": val})
+
+    # linkedEntities layer (LinkedEntity.java:1-136): a DBpedia-style
+    # reference + confidence over a WF span.  Carried links WIN over
+    # gazetteer re-derivation: they land on the overlapping entity
+    # (highest confidence kept) or mint a new named entity row, so T2
+    # emits owl:sameAs from the reference's own EL annotations.
+    for le in root.iter("linkedEntity"):
+        span = le.find("span")
+        b = wf_span_bounds(span) if span is not None else None
+        ref = le.get("reference") or ""
+        if b is None or not ref:
+            continue
+        conf = float(le.get("confidence") or 0.0)
+        hit = next((e for e in entities
+                    if e["start"] < b[1] and b[0] < e["end"]), None)
+        if hit is not None:
+            if not hit["link"] or conf > hit["link_conf"]:
+                hit["link"], hit["link_conf"] = ref, conf
+        else:
+            entities.append({"etype": "", "start": b[0], "end": b[1],
+                             "named": True, "link": ref, "link_conf": conf,
+                             "norm": ""})
+
+    # opinions layer (Opinion.java: expression/holder/target
+    # Span<Term> + polarity) → the carried opinions column; T8 reuses
+    # it verbatim instead of the lexicon scan.
+    opinions = []
+    for op in root.iter("opinion"):
+        def _spn(tag: str) -> tuple[int, int]:
+            el = op.find(f"{tag}/span")
+            bb = span_bounds(el) if el is not None else None
+            return (bb[0], bb[1]) if bb else (-1, -1)
+
+        expr_el = op.find("opinion_expression")
+        pol = (expr_el.get("polarity") or "") if expr_el is not None else ""
+        es, ee = _spn("opinion_expression")
+        ts_, te = _spn("opinion_target")
+        hs, he = _spn("opinion_holder")
+        if es < 0 and ts_ < 0 and hs < 0:
+            continue
+        opinions.append({"expr_start": es, "expr_end": ee,
+                         "target_start": ts_, "target_end": te,
+                         "holder_start": hs, "holder_end": he,
+                         "polarity": pol})
+
     return {"conv_id": conv_id, "turn_idx": turn_idx, "role": "user",
             "text": raw, "tool": "", "ts": _EPOCH.to_pydatetime(),
             "quarantined": False, "tokens": tokens, "deps": deps,
-            "entities": entities, "predicates": predicates, "corefs": corefs}
+            "entities": entities, "predicates": predicates,
+            "corefs": corefs, "opinions": opinions}
 
 
 def read_naf_documents(paths):

@@ -194,9 +194,69 @@ def write_naf_xml(annotated, out_dir: str) -> int:
         for k, e in enumerate(ents):
             targets = "".join(f'<target id="t{j}"/>'
                               for j in range(e["start"], e["end"]))
-            buf.append(f'<entity id="e{k}" type={quoteattr(e["etype"] or "MISC")}>'
-                       f"<references><span>{targets}</span></references></entity>")
-        buf.append("</entities><srl>")
+            val = f' value={quoteattr(e["norm"])}' if e.get("norm") else ""
+            ref = (f'<externalReferences><externalRef resource="dbpedia" '
+                   f'reference={quoteattr(e["link"])} '
+                   f'confidence="{e["link_conf"]}"/></externalReferences>'
+                   if e.get("link") else "")
+            buf.append(f'<entity id="e{k}" type={quoteattr(e["etype"] or "MISC")}{val}>'
+                       f"<references><span>{targets}</span></references>{ref}</entity>")
+        buf.append("</entities>")
+        # timeExpressions layer (kaflib Timex3: WF spans + TimeML value)
+        tmx = [(k, e) for k, e in enumerate(ents)
+               if e["etype"] in ("DATE", "DURATION") and e.get("norm")]
+        if tmx:
+            buf.append("<timeExpressions>")
+            for k, e in tmx:
+                targets = "".join(f'<target id="w{j}"/>'
+                                  for j in range(e["start"], e["end"]))
+                ttype = "DURATION" if e["etype"] == "DURATION" else "DATE"
+                buf.append(f'<timex3 id="tmx{k}" type="{ttype}" '
+                           f'value={quoteattr(e["norm"])}>'
+                           f"<span>{targets}</span></timex3>")
+            buf.append("</timeExpressions>")
+        # linkedEntities layer (kaflib LinkedEntity: WF spans + EL ref)
+        les = [(k, e) for k, e in enumerate(ents) if e.get("link")]
+        if les:
+            buf.append("<linkedEntities>")
+            for k, e in les:
+                targets = "".join(f'<target id="w{j}"/>'
+                                  for j in range(e["start"], e["end"]))
+                buf.append(f'<linkedEntity id="le{k}" resource="dbpedia" '
+                           f'reference={quoteattr(e["link"])} '
+                           f'confidence="{e["link_conf"]}">'
+                           f"<span>{targets}</span></linkedEntity>")
+            buf.append("</linkedEntities>")
+        # opinions layer (kaflib Opinion: expression/holder/target term
+        # spans + polarity) — only present on NAF-interop rows; the
+        # native annotator leaves the column empty
+        opins = list(getattr(row, "opinions", None) or [])
+        if opins:
+            buf.append("<opinions>")
+            for k, o in enumerate(opins):
+                def _sp(s, e):
+                    return "<span>" + "".join(
+                        f'<target id="t{j}"/>' for j in range(s, e)) + "</span>"
+                parts = [f'<opinion id="o{k}">']
+                if o["holder_start"] >= 0:
+                    parts.append("<opinion_holder>"
+                                 + _sp(o["holder_start"], o["holder_end"])
+                                 + "</opinion_holder>")
+                if o["target_start"] >= 0:
+                    parts.append("<opinion_target>"
+                                 + _sp(o["target_start"], o["target_end"])
+                                 + "</opinion_target>")
+                pol = f' polarity={quoteattr(o["polarity"])}' if o.get("polarity") else ""
+                if o["expr_start"] >= 0:
+                    parts.append(f"<opinion_expression{pol}>"
+                                 + _sp(o["expr_start"], o["expr_end"])
+                                 + "</opinion_expression>")
+                elif pol:
+                    parts.append(f"<opinion_expression{pol}/>")
+                parts.append("</opinion>")
+                buf.append("".join(parts))
+            buf.append("</opinions>")
+        buf.append("<srl>")
         for k, p in enumerate(prds):
             roles = "".join(
                 f'<role id="r{k}_{m}" semRole={quoteattr(r["sem_role"])}>'

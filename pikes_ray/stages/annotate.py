@@ -46,6 +46,7 @@ from pikes_ray.schema import (
     COREF_T,
     DEP_T,
     ENTITY_T,
+    OPINION_T,
     PRED_T,
     TOKEN_T,
 )
@@ -1493,7 +1494,8 @@ class RuleAnnotator:
         }
 
 
-_EMPTY = {"tokens": [], "deps": [], "entities": [], "predicates": [], "corefs": []}
+_EMPTY = {"tokens": [], "deps": [], "entities": [], "predicates": [],
+          "corefs": [], "opinions": []}
 
 
 class AnnotatorStage:
@@ -1524,10 +1526,14 @@ class AnnotatorStage:
                 except Exception:
                     ann = _EMPTY          # poison row -> quarantine channel
             for k in layers:
-                layers[k].append(ann[k])
+                # the rule annotator emits no opinions layer (T8
+                # derives opinions from the lexicon); NAF-carried rows
+                # fill it via the interop reader
+                layers[k].append(ann.get(k, []))
         batch = batch.append_column("tokens", pa.array(layers["tokens"], type=pa.large_list(TOKEN_T)))
         batch = batch.append_column("deps", pa.array(layers["deps"], type=pa.large_list(DEP_T)))
         batch = batch.append_column("entities", pa.array(layers["entities"], type=pa.large_list(ENTITY_T)))
         batch = batch.append_column("predicates", pa.array(layers["predicates"], type=pa.large_list(PRED_T)))
         batch = batch.append_column("corefs", pa.array(layers["corefs"], type=pa.large_list(COREF_T)))
+        batch = batch.append_column("opinions", pa.array(layers["opinions"], type=pa.large_list(OPINION_T)))
         return batch

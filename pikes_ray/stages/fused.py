@@ -66,7 +66,7 @@ class KGStage:
                 t = html.unescape(t)            # M1 normalize
             quarantined = len(t) > self.max_text_len
             empty_ann = {"tokens": [], "deps": [], "entities": [],
-                         "predicates": [], "corefs": []}
+                         "predicates": [], "corefs": [], "opinions": []}
             if quarantined or not t.strip():
                 ann = empty_ann
             else:

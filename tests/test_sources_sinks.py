@@ -598,3 +598,106 @@ def test_compact_iri_inverse():
         assert compact_iri(expand_curie(cur)) == cur
     # PreMOn role IRIs compact to the normalized @arg form
     assert compact_iri(expand_curie("pb:open.01-a0")) == "pb:open.01@arg0"
+
+
+def test_naf_timex_linked_opinion_layers(ray_session, tmp_path):
+    """VERDICT r3 item 4: the timeExpressions / linkedEntities /
+    opinions layers of a reference-annotated NAF survive ingest
+    (Timex3.java, LinkedEntity.java, Opinion.java;
+    ReadWriteManager.java parse sections), the carried annotations WIN
+    over lexicon re-derivation in extraction, and the S6 writer
+    round-trips all three layers."""
+    import ray.data as rd
+
+    from pikes_ray.sources.ingest import read_naf_documents
+    from pikes_ray.sources.sinks import write_naf_xml
+    from pikes_ray.stages.extract import extract_batch
+
+    naf = """<?xml version="1.0" encoding="UTF-8"?>
+<NAF xml:lang="en" version="v3">
+ <nafHeader><public publicId="layers"/></nafHeader>
+ <raw>Zorblatt praised Quuxco yesterday.</raw>
+ <text>
+  <wf id="w1" offset="0" length="8" sent="1">Zorblatt</wf>
+  <wf id="w2" offset="9" length="7" sent="1">praised</wf>
+  <wf id="w3" offset="17" length="6" sent="1">Quuxco</wf>
+  <wf id="w4" offset="24" length="9" sent="1">yesterday</wf>
+ </text>
+ <terms>
+  <term id="t1" lemma="Zorblatt" pos="R" morphofeat="NNP"><span><target id="w1"/></span></term>
+  <term id="t2" lemma="praise" pos="V" morphofeat="VBD"><span><target id="w2"/></span></term>
+  <term id="t3" lemma="Quuxco" pos="R" morphofeat="NNP"><span><target id="w3"/></span></term>
+  <term id="t4" lemma="yesterday" pos="N" morphofeat="NN"><span><target id="w4"/></span></term>
+ </terms>
+ <deps>
+  <dep from="t2" to="t1" rfunc="SBJ"/>
+  <dep from="t2" to="t3" rfunc="OBJ"/>
+ </deps>
+ <entities>
+  <entity id="e1" type="ORGANIZATION">
+   <references><span><target id="t1"/></span></references>
+  </entity>
+  <entity id="e2" type="ORGANIZATION">
+   <references><span><target id="t3"/></span></references>
+  </entity>
+ </entities>
+ <timeExpressions>
+  <timex3 id="tmx1" type="DATE" value="2014-02-17">
+   <span><target id="w4"/></span>
+  </timex3>
+ </timeExpressions>
+ <linkedEntities>
+  <linkedEntity id="le1" resource="dbpedia" reference="dbr:Zorblatt_Industries" confidence="0.93">
+   <span><target id="w1"/></span>
+  </linkedEntity>
+ </linkedEntities>
+ <opinions>
+  <opinion id="o1">
+   <opinion_holder><span><target id="t1"/></span></opinion_holder>
+   <opinion_target><span><target id="t3"/></span></opinion_target>
+   <opinion_expression polarity="negative"><span><target id="t2"/></span></opinion_expression>
+  </opinion>
+ </opinions>
+</NAF>"""
+    p = tmp_path / "layers.naf"
+    p.write_text(naf)
+    ds = read_naf_documents(str(p))
+    df = ds.to_pandas()
+    assert len(df) == 1
+    row = df.iloc[0]
+
+    # timex3 folded into a DATE entity with the TimeML value as norm
+    dates = [e for e in row.entities if e["etype"] == "DATE"]
+    assert [(e["start"], e["end"], e["norm"]) for e in dates] == \
+        [(3, 4, "2014-02-17")]
+    # linkedEntity folded onto the overlapping entity (carried link)
+    zb = next(e for e in row.entities if e["start"] == 0)
+    assert (zb["link"], round(zb["link_conf"], 2)) == \
+        ("dbr:Zorblatt_Industries", 0.93)
+    # opinions column carries expression/target/holder term spans
+    assert [dict(o) for o in row.opinions] == [{
+        "expr_start": 1, "expr_end": 2, "target_start": 2, "target_end": 3,
+        "holder_start": 0, "holder_end": 1, "polarity": "negative"}]
+
+    # carried annotations win in extraction: the sameAs goes to the
+    # CARRIED link (no gazetteer entry for "Zorblatt" exists), the
+    # date instance uses the carried TimeML value, and the opinion is
+    # NEGATIVE (the lexicon scores "praise" positive — lexicon
+    # derivation would emit ks:PositiveOpinion)
+    tr = ds.map_batches(extract_batch, batch_format="pyarrow").to_pandas()
+    assert ((tr["pred"] == "owl:sameAs")
+            & (tr["obj"] == "dbr:Zorblatt_Industries")).any()
+    assert tr["obj"].str.contains("2014-02-17").any()
+    assert (tr["obj"] == "ks:NegativeOpinion").any()
+    assert not (tr["obj"] == "ks:PositiveOpinion").any()
+
+    # S6 round trip: write → re-read keeps all three layers
+    out = str(tmp_path / "naf_rt")
+    n = write_naf_xml(ds, out)
+    assert n == 1
+    back = read_naf_documents(out).to_pandas().iloc[0]
+    assert [(e["etype"], e["start"], e["end"], e["norm"], e["link"])
+            for e in back.entities] == \
+        [(e["etype"] or "MISC", e["start"], e["end"], e["norm"], e["link"])
+         for e in row.entities]
+    assert [dict(o) for o in back.opinions] == [dict(o) for o in row.opinions]
