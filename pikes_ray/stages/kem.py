@@ -22,6 +22,11 @@ Implemented steps (reference line anchors):
 - coordinations — processCoordinations :699 (group + conjunct annotations)
 - coreferences — processCoref      :868  (kemt:Coreference + coreferring)
 - roles       — processRole       :940  (reified participation)
+- fragments   — emitFragment      :1003 (kem:fragmentOf + RFC5147 typing)
+- entity attributes — emitEntityAttributes :1121 (typed object values /
+  currency units for property entities)
+- term attributes — emitCommonAttributesAnnotation :1170
+  (itsrdf:termInfoRef annotations for head WSD/SST/BBN senses)
 
 Registered as the second Extractor in extension.STAGE_REGISTRY
 ("extract_kem") — a real second implementation behind the plugin
@@ -78,6 +83,11 @@ class _KemDoc:
         b = toks[0]["offset"]
         e = toks[-1]["offset"] + toks[-1]["length"]
         iri = mention_iri(self.doc, b, e)
+        # emitFragment :1044-1053: every fragment links to its document
+        # and (non-composite — our spans are contiguous by construction)
+        # is typed as an RFC5147 string
+        self.emit(iri, "kem:fragmentOf", self.doc)
+        self.emit(iri, "rdf:type", "nif:RFC5147String")
         self.emit(iri, "nif:beginIndex", _lit(str(b), "xsd:int"))
         self.emit(iri, "nif:endIndex", _lit(str(e), "xsd:int"))
         self.emit(iri, "nif:anchorOf", _lit(self.row["text"][b:e]))
@@ -141,6 +151,77 @@ class _KemDoc:
             self.emit(ann, "kemt:objectValue", obj)
             self.emit(ann, "kemt:rawString", men)
 
+    def _entity_attributes(self, ann: str, ent: dict,
+                           surface: str = "") -> None:
+        """Typed object values for property entities
+        (emitEntityAttributes, NAFExtractor.java:1121-1168): cardinal /
+        quantity / ordinal parse as xsd:double; percent parses the part
+        after '%'; money scans leading currency symbols into kemt:unit
+        then parses from the first digit.  Unparseable values are
+        skipped (the reference debug-logs the NumberFormatException)."""
+        s = (ent["norm"] or "").strip()
+        if not s:
+            return
+        etype = (ent["etype"] or "").lower()
+        try:
+            if etype in ("cardinal", "quantity", "ordinal"):
+                self.emit(ann, "kemt:objectValue",
+                          _lit(str(float(s)), "xsd:double"))
+            elif etype == "percent":
+                idx = s.find("%")
+                self.emit(ann, "kemt:objectValue",
+                          _lit(str(float(s[idx + 1:])), "xsd:double"))
+            elif etype == "money":
+                # the reference scans the Stanford-normalized value for
+                # the currency symbol; our annotator's norm is digits
+                # only, so fall back to the surface string for the unit
+                scan = s if any(c in s for c in "€$¥") else surface
+                for c in scan:
+                    if c == "€":
+                        self.emit(ann, "kemt:unit", _lit("EUR"))
+                    elif c == "$":
+                        self.emit(ann, "kemt:unit", _lit("USD"))
+                    elif c == "¥":
+                        self.emit(ann, "kemt:unit", _lit("YEN"))
+                    elif c.isdigit():
+                        break
+                idx = 0
+                while idx < len(s) and not s[idx].isdigit():
+                    idx += 1
+                self.emit(ann, "kemt:objectValue",
+                          _lit(str(float(s[idx:])), "xsd:double"))
+            else:
+                self.emit(ann, "kemt:objectValue", _lit(s))
+        except ValueError:
+            pass
+
+    def _common_attributes(self, local: str, head: int, men: str,
+                           force: bool = False) -> None:
+        """Term-info annotation for WSD/SST/BBN senses carried on the
+        head term (emitCommonAttributesAnnotation,
+        NAFExtractor.java:1170-1210): one EntityAnnotation with
+        itsrdf:termInfoRef per available sense ref.  Created only when
+        a sense exists (or ``force`` — the reference forces one when an
+        entity got neither a type nor a linking annotation)."""
+        tok = self.tokens[head]
+        sst = tok.get("sst") or ""
+        synset = tok.get("synset") or ""
+        bbn = tok.get("bbn") or ""
+        if not (force or sst or synset or bbn):
+            return
+        ann = self.ann(local, men, "kemt:EntityAnnotation")
+        if sst:
+            # namespace takes the part after the last '-'
+            # (DEFAULT_WN_SST_NAMESPACE + sst.substring(lastIndexOf('-')+1))
+            self.emit(ann, "itsrdf:termInfoRef",
+                      "wnsst:" + sst.rsplit("-", 1)[-1])
+        if synset:
+            self.emit(ann, "itsrdf:termInfoRef", "wnsyn:" + synset)
+        if bbn:
+            self.emit(ann, "itsrdf:termInfoRef",
+                      "bbn:" + clean_local(bbn))
+        self.emit(ann, "kemt:rawString", men)
+
     def _modifier_position(self, head: int) -> bool:
         """Discard property entities in NMOD/AMOD modifier position
         (:522-528)."""
@@ -168,7 +249,8 @@ class _KemDoc:
             ann = self.ann(f"ent{i}{etype}", men, "kemt:EntityAnnotation")
             self.emit(ann, "itsrdf:taClassRef", f"ner:{etype}")
             if is_prop and e["norm"]:
-                self.emit(ann, "kemt:objectValue", _lit(e["norm"]))
+                # typed value parity (:581 emitEntityAttributes)
+                self._entity_attributes(ann, e, surface=label)
             if e["named"]:
                 self.emit(ann, "rdf:type", "kemt:NamedEntity")
                 self.emit(ann, "kemt:properName", _lit(label))
@@ -183,6 +265,9 @@ class _KemDoc:
                               _lit(f"{e['link_conf']:.2f}", "xsd:double"),
                               conf=e["link_conf"])
                 self.emit(lann, "kemt:rawString", men)
+            # term annotations for head-carried WSD/SST/BBN senses
+            # (:613; never forced here — a type annotation always exists)
+            self._common_attributes(f"ent{i}_semann", head, men)
 
     def predicates(self) -> None:                     # :637
         for j, p in enumerate(self.row["predicates"]):
@@ -196,6 +281,8 @@ class _KemDoc:
                 ann = self.ann(f"prd{j}_{p['sense']}", men, "kemt:Predicate")
                 self.emit(ann, "itsrdf:taClassRef", f"{model}:{p['sense']}")
                 self.emit(ann, "kemt:rawString", men)
+            # term annotations on the predicate head (:694)
+            self._common_attributes(f"prd{j}_semann", head, men)
 
     def roles(self) -> None:                          # :915-985
         for j, p in enumerate(self.row["predicates"]):

@@ -142,3 +142,77 @@ def test_kem_coreference():
     # every coreferent is an annotation hanging off a mention
     ann_targets = {o for _, p, o in got if p == "kem:hasAnnotation"}
     assert all(o in ann_targets for _, o in links)
+
+
+def test_kem_fragment_typing():
+    # emitFragment :1044-1053: fragments link to the doc and are typed
+    # RFC5147 strings
+    t = _triples("Alice Johnson met Bob Smith in Paris.")
+    got = spo(t)
+    doc = "conv:kem%23turn=0"
+    frags = {s for s, p, o in got if p == "kem:fragmentOf" and o == doc}
+    assert frags
+    for f in frags:
+        assert (f, "rdf:type", "nif:RFC5147String") in got
+
+
+def test_kem_entity_attributes_typed_values():
+    # emitEntityAttributes :1121-1168: money gets a currency unit and a
+    # double objectValue; cardinals parse as doubles
+    t = _triples("Acme Corp paid $5 million for 3 factories.")
+    got = spo(t)
+    assert any(p == "kemt:unit" and o == '"USD"' for _, p, o in got)
+    vals = {o for _, p, o in got if p == "kemt:objectValue"}
+    assert any("xsd:double" in v for v in vals), vals
+
+
+def test_kem_term_info_annotations():
+    # emitCommonAttributesAnnotation :1170-1210: head terms CARRYING
+    # WordNet/SST/BBN senses (the M11 columns, filled on the NAF
+    # interop path) emit itsrdf:termInfoRef term annotations
+    row = _row("The company acquired the factory.")
+    for tok in row["tokens"]:
+        if tok["form"] == "company":
+            tok["synset"] = "08058098-n"
+            tok["sst"] = "B-noun.group"
+            tok["bbn"] = "ORGANIZATION"
+    t = kem_extract_batch(pa.Table.from_pylist([row])).to_pandas()
+    got = spo(t)
+    refs = {o for _, p, o in got if p == "itsrdf:termInfoRef"}
+    assert "wnsyn:08058098-n" in refs, refs
+    assert "wnsst:noun.group" in refs, refs       # part after the last '-'
+    assert any(o.startswith("bbn:") for o in refs), refs
+
+
+def test_kem_ks_mention_consistency():
+    # KS (RDFGenerator) and KEM (NAFExtractor) run over the SAME
+    # annotated rows; every KS mention offset range must exist as a KEM
+    # fragment (both mint <doc>#char=B,E via the same offsets) — the
+    # cross-extractor consistency gate (VERDICT r3 item 7)
+    from pikes_ray.stages.extract import extract_batch
+
+    texts = ["Alice Johnson met Bob Smith in Paris.",
+             "Acme Corp paid $5 million for 3 factories on 2014-02-17.",
+             "The company acquired the factory. It grew."]
+    rows = [_row(t, turn=i) for i, t in enumerate(texts)]
+    batch = pa.Table.from_pylist(rows)
+    kem = kem_extract_batch(batch).to_pandas()
+    ks = extract_batch(batch).to_pandas()
+
+    import re
+    def char_spans(df, turn):
+        sub = df[df["turn_idx"] == turn]
+        out = set()
+        for col in ("subj", "obj"):
+            for v in sub[col]:
+                m = re.search(r"#char=(\d+),(\d+)", str(v))
+                if m:
+                    out.add((int(m.group(1)), int(m.group(2))))
+        return out
+
+    for i in range(len(texts)):
+        ks_spans = char_spans(ks, i)
+        kem_spans = char_spans(kem, i)
+        assert ks_spans, f"KS emitted no mentions for turn {i}"
+        missing = ks_spans - kem_spans
+        assert not missing, f"turn {i}: KS mentions absent in KEM: {missing}"
