@@ -210,11 +210,15 @@ class RuleAnnotator:
             elif low in lx.CLOSED_CLASS:
                 tag, lemma = lx.CLOSED_CLASS[low], low
             elif low in self.verb_forms and not f[0].isupper() \
+                    and low not in lx.ADJECTIVES \
                     and prev not in ("DT", "JJ", "PRP$", "CD") \
+                    and not self._object_np_sform(toks, i, low) \
                     and not self._plural_subject(toks, i, low, sent_initial):
                 # verb reading loses after a determiner/adjective/poss/
                 # number ("the report", "annual report", "5 results")
-                # — noun context
+                # — noun context; the curated adjective list also beats
+                # it ("fortified positions" stays attributive even
+                # though fortify is in the grown verb lexicon)
                 lemma, tag = self.verb_forms[low]
             elif low in lx.NUMBER_WORDS or low in lx.ORDINAL_WORDS:
                 tag, lemma = "CD", low
@@ -245,6 +249,23 @@ class RuleAnnotator:
             t.morphofeat, t.lemma = tag, lemma
             t.pos = _COARSE.get(tag, "O")
             prev = tag
+
+    def _object_np_sform(self, toks: list[Tok], i: int, low: str) -> bool:
+        """Noun-noun compound inside an object NP ("capture military
+        bases"): an s-ambiguous verb reading directly after a singular
+        common noun that itself follows a verb or preposition is the
+        compound's plural head, not VBZ.  A DT before the premod keeps
+        the verb reading ("the group bases its operations")."""
+        if not low.endswith("s") or i < 2 or low in lx.IRREGULAR_LEMMA:
+            return False
+        if toks[i - 1].sent != toks[i].sent or toks[i - 1].morphofeat != "NN":
+            return False
+        # gerund premodifier ("fighting forces"): an -ing common noun
+        # is a compound premod, never a subject head
+        if toks[i - 1].lemma.endswith("ing"):
+            return True
+        return toks[i - 2].morphofeat in (
+            "VB", "VBD", "VBZ", "VBP", "VBG", "TO", "IN", "CC")
 
     def _plural_subject(self, toks: list[Tok], i: int, low: str,
                         sent_initial: bool) -> bool:
@@ -715,10 +736,11 @@ class RuleAnnotator:
 
         for i, t in enumerate(toks):
             if t.morphofeat.startswith("VB") and t.lemma in lx.VERB_FRAMES:
-                if t.lemma in ("be", "have"):
+                if t.lemma in ("be", "have", "do"):
                     # skip auxiliaries: passive "was acquired", perfect
-                    # "has become", progressive "may be running" — the
-                    # participle carries the predicate
+                    # "has become", progressive "may be running",
+                    # do-support "did not say" — the participle / bare
+                    # verb carries the predicate
                     nxt = i + 1
                     while nxt < len(toks) and toks[nxt].morphofeat in ("RB", "MD"):
                         nxt += 1
