@@ -363,7 +363,7 @@ review answer reply call change start aid appeal arrest audit award
 balance blame campaign cause charge cost debate defeat delay desire
 dispute escape estimate fear focus gain guarantee hope lack love pause
 praise purchase reform release rescue risk rule smell surge trade
-transfer trust wish worry
+transfer trust wish worry profit
 """.split()
 
 # irregular nominalizations whose stem rules don't reach the verb

@@ -276,10 +276,14 @@ class RuleAnnotator:
 
     def _plural_subject(self, toks: list[Tok], i: int, low: str,
                         sent_initial: bool) -> bool:
-        """Bare-plural sentence subject ("Profits rose …"): an
-        s-ambiguous verb reading directly followed by a finite verb is
-        a noun.  Irregular verb forms ("has", "leads") are exempt."""
-        if not sent_initial or not low.endswith("s") \
+        """Bare-plural subject ("Profits rose …", "…, and profits
+        surged"): an s-ambiguous verb reading directly followed by a
+        finite verb is a noun.  Applies sentence-initially and right
+        after a coordinating conjunction (a new clause's subject).
+        Irregular verb forms ("has", "leads") are exempt."""
+        clause_initial = sent_initial or (
+            i > 0 and toks[i - 1].morphofeat == "CC")
+        if not clause_initial or not low.endswith("s") \
                 or low in lx.IRREGULAR_LEMMA:
             return False
         if i + 1 >= len(toks):
@@ -548,6 +552,12 @@ class RuleAnnotator:
             to the NP's final head chunk."""
             while True:
                 nxt = chunk_start.get(c[1])
+                # a directly-adjacent chunk only continues the NP when
+                # it is noun-initial (title chains); a DT/JJ-initial
+                # chunk is a separate NP ("the project | last year")
+                if nxt is not None \
+                        and toks[nxt[0]].morphofeat not in _NOUNISH:
+                    nxt = None
                 if nxt is None and c[1] < n and toks[c[1]].morphofeat == "POS":
                     nxt = chunk_start.get(c[1] + 1)
                 if nxt is None and c[1] + 1 < n and toks[c[1]].form in ("'", "’") \
@@ -1102,7 +1112,33 @@ class RuleAnnotator:
         self._light_verbs(preds, pred_at, links)
         self._motion_source_nominals(preds, pred_at)
         self._propagate_subjects(preds, preds_at_head, links)
+        self._temporal_np_adjuncts(toks, preds, chunks, deps)
         return preds
+
+    _TIME_NOUNS = frozenset({
+        "year", "month", "week", "day", "decade", "morning",
+        "afternoon", "evening", "night", "yesterday", "today",
+        "tomorrow", "weekend", "summer", "winter", "spring", "autumn",
+    })
+
+    def _temporal_np_adjuncts(self, toks, preds, chunks, deps) -> None:
+        """Bare temporal NP adjuncts ("poured … last year"): a chunk
+        headed by a time noun that no dependency governs (not a
+        subject/object/PP object) is an AM-TMP of the nearest
+        preceding verbal predicate in the sentence."""
+        governed = {d for g, d, r in deps
+                    if r in ("SBJ", "OBJ", "PMOD", "NMODPOSS", "CONJ")}
+        for (s, e, h) in chunks:
+            if toks[h].lemma not in self._TIME_NOUNS or h in governed:
+                continue
+            cand = [p for p in preds
+                    if p.source == "verbal" and p.head < s
+                    and toks[p.head].sent == toks[h].sent]
+            if not cand:
+                continue
+            p = max(cand, key=lambda q: q.head)
+            if not any(r[0] == "AM-TMP" and r[3] == h for r in p.roles):
+                p.roles.append(("AM-TMP", s, e, h, {}))
 
     def _motion_source_nominals(self, preds, pred_at) -> None:
         """"Money flows to the group from like-minded donors" — the
