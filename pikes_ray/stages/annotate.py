@@ -261,9 +261,10 @@ class RuleAnnotator:
         if toks[i - 1].sent != toks[i].sent:
             return False
         # a finite s-form cannot directly follow another verb ("raise
-        # funds", "said profits fell") — two adjacent finite/base verbs
-        # are ungrammatical, so the s-form is the object/subject noun
-        if toks[i - 1].morphofeat in ("VB", "VBD", "VBZ", "VBP"):
+        # funds", "said profits fell", "prompting sanctions") — two
+        # adjacent finite/base verbs are ungrammatical, so the s-form
+        # is the object/subject noun
+        if toks[i - 1].morphofeat in ("VB", "VBD", "VBZ", "VBP", "VBG"):
             return True
         if toks[i - 1].morphofeat != "NN":
             return False

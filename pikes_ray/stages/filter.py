@@ -162,9 +162,17 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
                 ok.append(p)
                 continue
             lemma = tokens[p["head"]]["lemma"]
-            expected = lx.VERB_FRAMES.get(lemma)
-            if expected is None and lemma in lx.NOUN_FRAMES:
+            # check the roleset in the predicate's OWN model first: a
+            # nominal predicate validates against the NomBank→PB
+            # mapping ("sanctions" → impose.01), not the homographic
+            # verb's roleset (sanction.01) — NAFFilter validates the
+            # external ref against the matching resource
+            if p["source"] == "nominal" and lemma in lx.NOUN_FRAMES:
                 expected = lx.NOUN_FRAMES[lemma][1]
+            else:
+                expected = lx.VERB_FRAMES.get(lemma)
+                if expected is None and lemma in lx.NOUN_FRAMES:
+                    expected = lx.NOUN_FRAMES[lemma][1]
             if expected is None or expected == p["sense"] \
                     or (p["sense"] and "." in p["sense"] and "." in expected
                         and p["sense"].split(".")[0] == expected.split(".")[0]):
