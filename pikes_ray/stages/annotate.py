@@ -1060,6 +1060,11 @@ class RuleAnnotator:
                     if pm is None:
                         break
                     nxt_tok = pos + 1
+                    if nxt_tok < n and toks[nxt_tok].morphofeat == "DT" \
+                            and chunk_by_head.get(pm, (pm, pm + 1))[0] == nxt_tok + 1:
+                        # bare determiner outside an entity chunk
+                        # ("challenge to the [United States]")
+                        nxt_tok += 1
                     if nxt_tok < n and (toks[nxt_tok].morphofeat.startswith("VB")
                                         or chunk_by_head.get(pm, (pm, pm + 1))[0] != nxt_tok):
                         break     # infinitive marker or non-adjacent PP
