@@ -167,3 +167,58 @@ def test_heldout_generalization():
     full, ablated = f1("full"), f1("ablated")
     assert full >= 0.9
     assert abs(full - ablated) < 0.005
+
+
+def _annotate(text, profile="full"):
+    from pikes_ray.stages.annotate import RuleAnnotator
+    from pikes_ray.stages.filter import FilterConfig, filter_document
+
+    with lx.lexicon_profile(profile):
+        return filter_document(RuleAnnotator().annotate(text), FilterConfig())
+
+
+def test_f10_nominal_vs_verb_homograph():
+    """With the grown verb lexicon, nouns like "sanctions" have verb
+    homographs; F10 must validate the NOMINAL pred against the
+    NomBank→PB mapping (impose.01), not the verb roleset (sanction.01)
+    — otherwise the pred is dropped and re-added bare, losing its PP
+    argument (round-4 regression guard)."""
+    doc = _annotate("The decision prompted sanctions from Europe.")
+    toks = doc["tokens"]
+    sanction = [p for p in doc["predicates"]
+                if toks[p["head"]]["lemma"] == "sanction"]
+    assert sanction and sanction[0]["sense"] == "impose.01"
+    fillers = {(r["sem_role"], toks[r["head"]]["form"])
+               for r in sanction[0]["roles"]}
+    assert ("A0", "Europe") in fillers
+
+
+def test_clause_coordination_not_np_coordination():
+    """", and <NP> <finite verb>" opens a new clause: the right
+    conjunct must NOT receive the left clause's roles ("…by Samsung,
+    and many workers were hired")."""
+    doc = _annotate(
+        "A new factory was opened in Vietnam by Samsung, and many workers were hired.")
+    toks = doc["tokens"]
+    by_lemma = {}
+    for p in doc["predicates"]:
+        by_lemma[toks[p["head"]]["lemma"]] = {
+            (r["sem_role"], toks[r["head"]]["form"]) for r in p["roles"]}
+    assert ("A0", "Samsung") in by_lemma["open"]
+    assert not any(f == "Samsung" for (_r, f) in by_lemma["hire"])
+    assert ("A1", "workers") in by_lemma["hire"]
+    assert not any(f == "workers" for (_r, f) in by_lemma["open"])
+
+
+def test_bare_temporal_np_adjunct():
+    """An ungoverned NP headed by a time noun is an AM-TMP of the
+    nearest preceding verb ("expanded the project last year")."""
+    doc = _annotate("Investors expanded the project last year.")
+    toks = doc["tokens"]
+    expand = [p for p in doc["predicates"]
+              if toks[p["head"]]["lemma"] == "expand"]
+    assert expand
+    roles = {(r["sem_role"], toks[r["head"]]["form"])
+             for r in expand[0]["roles"]}
+    assert ("AM-TMP", "year") in roles
+    assert ("A1", "project") in roles
