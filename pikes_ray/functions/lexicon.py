@@ -574,6 +574,11 @@ def _rebuild() -> None:
     for _p in PERSONS:
         GAZETTEER[_p] = ("PERSON", _iri_name(_p), 0.9)
     for _o in ORGS:
+        if _o in GAZETTEER and GAZETTEER[_o][0] == "ORGANIZATION":
+            # a curated well-known-org resource (growth layer) beats
+            # the surface-underscore heuristic ("the Nusra Front" →
+            # Al-Nusra_Front, not Nusra_Front)
+            continue
         GAZETTEER[_o] = ("ORGANIZATION", _iri_name(_o), 0.85)
     for _l in LOCATIONS:
         GAZETTEER[_l] = ("LOCATION", _iri_name(_l), 0.8)
