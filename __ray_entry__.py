@@ -620,6 +620,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["est_count"] = out["est_count"].astype("int64")
         return out.reset_index(drop=True)
 
+    def _events_graph(sf_dir):
+        """Deterministic RDF view of the events table — the shared
+        input for the rdfpro-style processors (ops/rdfproc.py), with
+        the SAME mapping expressed in the oracle SQL: per-event typing
+        + user edges, a per-event (deliberately duplicated) subclass
+        axiom, and two static schema rows."""
+        import pandas as pd
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "event_type"])
+
+        def fn(df):
+            eid = df["event_id"].astype("int64").astype(str)
+            uid = df["user_id"].astype("int64").astype(str)
+            et = df["event_type"].astype(str)
+            return pd.concat([
+                pd.DataFrame({"subj": "evt:" + eid, "pred": "rdf:type",
+                              "obj": "ev:" + et}),
+                pd.DataFrame({"subj": "evt:" + eid, "pred": "ev:user",
+                              "obj": "user:" + uid}),
+                pd.DataFrame({"subj": "ev:" + et,
+                              "pred": "rdfs:subClassOf",
+                              "obj": "ev:Event"}),
+            ], ignore_index=True)
+
+        static = rd.from_items([
+            {"subj": "ev:Event", "pred": "rdf:type", "obj": "owl:Class"},
+            {"subj": "ev:user", "pred": "rdf:type",
+             "obj": "owl:ObjectProperty"},
+        ]).map_batches(lambda df: df, batch_format="pandas")
+        return ev.map_batches(fn, batch_format="pandas").union(static)
+
+    def kg_tbox(sf_dir):
+        """rdfpro @tbox analogue over the events RDF view: schema
+        statements only, deduped (ops/rdfproc.tbox_extract) — the
+        per-event duplicated subclass axioms collapse to one row per
+        event type.  Oracle-exact."""
+        from pikes_ray.ops.rdfproc import tbox_extract
+
+        return tbox_extract(_events_graph(sf_dir))
+
+    def kg_pred_stats(sf_dir):
+        """rdfpro @stats analogue: per-predicate statement count +
+        exact distinct subject/object counts, combiner-first
+        (ops/rdfproc.predicate_stats).  Oracle-exact."""
+        from pikes_ray.ops.rdfproc import predicate_stats
+
+        out = predicate_stats(_events_graph(sf_dir))
+        for c in ("n_statements", "n_subjects", "n_objects"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def kg_stmt_filter(sf_dir):
+        """rdfpro @transform analogue: keep the typing statements
+        (prefix pattern evt:*), drop the error class
+        (ops/rdfproc.statement_filter).  Pure map_batches; oracle-exact."""
+        from pikes_ray.ops.rdfproc import statement_filter
+
+        return statement_filter(
+            _events_graph(sf_dir),
+            keep=[("evt:*", "rdf:type", None)],
+            drop=[(None, None, "ev:error")])
+
     def evt_approx_users(sf_dir):
         """HyperLogLog distinct-user estimate (rows-only: approximate
         by construction; the exact companion is q_distinct_segments'
@@ -848,6 +911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_chat_render": t_chat_render,
         "doc_leakage_split": doc_leakage_split,
         "evt_top_users": evt_top_users,
+        "kg_tbox": kg_tbox,
+        "kg_pred_stats": kg_pred_stats,
+        "kg_stmt_filter": kg_stmt_filter,
         "evt_approx_users": evt_approx_users,
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_exact": emb_near_dup_exact,
@@ -1187,6 +1253,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id::VARCHAR AS value, count(*)::BIGINT AS est_count
             FROM events GROUP BY user_id
             ORDER BY est_count DESC, value LIMIT 10
+        """,
+        "kg_tbox": """
+            SELECT DISTINCT 'ev:'||event_type AS subj,
+                   'rdfs:subClassOf' AS pred, 'ev:Event' AS obj
+            FROM events
+            UNION ALL SELECT 'ev:Event', 'rdf:type', 'owl:Class'
+            UNION ALL SELECT 'ev:user', 'rdf:type', 'owl:ObjectProperty'
+        """,
+        "kg_pred_stats": """
+            WITH g AS (
+                SELECT 'evt:'||event_id AS subj, 'rdf:type' AS pred,
+                       'ev:'||event_type AS obj FROM events
+                UNION ALL
+                SELECT 'evt:'||event_id, 'ev:user', 'user:'||user_id
+                FROM events
+                UNION ALL
+                SELECT 'ev:'||event_type, 'rdfs:subClassOf', 'ev:Event'
+                FROM events
+                UNION ALL SELECT 'ev:Event', 'rdf:type', 'owl:Class'
+                UNION ALL SELECT 'ev:user', 'rdf:type', 'owl:ObjectProperty')
+            SELECT pred, count(*)::BIGINT AS n_statements,
+                   count(DISTINCT subj)::BIGINT AS n_subjects,
+                   count(DISTINCT obj)::BIGINT AS n_objects
+            FROM g GROUP BY pred ORDER BY pred
+        """,
+        "kg_stmt_filter": """
+            SELECT 'evt:'||event_id AS subj, 'rdf:type' AS pred,
+                   'ev:'||event_type AS obj
+            FROM events WHERE event_type <> 'error'
         """,
         "doc_tfidf": r"""
             WITH t AS (

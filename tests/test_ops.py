@@ -848,3 +848,55 @@ def test_jaccard_pairs_exact_df_cap_documented_trade(ray_session):
         "text": ["hot a b c", "hot a b c", "hot x y z"]})
     full = D.jaccard_pairs_exact(rd.from_pandas(df), threshold=(1, 2))
     assert [tuple(r)[:2] for r in full.itertuples(index=False)] == [(0, 1)]
+
+
+def test_rdfproc_statement_filter(ray_session):
+    import ray.data as _rd
+
+    from pikes_ray.ops.rdfproc import statement_filter
+
+    rows = [
+        {"subj": "evt:1", "pred": "rdf:type", "obj": "ev:click"},
+        {"subj": "evt:2", "pred": "rdf:type", "obj": "ev:error"},
+        {"subj": "evt:1", "pred": "ev:user", "obj": "user:7"},
+        {"subj": "ev:click", "pred": "rdfs:subClassOf", "obj": "ev:Event"},
+    ]
+    ds = _rd.from_items(rows).map_batches(lambda df: df,
+                                          batch_format="pandas")
+    kept = statement_filter(ds, keep=[("evt:*", "rdf:type", None)],
+                            drop=[(None, None, "ev:error")]).to_pandas()
+    assert set(map(tuple, kept.values)) == {("evt:1", "rdf:type", "ev:click")}
+    # empty keep = keep-all minus drops
+    rest = statement_filter(ds, drop=[(None, "rdf:type", None)]).to_pandas()
+    assert len(rest) == 2
+
+
+def test_rdfproc_tbox_and_stats(ray_session):
+    import ray.data as _rd
+
+    from pikes_ray.ops.rdfproc import predicate_stats, tbox_extract
+
+    rows = (
+        [{"subj": f"evt:{i}", "pred": "rdf:type", "obj": "ev:click"}
+         for i in range(5)]
+        + [{"subj": f"evt:{i}", "pred": "ev:user", "obj": f"user:{i % 2}"}
+           for i in range(5)]
+        # duplicated axiom rows must dedup to one
+        + [{"subj": "ev:click", "pred": "rdfs:subClassOf",
+            "obj": "ev:Event"}] * 3
+        + [{"subj": "ev:Event", "pred": "rdf:type", "obj": "owl:Class"}]
+    )
+    ds = _rd.from_items(rows).map_batches(lambda df: df,
+                                          batch_format="pandas")
+    tbox = tbox_extract(ds).to_pandas()
+    assert set(map(tuple, tbox.values)) == {
+        ("ev:click", "rdfs:subClassOf", "ev:Event"),
+        ("ev:Event", "rdf:type", "owl:Class"),
+    }
+    stats = predicate_stats(ds).set_index("pred")
+    assert stats.loc["rdf:type", "n_statements"] == 6
+    assert stats.loc["rdf:type", "n_subjects"] == 6
+    assert stats.loc["rdf:type", "n_objects"] == 2   # ev:click, owl:Class
+    assert stats.loc["ev:user", "n_objects"] == 2
+    assert stats.loc["rdfs:subClassOf", "n_statements"] == 3
+    assert stats.loc["rdfs:subClassOf", "n_subjects"] == 1
