@@ -32,7 +32,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 # ---------------------------------------------------------------------------
-# verbs: ~1,600 frequent English lemmas (public frequency lists; two
+# verbs: ~2,200 frequent English lemmas (public frequency lists; two
 # tranches — round 3's ~700 plus round 4's top-frequency completion),
 # PropBank roleset = lemma.01 unless the exception map says otherwise
 # ---------------------------------------------------------------------------
