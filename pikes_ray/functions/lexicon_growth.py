@@ -42,29 +42,14 @@ from functools import lru_cache
 # reference's E5 frequency disambiguation takes the same argmax —
 # resources/FrequencyDisambiguation semantics); one sense per lemma,
 # exactly like the reference's per-lemma most-frequent-sense pick
+# NOTE (VERDICT r4 item 1b): every non-.01 pin whose lemma belongs to
+# the eval-pm gold vocabulary (pose.02, mount.02, storm.02, prompt.02,
+# push.02, spin.02, run.05, make.02, have.03) lives in the QUARANTINED
+# lexicon.EVAL_PM_VERB_FRAMES table, not here — the growth layer must
+# stay provably gold-disjoint (tests/test_lexicon_growth.py enforces
+# zero key overlap with the EVAL_PM tables).
 VERB_SENSE_EXCEPTIONS: dict[str, str] = {
     "leave": "leave.01", "keep": "keep.01",
-    # possession "have" (the auxiliary reading is filtered upstream by
-    # the aux-chain skip, so the main-verb argmax is the own/possess
-    # roleset)
-    "have": "have.03",
-    # cause-to-be ("make it illegal") dominates news text over create
-    "make": "make.02",
-    # "pose a question / threat" (say-37.1.1) over position-oneself
-    "pose": "pose.02",
-    # "casualties mount" (increase) over climb
-    "mount": "mount.02",
-    # verbal "storm" = attack (the weather reading is nominal)
-    "storm": "storm.02",
-    # "prompt X to Y" = cause-to-start
-    "prompt": "prompt.02",
-    # "push X to Y" = urge (metaphorical) dominates in news register
-    "push": "push.02",
-    # "spin off" phrasal dominates verbal "spin" in business news
-    "spin": "spin.02",
-    # "run out / deplete" — the reference's frequency pick for bare
-    # "run" in its news corpus
-    "run": "run.05",
     # "sign an agreement" (affix signature) over signal
     "sign": "sign.02",
     # "give back" over go-back for transitive return
@@ -164,16 +149,17 @@ welcome widen win wind wish withdraw withstand witness wonder worry wound
 wrap write yield
 """.split()
 
-# second public-frequency tranche (round 4): the everyday top-frequency
-# verbs the first tranche omitted (say/want/become/…) plus the long
+# second public-frequency tranche (round 4, re-scoped round 5): the
+# everyday top-frequency verbs the first tranche omitted plus the long
 # tail of a public ~2000-lemma frequency list.  PropBank roleset =
 # lemma.01 unless VERB_SENSE_EXCEPTIONS pins the documented dominant.
+# Lemmas that belong to the eval-pm gold vocabulary (say, want,
+# become, pose, blacklist, …) were REMOVED from this tranche in round
+# 5 (VERDICT r4 item 1b): they live in the quarantined
+# lexicon.EVAL_PM_VERB_FRAMES table, and the ablated profiles reach
+# them only through the open-vocabulary lemma.01 fallback.
 COMMON_VERBS += """
-say tell want need become get go take do put make have give try help
-support fight hope agree grow pose mount storm prompt push spin run
-capture inherit isolate prevent organize oppose govern impose donate
-blacklist contribute attract gather succeed deal rebel challenge sense
-plan
+tell need get go take do put grow
 abandon absorb abuse accelerate accommodate accumulate advocate amend
 amuse anchor annex annoy approach arm assassinate astonish attain avert
 bargain beg bend bestow betray bite bleed bless blink bolster bombard
@@ -438,9 +424,12 @@ NOMINALIZATION_BLOCKLIST = frozenset({
 # relational noun IS its A0 and takes the alter as A1 ("our brothers");
 # group nouns carry a plain roleset (their modifiers fill A1/A3).
 COMMON_NOUNS: dict[str, tuple[str, str, tuple[int, ...], tuple[int, ...]]] = {
+    # NOTE (VERDICT r4 item 1b): rows duplicating a key of the
+    # quarantined lexicon.EVAL_PM_NOUN_FRAMES table (president,
+    # official, veteran, insurgent, brother, group, force, …) were
+    # removed in round 5 — gold-register vocabulary lives only in the
+    # quarantined layer, and tests enforce zero key overlap.
     # office / title nouns (a0 self, a2 = governed entity)
-    "president":  ("president.01", "", (0,), (2,)),
-    "official":   ("official.01", "", (0,), (2,)),
     "minister":   ("minister.01", "", (0,), (2,)),
     "chairman":   ("chairman.01", "", (0,), (2,)),
     "chancellor": ("chancellor.01", "", (0,), (2,)),
@@ -449,7 +438,6 @@ COMMON_NOUNS: dict[str, tuple[str, str, tuple[int, ...], tuple[int, ...]]] = {
     "secretary":  ("secretary.01", "", (0,), (2,)),
     "spokesman":  ("spokesman.01", "", (0,), (2,)),
     "chief":      ("chief.01", "", (0,), (2,)),
-    "veteran":    ("veteran.02", "", (0,), (2,)),
     "expert":     ("expert.01", "", (0,), (2,)),
     "deputy":     ("deputy.01", "", (0,), (2,)),
     "head":       ("head.03", "", (0,), (2,)),
@@ -462,9 +450,7 @@ COMMON_NOUNS: dict[str, tuple[str, str, tuple[int, ...], tuple[int, ...]]] = {
     "pioneer":    ("pioneer.01", "pioneer.01", (0,), ()),
     "champion":   ("champion.01", "", (0,), ()),
     "warrior":    ("warrior.01", "", (0,), ()),
-    "insurgent":  ("insurgent.01", "rebel.01", (0,), ()),
     # relational / kinship nouns (a0 self, a1 = the alter)
-    "brother":    ("brother.01", "", (0,), (1,)),
     "sister":     ("sister.01", "", (0,), (1,)),
     "father":     ("father.01", "", (0,), (1,)),
     "mother":     ("mother.01", "", (0,), (1,)),
@@ -485,8 +471,6 @@ COMMON_NOUNS: dict[str, tuple[str, str, tuple[int, ...], tuple[int, ...]]] = {
     "counterpart": ("counterpart.01", "", (0,), (1,)),
     "aide":       ("aide.01", "", (0,), (2,)),
     # group / organization nouns (plain rolesets)
-    "group":      ("group.01", "", (), ()),
-    "force":      ("force.01", "", (), ()),
     "team":       ("team.01", "", (), ()),
     "army":       ("army.01", "", (), ()),
     "committee":  ("committee.01", "", (), ()),
@@ -494,7 +478,6 @@ COMMON_NOUNS: dict[str, tuple[str, str, tuple[int, ...], tuple[int, ...]]] = {
     "union":      ("union.01", "", (), ()),
     "coalition":  ("coalition.01", "", (), ()),
     "alliance":   ("alliance.01", "", (), ()),
-    "battalion":  ("battalion.01", "", (), ()),
     "brigade":    ("brigade.01", "", (), ()),
     "militia":    ("militia.01", "", (), ()),
     "faction":    ("faction.01", "", (), ()),
@@ -506,24 +489,10 @@ COMMON_NOUNS: dict[str, tuple[str, str, tuple[int, ...], tuple[int, ...]]] = {
     "panel":      ("panel.01", "", (), ()),
     "jury":       ("jury.01", "", (), ()),
     # locative / political nouns
-    "country":    ("country.01", "", (), ()),
-    "land":       ("land.02", "", (), ()),
     "homeland":   ("homeland.01", "", (), ()),
     # event / artifact nouns from the public NomBank lexicon
-    "way":        ("way.01", "", (), ()),
-    "skill":      ("skill.01", "", (), ()),
-    "weapon":     ("weapon.01", "defend.01", (2,), ()),
-    "base":       ("base.01", "", (), ()),
-    "field":      ("field.02", "", (), ()),
-    "stamp":      ("stamp.01", "", (), ()),
-    "minority":   ("minority.01", "", (), ()),
     "majority":   ("majority.01", "", (), ()),
-    "effort":     ("effort.01", "try.01", (), ()),
-    "offshoot":   ("offshoot.01", "spin.02", (0,), (1,)),
-    "dealing":    ("dealing.01", "deal.01", (), ()),
-    "sanction":   ("sanction.01", "impose.01", (1,), ()),
     "war":        ("war.01", "", (), ()),
-    "favor":      ("favor.02", "give.01", (1,), ()),
 }
 
 
@@ -694,11 +663,11 @@ WELL_KNOWN_ORGS: dict[str, str] = {
     "Al-Qaeda": "Al-Qaeda",
     "Islamic State": "Islamic_State",
     "Boko Haram": "Boko_Haram",
-    "Nusra Front": "Al-Nusra_Front",
-    "Al-Nusra Front": "Al-Nusra_Front",
+    # NOTE (VERDICT r4 item 1b / ADVICE): the eval-pm-corpus entities
+    # ("Nusra Front" aliases, "Free Syrian Army", "Syrian opposition")
+    # were moved back to the quarantined lexicon.EVAL_PM_GAZETTEER
+    # where their provenance puts them.
     "Muslim Brotherhood": "Muslim_Brotherhood",
-    "Free Syrian Army": "Free_Syrian_Army",
-    "Syrian opposition": "Syrian_opposition",
     "Red Crescent": "Red_Crescent",
     "Interpol": "Interpol",
     "UNESCO": "UNESCO",

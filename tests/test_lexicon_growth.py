@@ -21,23 +21,67 @@ def test_profiles_rebuild_live_tables():
         assert lx.VERB_FRAMES["say"] == "say.01"     # eval-pm present
         assert not lx.open_vocab_ner()
     with lx.lexicon_profile("ablated"):
-        # common verbs stay available from the PUBLIC frequency list
-        # (pose IS a frequent English verb); what the ablation
-        # quarantines is the gold-DERIVED entries that no public list
-        # supplies — e.g. the eval-pm person gazetteer rows
-        assert lx.VERB_FRAMES["pose"] == "pose.02"   # growth, public argmax
+        # round-5 contract (VERDICT r4 item 1b / ADVICE): gold-corpus
+        # vocabulary lives ONLY in the quarantined EVAL_PM_* tables, so
+        # the ablated profile must not see it via any layer — "pose"
+        # and "blacklist" are eval-pm verbs; the only off-lexicon path
+        # to them is the open-vocabulary lemma.01 fallback
+        assert "pose" not in lx.VERB_FRAMES
+        assert "blacklist" not in lx.VERB_FRAMES
+        assert "offshoot" not in lx.NOUN_FRAMES
         assert "Bashar al-Assad" not in lx.GAZETTEER  # gold-only link out
+        assert "Syrian opposition" not in lx.GAZETTEER
+        assert "Nusra Front" not in lx.GAZETTEER
         assert "Syria" not in lx.GAZETTEER or \
             lx.GAZETTEER["Syria"][1] == "Syria"      # grown country ok
         assert "accept" in lx.VERB_FRAMES            # growth present
-        assert lx.open_vocab_ner()
+        assert lx.open_vocab_ner() and lx.open_vocab_frames()
     with lx.lexicon_profile("core"):
         assert "accept" not in lx.VERB_FRAMES
         assert "pose" not in lx.VERB_FRAMES
-        assert not lx.open_vocab_ner()
+        assert not lx.open_vocab_ner() and not lx.open_vocab_frames()
     assert lx.profile() == "full" and len(lx.VERB_FRAMES) == full_v
     with pytest.raises(ValueError):
         lx.set_profile("nope")
+
+
+def test_growth_layer_is_gold_disjoint():
+    """No growth table may share a key with a quarantined EVAL_PM_*
+    table (the round-4 laundering vector, closed in round 5)."""
+    import pikes_ray.functions.lexicon_growth as g
+
+    assert not set(g.COMMON_VERBS) & set(lx.EVAL_PM_VERB_FRAMES)
+    assert not set(g.VERB_SENSE_EXCEPTIONS) & set(lx.EVAL_PM_VERB_FRAMES)
+    assert not set(g.COMMON_NOUNS) & set(lx.EVAL_PM_NOUN_FRAMES)
+    gaz = {k.lower().removeprefix("the ") for k in lx.EVAL_PM_GAZETTEER}
+    grown = {k.lower().removeprefix("the ") for k in g.WELL_KNOWN_ORGS}
+    # "Al Qaeda" is the one deliberate exception: globally notable on
+    # any neutral public list, so the growth layer may know it
+    assert grown & gaz <= {"al qaeda", "al-qaeda"}
+
+
+def test_ablated_strict_is_mechanically_gold_disjoint():
+    """The strict profile drops every live entry whose surface (or an
+    inflected form) occurs in the eval-pm sentence texts — enforced by
+    re-deriving the overlap here, not by a curated list."""
+    toks, texts = lx._eval_pm_texts()
+    assert toks and len(texts) == 8
+    with lx.lexicon_profile("ablated_strict"):
+        for table in (lx.VERB_FRAMES, lx.NOUN_FRAMES, lx.GAZETTEER):
+            bad = [k for k in table if lx._gold_overlaps(k, toks, texts)]
+            assert not bad, f"gold-overlapping entries survived: {bad[:10]}"
+        # spot checks: gold verbs/nouns reachable only via fallback
+        for w in ("pose", "say", "want", "become", "capture", "flow"):
+            assert w not in lx.VERB_FRAMES
+        for w in ("offshoot", "government", "fighter", "stamp"):
+            assert w not in lx.NOUN_FRAMES
+        for s in ("Syria", "Iraq", "Al Qaeda", "the Nusra Front",
+                  "Europe", "the United States"):
+            assert s not in lx.GAZETTEER
+        # non-overlapping public vocabulary survives
+        assert "accept" in lx.VERB_FRAMES
+        assert "Kenya" in lx.GAZETTEER
+        assert lx.open_vocab_frames()
 
 
 def test_grown_verbs_default_01_and_core_precedence():
@@ -146,27 +190,30 @@ def test_eval_pm_ablation_ordering():
                                    ("pinned", "full", "ablated", "core"))
     assert pinned >= 0.985
     assert full >= 0.95
-    # round-4 growth closed most of the off-lexicon gap (VERDICT r3
-    # top item: ablated was .205, target ≥.45)
-    assert ablated >= 0.9
+    # round-5 honesty note: the round-4 "ablated ≥ .9" bar was an
+    # artifact of gold vocabulary relabelled into the growth layer
+    # (VERDICT r4 item 1); with the quarantine restored, ablated
+    # measures what the growth lists + open-vocab fallback genuinely
+    # do off-lexicon, and the mechanically-filtered ablated_strict
+    # profile (own test below) is the headline generalization number.
     assert pinned >= full > ablated > core
 
 
-def test_heldout_generalization():
-    """Round-4 held-out gate: 8 fresh hand-annotated sentences with no
-    vocabulary overlap with the reference's eval-pm corpus.  The full
-    and ablated profiles must (a) both clear a high bar and (b)
-    coincide — proving the score owes nothing to gold-derived lexicon
-    entries (the whole point of the held-out set, VERDICT r3 item 1)."""
+def test_heldout_regression_gate():
+    """Round-4 held-out corpus, rescoped per VERDICT r4 item 2 of
+    "what's wrong": the sentences were iterated against during round-4
+    development, so the number is a REGRESSION GATE on the full
+    profile, not a generalization proof (that role passed to the
+    frozen round-5 first-contact corpus and the ablated_strict
+    profile).  The old `full == ablated` coincidence assertion was
+    dropped: it was an artifact of eval-pm vocabulary (plan, push, …)
+    living in the ablation-exempt growth layer; with the round-5
+    quarantine restored the two profiles legitimately differ here."""
     from pikes_ray.pipelines.evalpm import evaluate_ours_heldout
 
-    def f1(profile):
-        r = evaluate_ours_heldout(profile=profile)
-        return float(r[r["component"] == "triples"]["f1"].iloc[0])
-
-    full, ablated = f1("full"), f1("ablated")
+    r = evaluate_ours_heldout(profile="full")
+    full = float(r[r["component"] == "triples"]["f1"].iloc[0])
     assert full >= 0.9
-    assert abs(full - ablated) < 0.005
 
 
 def _annotate(text, profile="full"):
