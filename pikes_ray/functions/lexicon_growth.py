@@ -707,6 +707,179 @@ def grown_gazetteer() -> dict[str, tuple[str, str, float]]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# RULE-ONLY open-vocabulary morphology (VERDICT r4 item 2): the strict
+# profile's fallback path.  No table lookups against quarantinable
+# vocabulary — every function below is pure orthographic rule, so the
+# mechanical gold-disjoint ablation cannot be routed around through it.
+# ---------------------------------------------------------------------------
+
+# lemmas whose final double consonant is lexical, not suffix-doubling
+_NO_UNDOUBLE = frozenset({"add", "err", "egg", "ebb", "inn", "odd",
+                          "putt", "purr", "buzz", "fizz", "staff",
+                          "stuff", "bluff", "sniff", "stiff"})
+
+_VOWELS = "aeiou"
+
+
+def _syllable_groups(stem: str) -> int:
+    import re
+
+    return len(re.findall(r"[aeiouy]+", stem))
+
+
+def restore_e(stem: str) -> tuple[str, bool]:
+    """Heuristic un-suffixing repair for a verb stem produced by
+    stripping -ed/-ing: restore a dropped final 'e', undo consonant
+    doubling, undo i→y.  → (lemma, confident).  ``confident`` is False
+    exactly for the spelling-ambiguous class (multisyllabic CVC-final
+    stems like visit/invite, honor/ignore) where orthography cannot
+    decide — callers that must not overclaim (e.g. the deverbal-noun
+    PropBank projection) treat those as NomBank-only."""
+    if not stem:
+        return stem, False
+    c = stem[-1]
+    # suffix-created double consonant: plann→plan, shipp→ship
+    if (len(stem) >= 3 and c == stem[-2] and c not in _VOWELS + "ls"
+            and stem not in _NO_UNDOUBLE):
+        return stem[:-1], True
+    if c == "i":
+        return stem[:-1] + "y", True                  # studi→study
+    if c in "cgvuz":
+        return stem + "e", True                       # fac/chang/serv/continu
+    if c in "sz" and not stem.endswith("ss"):
+        return stem + "e", True                       # disclos→disclose
+    if (len(stem) >= 3 and stem[-2] in _VOWELS
+            and stem[-3] not in _VOWELS and c not in "aeiouwxy"):
+        # single-vowel-then-consonant ending (CVC): the doubling rule
+        # would have fired had the lemma ended in this consonant, so an
+        # undoubled spelling usually implies a dropped 'e'
+        if _syllable_groups(stem) == 1:
+            return stem + "e", True                   # fin→fine, mak→make
+        if stem.endswith(("at", "ut")):
+            return stem + "e", True                   # devastat→devastate
+        if stem.endswith(("ar", "ir", "ur")):
+            return stem + "e", True                   # compar/requir/captur
+        # visit/invite ambiguity class: keep the stem, flag uncertain
+        return stem, False
+    return stem, True                                 # warn, help, deal, suggest
+
+
+def ed_lemma(form: str) -> str:
+    """Lemma of an unknown -ed form (rule-only)."""
+    low = form.lower()
+    if low.endswith("ied"):
+        return low[:-3] + "y"                         # studied→study
+    if low.endswith("eed"):
+        return low[:-1]                               # agreed→agree
+    if low.endswith("yed"):
+        return low[:-2]                               # stayed→stay
+    stem, _ = restore_e(low[:-2])
+    return stem
+
+
+def ing_lemma(form: str) -> str:
+    """Lemma of an unknown -ing form (rule-only)."""
+    low = form.lower()
+    if low.endswith("ying") and len(low) > 5:
+        return low[:-4] + "y" if low[-5] not in _VOWELS else low[:-3]
+    stem, _ = restore_e(low[:-3])
+    return stem
+
+
+def s_lemma(form: str) -> str:
+    """Lemma of an unknown 3sg -s form (rule-only)."""
+    low = form.lower()
+    if low.endswith("ies") and len(low) > 4:
+        return low[:-3] + "y"
+    if low.endswith(("shes", "ches", "sses", "xes", "zes", "oes")):
+        return low[:-2]
+    return low[:-1]
+
+
+# non-deverbal nouns the reverse rules would wrongly analyze (public
+# junk-word guard, same role as NOMINALIZATION_BLOCKLIST for the
+# forward direction)
+REVERSE_BLOCKLIST = frozenset({
+    "member", "number", "officer", "customer", "computer", "character",
+    "quarter", "corner", "chapter", "letter", "matter", "monster",
+    "semester", "disaster", "sister", "master", "minister", "water",
+    "weather", "mother", "father", "brother", "daughter", "order",
+    "other", "paper", "power", "summer", "winter", "center", "theater",
+    "author", "doctor", "mirror", "error", "horror", "terror", "mayor",
+    "anchor", "harbor", "honor", "armor", "flavor", "razor", "rumor",
+    "tumor", "humor", "vapor", "motor", "sector", "factor", "victor",
+    "morning", "evening", "building", "ceiling", "wedding", "clothing",
+    "something", "anything", "everything", "nothing", "thing", "king",
+    "ring", "wing", "spring", "string", "sibling", "darling",
+    "committee", "fee", "tree", "degree", "coffee", "knee", "bee",
+    "career", "beer", "deer", "sheer", "steer", "frontier", "soldier",
+    "barrier", "carrier", "courier", "premier", "cashier", "glacier",
+    "mission", "station", "nation", "fashion", "section", "caption",
+    "condition", "position", "tradition", "edition", "ambition",
+    "fraction", "function", "emotion", "portion", "region", "religion",
+    "opinion", "onion", "union", "version", "vision", "passion",
+    "session", "fiction", "option", "junction", "mansion", "pension",
+    "moment", "comment", "segment", "element", "instrument", "document",
+    "apartment", "department", "environment", "equipment", "cement",
+    "parliament", "ornament", "tournament", "testament", "monument",
+    "continent", "content", "incident", "president", "resident",
+    "student", "parent", "talent", "agent", "accident",
+    "animal", "capital", "hospital", "general", "signal", "metal",
+    "crystal", "total", "final", "festival", "interval", "rival",
+    "medal", "pedal", "scandal", "sandal", "journal", "terminal",
+    "criminal", "cardinal", "marginal", "original", "principal",
+})
+
+
+def deverbal_analysis(lemma: str) -> tuple[str, str, str] | None:
+    """Open-vocabulary NomBank-shaped analysis of an UNKNOWN noun
+    lemma: → (nombank id, propbank id or "", kind) via reverse
+    derivational morphology, or None when the noun does not look
+    deverbal.  kind ∈ {agent, patient, result}.  The PropBank id is
+    emitted only when the derived verb lemma is orthographically
+    certain (restore_e confident) — otherwise the row is NomBank-only,
+    exactly the reference's behavior for NomBank rolesets without a
+    verbal counterpart (resources/NomBank.java getPBId)."""
+    low = lemma.lower()
+    if len(low) < 5 or not low.isalpha() or low in REVERSE_BLOCKLIST \
+            or low in NOMINALIZATION_BLOCKLIST:
+        return None
+    nb_id = f"{low}.01"
+
+    def pb(verb: str, confident: bool) -> str:
+        return f"{verb}.01" if confident and len(verb) >= 3 else ""
+
+    if low.endswith("ment") and len(low) >= 7:
+        return nb_id, pb(low[:-4], True), "result"    # govern+ment
+    if low.endswith("ication") and len(low) >= 9:
+        return nb_id, pb(low[:-7] + "y", True), "result"   # apply
+    if low.endswith("ization") and len(low) >= 9:
+        return nb_id, pb(low[:-5] + "e", True), "result"   # organize
+    if low.endswith("tion") or low.endswith("sion"):
+        stem, conf = restore_e(low[:-3])              # creat(e), suggest
+        return nb_id, pb(stem, conf), "result"
+    if low.endswith(("ance", "ence")) and len(low) >= 7:
+        stem, conf = restore_e(low[:-4])
+        return nb_id, pb(stem, conf), "result"        # accept+ance
+    if low.endswith("al") and len(low) >= 6 and low[-3] in "svw":
+        stem, conf = restore_e(low[:-2])
+        return nb_id, pb(stem, conf), "result"        # approv(e)+al
+    if low.endswith("ing") and len(low) >= 6:
+        stem, conf = restore_e(low[:-3])
+        return nb_id, pb(stem, conf), "result"        # deal+ing, paint+ing
+    if low.endswith("eer") and len(low) >= 6:
+        # -eer agentives are zero-derivation verbs (volunteer,
+        # engineer, pioneer) — the noun surface IS the verb lemma
+        return nb_id, pb(low, True), "agent"
+    if low.endswith("ee") and len(low) >= 6:
+        return nb_id, pb(low[:-2], True), "patient"   # employ+ee
+    if low.endswith(("er", "or")) and len(low) >= 5:
+        stem, conf = restore_e(low[:-2])
+        return nb_id, pb(stem, conf), "agent"         # fight+er, invest+or
+    return None
+
+
 def classify_ne_span(forms: list[str]) -> str:
     """Shape-based NE type for an unknown capitalized span (the
     open-vocabulary fallback when no gazetteer entry matches — the

@@ -149,3 +149,175 @@ def predicate_stats(triples: "ray.data.Dataset") -> pd.DataFrame:
         .rename(columns={"count()": "n_objects"})
     out = counts.merge(ns, on="pred").merge(no, on="pred")
     return out.sort_values("pred").reset_index(drop=True)
+
+
+def _transitive_close(edges: dict[str, set[str]]) -> dict[str, set[str]]:
+    """Driver-side transitive closure of a (small) schema DAG:
+    node → ALL reachable supers.  Bounded by the TBox vocabulary."""
+    closed: dict[str, set[str]] = {}
+
+    def reach(n: str, seen: frozenset) -> set[str]:
+        if n in closed:
+            return closed[n]
+        out: set[str] = set()
+        for s in edges.get(n, ()):
+            if s in seen:
+                continue                      # schema cycle guard
+            out.add(s)
+            out |= reach(s, seen | {n})
+        closed[n] = out
+        return out
+
+    for n in list(edges):
+        reach(n, frozenset())
+    return closed
+
+
+def rdfs_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Bounded RDFS materialization (VERDICT r4 item 6; rdfpro's
+    inference plugin surface, pikes-rdf/.../rdf/Main.java:94-99):
+    applies the core RDFS entailment rules
+
+    - rdfs5/11  subPropertyOf/subClassOf transitivity (TBox),
+    - rdfs7     (s p o) + p subPropertyOf q      → (s q o),
+    - rdfs9     (s rdf:type C) + C subClassOf D  → (s rdf:type D),
+    - rdfs2     (s p o) + p domain C             → (s rdf:type C),
+    - rdfs3     (s p o) + p range C              → (o rdf:type C),
+
+    with the type consequents expanded through the CLOSED subclass
+    hierarchy, so ONE streaming pass materializes the fixpoint.
+
+    100-TB shape: the TBox is extracted and transitively closed on the
+    driver (schema-vocabulary-bounded, KBs), broadcast once via
+    ``ray.put``, and the ABox streams through a single ``map_batches``
+    — no iteration over the data, no shuffle except the final exact
+    dedup (hash groupby over the emitted statements; skip it with
+    ``dedup=False`` in callers that tolerate duplicates).  Literals
+    (quoted objects) never receive rdfs3 types."""
+    import ray
+
+    tb = tbox_extract(triples).to_pandas()
+    sub_c: dict[str, set[str]] = {}
+    sub_p: dict[str, set[str]] = {}
+    dom: dict[str, set[str]] = {}
+    rng: dict[str, set[str]] = {}
+    for _, r in tb.iterrows():
+        if r["pred"] == "rdfs:subClassOf":
+            sub_c.setdefault(r["subj"], set()).add(r["obj"])
+        elif r["pred"] == "rdfs:subPropertyOf":
+            sub_p.setdefault(r["subj"], set()).add(r["obj"])
+        elif r["pred"] == "rdfs:domain":
+            dom.setdefault(r["subj"], set()).add(r["obj"])
+        elif r["pred"] == "rdfs:range":
+            rng.setdefault(r["subj"], set()).add(r["obj"])
+    c_closed = _transitive_close(sub_c)
+    p_closed = _transitive_close(sub_p)
+
+    def with_supers(cls_set: set[str]) -> set[str]:
+        out = set(cls_set)
+        for c in cls_set:
+            out |= c_closed.get(c, set())
+        return out
+
+    # precompute the full consequent sets so the hot loop is dict hits
+    type_out = {c: {c} | c_closed.get(c, set()) for c in
+                set(sub_c) | {s for v in sub_c.values() for s in v}}
+    dom_out = {p: with_supers(cs) for p, cs in dom.items()}
+    rng_out = {p: with_supers(cs) for p, cs in rng.items()}
+    schema = ray.put((type_out, p_closed, dom_out, rng_out))
+
+    def infer(df: pd.DataFrame) -> pd.DataFrame:
+        t_out, p_sup, d_out, r_out = ray.get(schema)
+        subjs, preds, objs = [], [], []
+
+        def emit(s, p, o):
+            subjs.append(s)
+            preds.append(p)
+            objs.append(o)
+
+        for s, p, o in zip(df["subj"], df["pred"], df["obj"]):
+            emit(s, p, o)
+            if p == "rdf:type":
+                for sup in t_out.get(o, ()):
+                    if sup != o:
+                        emit(s, "rdf:type", sup)
+                continue
+            if p == "rdfs:subClassOf":
+                # rdfs11: materialize the transitive TBox edges
+                for sup in t_out.get(o, ()):
+                    if sup != o and sup != s:
+                        emit(s, "rdfs:subClassOf", sup)
+                continue
+            if p == "rdfs:subPropertyOf":
+                for sup in p_sup.get(o, ()):
+                    if sup != s:
+                        emit(s, "rdfs:subPropertyOf", sup)
+                continue
+            for q in p_sup.get(p, ()):
+                emit(s, q, o)
+            for c in d_out.get(p, ()):
+                emit(s, "rdf:type", c)
+            if not o.startswith('"'):
+                for c in r_out.get(p, ()):
+                    emit(o, "rdf:type", c)
+        return pd.DataFrame({"subj": subjs, "pred": preds, "obj": objs})
+
+    inferred = triples.map_batches(
+        lambda df: infer(df[["subj", "pred", "obj"]]),
+        batch_format="pandas")
+    # exact dedup (hash-partitioned groupby — the only shuffle)
+    return inferred.groupby(["subj", "pred", "obj"]).count() \
+        .map_batches(lambda df: df[["subj", "pred", "obj"]],
+                     batch_format="pandas")
+
+
+def predicate_stats_approx(triples: "ray.data.Dataset",
+                           p: int = 12) -> pd.DataFrame:
+    """rdfpro @stats with HyperLogLog distinct counts (VERDICT r4 item
+    5): the 100-TB variant of ``predicate_stats``.
+
+    The exact path shuffles every distinct (pred, value) pair — fine
+    while distinct counts are bounded, but an entity-valued predicate
+    at 100 TB has ~n distinct objects.  Here every block reduces to
+    ONE fixed-size row per predicate it contains (count + 2×2**p bytes
+    of HLL registers, ops/sketch.py), the groupby moves only those
+    kilobyte rows (#blocks × #predicates), and a map_groups max-merges
+    the registers per predicate.  Order- and partitioning-independent;
+    ~1.6% standard error at p=12.  The exact ``predicate_stats`` stays
+    as the oracle anchor (query kg_pred_stats)."""
+    from pikes_ray.ops.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch_batch,
+    )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pred, sub in df.groupby("pred", sort=False):
+            rows.append({
+                "pred": pred,
+                "n": len(sub),
+                "regs_subj": hll_sketch_batch(sub, "subj", p)["regs"].iloc[0],
+                "regs_obj": hll_sketch_batch(sub, "obj", p)["regs"].iloc[0],
+            })
+        if not rows:
+            return pd.DataFrame({"pred": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64"),
+                                 "regs_subj": pd.Series(dtype=object),
+                                 "regs_obj": pd.Series(dtype=object)})
+        return pd.DataFrame(rows)
+
+    def merge_pred(grp: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pred": [grp["pred"].iloc[0]],
+            "n_statements": [int(grp["n"].sum())],
+            "n_subjects": [int(round(hll_estimate(
+                hll_merge(grp.rename(columns={"regs_subj": "regs"})))))],
+            "n_objects": [int(round(hll_estimate(
+                hll_merge(grp.rename(columns={"regs_obj": "regs"})))))],
+        })
+
+    out = triples.map_batches(partials, batch_format="pandas") \
+        .groupby("pred").map_groups(merge_pred, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("pred").reset_index(drop=True)

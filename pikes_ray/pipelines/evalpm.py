@@ -1063,16 +1063,22 @@ SIMPLIFIED_TYPE_NS = ("vn:", "fn:")
 
 
 def evaluate(golds: list[EvalGraph], tests: list[EvalGraph],
-             simplified: bool = False):
+             simplified: bool = False,
+             role_ns: tuple[str, ...] | None = None,
+             type_ns: tuple[str, ...] | None = None):
     """→ pandas DataFrame of per-category aggregate counts + P/R/F1,
     plus the 'triples' roll-up (labelled + types + linking,
     Evaluation.java:345-347).  ``simplified=True`` restricts the
     scored namespaces to the FRED-comparable subset
-    (Evaluation.java:320,335)."""
+    (Evaluation.java:320,335); explicit ``role_ns``/``type_ns``
+    override both (used by the first-contact corpus, whose gold
+    annotates PB/NB only)."""
     import pandas as pd
 
-    role_ns = SIMPLIFIED_ROLE_NS if simplified else ROLE_NS
-    type_ns = SIMPLIFIED_TYPE_NS if simplified else TYPE_NS
+    if role_ns is None:
+        role_ns = SIMPLIFIED_ROLE_NS if simplified else ROLE_NS
+    if type_ns is None:
+        type_ns = SIMPLIFIED_TYPE_NS if simplified else TYPE_NS
     cats = _categories(role_ns, type_ns)
 
     acc = {c: _PR() for c in cats}
@@ -1246,6 +1252,41 @@ def evaluate_ours(profile: str = "pinned", return_graphs: bool = False):
     number (VERDICT r2 top item (a))."""
     texts, golds = gold_graphs()
     return _evaluate_ours_on(texts, golds, profile, return_graphs)
+
+
+FIRSTCONTACT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "docs",
+    "eval-firstcontact")
+
+# first-contact gold annotates PropBank/NomBank (+ sameAs/linking)
+# only — VN/FN SemLink rows were deliberately not authored (corpus
+# README), so those namespaces are excluded from scoring the same way
+# the FRED comparison excludes pb/nb
+FIRSTCONTACT_ROLE_NS = ("pb:", "nb:", "owl:")
+FIRSTCONTACT_TYPE_NS = ("pb:", "nb:")
+
+
+def firstcontact_gold_graphs() -> tuple[list[str], list[EvalGraph]]:
+    texts, graphs = [], []
+    for n in range(1, 9):
+        t, g = load_gold(os.path.join(FIRSTCONTACT_DIR, "gold",
+                                      f"firstcontact.{n}.ttl"))
+        texts.append(t)
+        graphs.append(g)
+    return texts, graphs
+
+
+def evaluate_ours_firstcontact(profile: str = "full"):
+    """Score the FROZEN round-5 first-contact corpus
+    (docs/eval-firstcontact): 8 sentences committed at round start,
+    BEFORE any round-5 engine change, and scored exactly once at round
+    end (freeze-then-score protocol, VERDICT r4 item 3).  The number
+    this returns on its first invocation is the first-contact F1
+    reported in BASELINE.md."""
+    texts, golds = firstcontact_gold_graphs()
+    tests = _evaluate_ours_on(texts, golds, profile, return_graphs=True)
+    return evaluate(golds, tests, role_ns=FIRSTCONTACT_ROLE_NS,
+                    type_ns=FIRSTCONTACT_TYPE_NS)
 
 
 def evaluate_ours_heldout(profile: str = "full", return_graphs: bool = False):

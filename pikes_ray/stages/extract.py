@@ -96,7 +96,7 @@ class _DocExtractor:
         # fighters_v/fighters but a single "efforts" node)
         def _mand(head: int) -> bool:
             lemma = row["tokens"][head]["lemma"]
-            nb = lx.NOUN_FRAMES.get(lemma, ("",))[0]
+            nb = (lx.noun_frame(lemma) or ("",))[0]
             mand, _opt = lx.NOUN_SELF_ARGS.get(nb, ([], []))
             return bool(mand)
         self.nominal_heads = {p["head"] for p in row["predicates"]
@@ -294,8 +294,8 @@ class _DocExtractor:
                 continue
             if p["sense"]:
                 self.fact(evt, "rdf:type", f"pb:{p['sense']}")
-            if p["source"] == "nominal" and lemma in lx.NOUN_FRAMES:
-                nb_id = lx.NOUN_FRAMES[lemma][0]
+            if p["source"] == "nominal" and lx.noun_frame(lemma) is not None:
+                nb_id = lx.noun_frame(lemma)[0]
                 self.fact(evt, "rdf:type", f"nb:{nb_id}")
                 self._sumo_yago_noun(evt, lemma)
             # M6 PredicateMatrix enrichment: VN class, FN frame, ESO
@@ -588,7 +588,7 @@ class _DocExtractor:
             nb_id = ""
             if p["source"] == "nominal":
                 lemma = self.tokens[p["head"]]["lemma"]
-                nb_id = lx.NOUN_FRAMES.get(lemma, ("",))[0]
+                nb_id = (lx.noun_frame(lemma) or ("",))[0]
             for r in p["roles"]:
                 sem_role = r["sem_role"]
                 models = r.get("models", "")
@@ -768,7 +768,7 @@ class _DocExtractor:
             g, m = d["frm"], d["to"]
             if g in self.nominal_heads and m == g - 1 \
                     and self.tokens[m]["morphofeat"] in ("NN", "NNS") \
-                    and self.tokens[m]["lemma"] in lx.NOUN_FRAMES:
+                    and lx.noun_frame(self.tokens[m]["lemma"]) is not None:
                 premod_q[g] = m
         for g, m in premod_q.items():
             gi = self._self_arg_instance(g)

@@ -167,12 +167,12 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
             # mapping ("sanctions" → impose.01), not the homographic
             # verb's roleset (sanction.01) — NAFFilter validates the
             # external ref against the matching resource
-            if p["source"] == "nominal" and lemma in lx.NOUN_FRAMES:
-                expected = lx.NOUN_FRAMES[lemma][1]
+            if p["source"] == "nominal" and lx.noun_frame(lemma) is not None:
+                expected = lx.noun_frame(lemma)[1]
             else:
-                expected = lx.VERB_FRAMES.get(lemma)
-                if expected is None and lemma in lx.NOUN_FRAMES:
-                    expected = lx.NOUN_FRAMES[lemma][1]
+                expected = lx.verb_sense(lemma)
+                if expected is None and lx.noun_frame(lemma) is not None:
+                    expected = lx.noun_frame(lemma)[1]
             if expected is None or expected == p["sense"] \
                     or (p["sense"] and "." in p["sense"] and "." in expected
                         and p["sense"].split(".")[0] == expected.split(".")[0]):
@@ -195,7 +195,8 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
         for i, t in enumerate(tokens):
             if i in covered:
                 continue
-            if t["morphofeat"].startswith("VB") and t["lemma"] in lx.VERB_FRAMES:
+            if t["morphofeat"].startswith("VB") \
+                    and lx.verb_sense(t["lemma"]) is not None:
                 if t["lemma"] in ("have", "be"):
                     # auxiliary: the following participle carries the
                     # predicate ("has become", "may be running")
@@ -204,22 +205,23 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
                         nxt += 1
                     if nxt < len(tokens) \
                             and tokens[nxt]["morphofeat"] in ("VB", "VBD", "VBN", "VBG") \
-                            and tokens[nxt]["lemma"] in lx.VERB_FRAMES:
+                            and lx.verb_sense(tokens[nxt]["lemma"]) is not None:
                         continue
-                predicates.append({"head": i, "sense": lx.VERB_FRAMES[t["lemma"]],
+                predicates.append({"head": i, "sense": lx.verb_sense(t["lemma"]),
                                    "source": "verbal", "variant": 0,
                                    "copular": t["lemma"] == "be",
                                    "link": "", "link_conf": 0.0, "roles": []})
-            elif t["morphofeat"] in ("NN", "NNS") and t["lemma"] in lx.NOUN_FRAMES:
+            elif t["morphofeat"] in ("NN", "NNS") \
+                    and lx.noun_frame(t["lemma"]) is not None:
                 # same premod exception as the annotator: an NMOD
                 # premodifier of another roleset noun stays a quality
                 gov = next((d["frm"] for d in ann["deps"]
                             if d["to"] == i and d["rfunc"] == "NMOD"), None)
                 if gov is not None and gov < len(tokens) \
                         and tokens[gov]["morphofeat"] in ("NN", "NNS") \
-                        and tokens[gov]["lemma"] in lx.NOUN_FRAMES:
+                        and lx.noun_frame(tokens[gov]["lemma"]) is not None:
                     continue
-                predicates.append({"head": i, "sense": lx.NOUN_FRAMES[t["lemma"]][1],
+                predicates.append({"head": i, "sense": lx.noun_frame(t["lemma"])[1],
                                    "source": "nominal", "copular": False,
                                    "variant": 0,
                                    "link": "", "link_conf": 0.0, "roles": []})
@@ -236,7 +238,7 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
             if p["source"] != "nominal":
                 continue        # skip verbs (:1252-1255)
             lemma = tokens[p["head"]]["lemma"]
-            nb_id = lx.NOUN_FRAMES.get(lemma, (None,))[0]
+            nb_id = (lx.noun_frame(lemma) or (None,))[0]
             roleset = lx.NOUN_SELF_ARGS.get(nb_id)
             if roleset is None:
                 continue
@@ -372,7 +374,7 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
             # declared mandatory/optional args (:927-944)
             if role_t not in nominal_heads:
                 continue
-            nb_id = lx.NOUN_FRAMES.get(tokens[role_t]["lemma"], (None,))[0]
+            nb_id = (lx.noun_frame(tokens[role_t]["lemma"]) or (None,))[0]
             args = lx.NOUN_SELF_ARGS.get(nb_id)
             if args is None or not (args[0] or args[1]):
                 continue

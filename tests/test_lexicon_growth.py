@@ -199,6 +199,25 @@ def test_eval_pm_ablation_ordering():
     assert pinned >= full > ablated > core
 
 
+def test_ablated_strict_f1_bar():
+    """VERDICT r4 item 2 done-criterion: the mechanically gold-disjoint
+    profile must reach ≥ .40 triples F1 through open-vocabulary
+    machinery alone (lemma.01 default frames, dep-label roles,
+    reverse-morphology nominals, context verb tagging).  Round-5
+    result: .669 (was .039 before the fallback landed); asserted at
+    .60 to leave a robustness margin."""
+    from pikes_ray.pipelines.evalpm import evaluate_ours
+
+    r = evaluate_ours(profile="ablated_strict")
+    f1 = float(r[r["component"] == "triples"]["f1"].iloc[0])
+    assert f1 >= 0.60
+    # sanity on the decomposition: the lift is real machinery, not a
+    # quarantine leak — linking must stay at zero (no gazetteer row
+    # with gold vocabulary may survive the mechanical filter)
+    linking = r[r["component"] == "linking"]
+    assert int(linking["tp"].iloc[0]) == 0
+
+
 def test_heldout_regression_gate():
     """Round-4 held-out corpus, rescoped per VERDICT r4 item 2 of
     "what's wrong": the sentences were iterated against during round-4
