@@ -97,6 +97,8 @@ PRED_T = pa.struct(
                                      # rebels but not extremists" → two frames)
         ("link", pa.string()),       # dbpedia-style IRI or "" (F5 promotion)
         ("link_conf", pa.float64()),
+        ("factuality", pa.string()),  # carried NAF fact_value ("" = derive
+                                      # syntactically at extract time)
         ("roles", pa.list_(ROLE_T)),
     ]
 )

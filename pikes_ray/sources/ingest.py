@@ -365,7 +365,7 @@ def _parse_naf_doc(xml_text: str) -> dict | None:
         predicates.append({"head": head, "sense": sense, "source": source,
                            "copular": tokens[head]["lemma"] == "be",
                            "variant": 0, "link": "", "link_conf": 0.0,
-                           "roles": roles})
+                           "factuality": "", "roles": roles})
 
     corefs = []
     for co in root.iter("coref"):
@@ -437,6 +437,65 @@ def _parse_naf_doc(xml_text: str) -> dict | None:
             entities.append({"etype": "", "start": b[0], "end": b[1],
                              "named": True, "link": ref, "link_conf": conf,
                              "norm": ""})
+
+    # markables layer (ixa/kaflib Mark: Span<Term> + externalRefs —
+    # ReadWriteManager markables parse; round-5 interop item): a mark
+    # carrying a dbpedia-style reference behaves like a linked-entity
+    # annotation over TERM ids — fold it with the same carried-wins
+    # merge as linkedEntities above.
+    for mk in root.iter("mark"):
+        span = mk.find("span")
+        b = span_bounds(span) if span is not None else None
+        if b is None:
+            continue
+        ref = conf = None
+        m_refs = list(mk.findall("externalRef"))
+        m_wrap = mk.find("externalReferences")
+        if m_wrap is not None:
+            m_refs.extend(m_wrap.iter("externalRef"))
+        for r in m_refs:
+            res = (r.get("resource") or "").lower()
+            if "dbpedia" in res or "spotlight" in res or not res:
+                c = float(r.get("confidence") or 0.0)
+                if ref is None or c > conf:
+                    ref, conf = r.get("reference") or "", c
+        if not ref:
+            continue
+        hit = next((e for e in entities
+                    if e["start"] < b[1] and b[0] < e["end"]), None)
+        if hit is not None:
+            if not hit["link"] or conf > hit["link_conf"]:
+                hit["link"], hit["link_conf"] = ref, conf
+        else:
+            entities.append({"etype": "", "start": b[0], "end": b[1],
+                             "named": True, "link": ref, "link_conf": conf,
+                             "norm": ""})
+
+    # factualities layer (kaflib Factuality: Span<Term> + factVal
+    # rows; round-5 interop item): the max-confidence factbank value
+    # lands on the predicate whose head the span covers — the carried
+    # value WINS over the syntactic re-derivation at extract time
+    # (RDFGenerator.java:1080-1099 takes the layer's max prediction).
+    for fc in root.iter("factuality"):
+        span = fc.find("span")
+        b = span_bounds(span) if span is not None else None
+        if b is None:
+            continue
+        best_val, best_conf = "", -1.0
+        for fv in fc.findall("factVal"):
+            res = (fv.get("resource") or "").lower()
+            if res and "factbank" not in res and "fact" not in res:
+                continue
+            c = float(fv.get("confidence") or 0.0)
+            if c > best_conf:
+                best_val, best_conf = fv.get("value") or "", c
+        if not best_val:
+            continue
+        tgt = next((p for p in predicates if p["head"] == b[2]), None) \
+            or next((p for p in predicates
+                     if b[0] <= p["head"] < b[1]), None)
+        if tgt is not None and not tgt["factuality"]:
+            tgt["factuality"] = best_val
 
     # opinions layer (Opinion.java: expression/holder/target
     # Span<Term> + polarity) → the carried opinions column; T8 reuses

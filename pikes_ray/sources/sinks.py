@@ -256,6 +256,21 @@ def write_naf_xml(annotated, out_dir: str) -> int:
                 parts.append("</opinion>")
                 buf.append("".join(parts))
             buf.append("</opinions>")
+        # markables layer (kaflib Mark: term spans + externalRefs) —
+        # the linked mentions again in the markable form the reference
+        # serializes (ReadWriteManager markables; round-5 interop)
+        if les:
+            buf.append("<markables>")
+            for k, e in les:
+                targets = "".join(f'<target id="t{j}"/>'
+                                  for j in range(e["start"], e["end"]))
+                buf.append(f'<mark id="m{k}"><span>{targets}</span>'
+                           f'<externalReferences><externalRef '
+                           f'resource="dbpedia" '
+                           f'reference={quoteattr(e["link"])} '
+                           f'confidence="{e["link_conf"]}"/>'
+                           f"</externalReferences></mark>")
+            buf.append("</markables>")
         buf.append("<srl>")
         for k, p in enumerate(prds):
             roles = "".join(
@@ -267,6 +282,25 @@ def write_naf_xml(annotated, out_dir: str) -> int:
                 f'{quoteattr(p["sense"] or "")}/>'
                 f'<span><target id="t{p["head"]}"/></span>{roles}</predicate>')
         buf.append("</srl>")
+        # factualities layer (kaflib Factuality: term span + factVal
+        # rows): carried value, else the same deterministic derivation
+        # the extractor uses (stages/extract.factuality_value) — so a
+        # write→read round trip preserves ks:factuality exactly
+        if prds:
+            from pikes_ray.stages.extract import factuality_value
+
+            tok_dicts = [dict(form=t["form"], sent=t["sent"],
+                              lemma=t["lemma"],
+                              morphofeat=t["morphofeat"]) for t in toks]
+            buf.append("<factualities>")
+            for k, p in enumerate(prds):
+                fv = p.get("factuality") or factuality_value(
+                    tok_dicts, p["head"])
+                buf.append(f'<factuality id="f{k}">'
+                           f'<span><target id="t{p["head"]}"/></span>'
+                           f'<factVal value={quoteattr(fv)} '
+                           f'resource="factbank"/></factuality>')
+            buf.append("</factualities>")
         buf.append(chunk_layer(toks, dps))
         # M8: real constituency trees (dep→constituency projection +
         # Collins head finder) in both kaflib forms — the head-marked

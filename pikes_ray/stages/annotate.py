@@ -1747,7 +1747,7 @@ class RuleAnnotator:
             "predicates": [
                 {"head": p.head, "sense": p.sense, "source": p.source,
                  "copular": p.copular, "variant": p.variant,
-                 "link": "", "link_conf": 0.0,
+                 "link": "", "link_conf": 0.0, "factuality": "",
                  "roles": [{"sem_role": r[0], "start": r[1], "end": r[2],
                             "head": r[3],
                             "prep": (r[4].get("prep", "") if len(r) > 4 else ""),

@@ -67,6 +67,30 @@ def _date_literal(norm: str) -> str:
     return _lit(norm, "xsd:date")
 
 
+def factuality_value(tokens, head: int) -> str:
+    """T4 — deterministic FactBank-style value per event
+    (≙ processFactuality, RDFGenerator.java:1080-1099: the
+    ks:factuality fact; the reference takes the fact_value layer's
+    max prediction, we derive it from modality/negation syntax):
+    CT+ asserted, CT- negated, PS+ modal-possible, PS- both.
+    Module-level so the NAF writer emits the same values
+    (sources/sinks.py factualities layer)."""
+    neg = False
+    modal = False
+    sent = tokens[head]["sent"] if tokens else 0
+    lo = max(0, head - 3)
+    for j in range(lo, min(len(tokens), head + 2)):
+        t = tokens[j]
+        if t["sent"] != sent or j == head:
+            continue
+        if t["lemma"] in ("not", "never", "no") and abs(j - head) <= 2:
+            neg = True
+        if t["morphofeat"] == "MD" and j < head:
+            modal = True
+    pol = "-" if neg else "+"
+    return ("PS" if modal else "CT") + pol
+
+
 class _DocExtractor:
     """One document's extraction pass (all per-doc state local)."""
 
@@ -289,7 +313,8 @@ class _DocExtractor:
                        else "v")
                 self.fact(evt, "rdf:type", microframe(fr, lemma, pos))
                 self.fact(evt, "rdfs:label", _lit(lemma))
-                self.fact(evt, "ks:factuality", _lit(self._factuality(head)))
+                self.fact(evt, "ks:factuality",
+                          _lit(p.get("factuality") or self._factuality(head)))
                 self.mention(evt, head, head + 1)
                 continue
             if p["sense"]:
@@ -326,7 +351,10 @@ class _DocExtractor:
             if eso:
                 self.fact(evt, "rdf:type", f"eso:{eso}")
             self.fact(evt, "rdfs:label", _lit(lemma))
-            self.fact(evt, "ks:factuality", _lit(self._factuality(head)))
+            # carried NAF fact_value layer wins over the syntactic
+            # re-derivation (round-5 interop; RDFGenerator.java:1080-1099)
+            self.fact(evt, "ks:factuality",
+                      _lit(p.get("factuality") or self._factuality(head)))
             if p.get("link"):
                 # F5-promoted predicate link (NAFFilter.java:739-749 →
                 # RDFGenerator external-ref sameAs emission)
@@ -393,25 +421,7 @@ class _DocExtractor:
             self.meta(men, "ks:sst", f"sst:{sst}")
 
     def _factuality(self, head: int) -> str:
-        """T4 — deterministic FactBank-style value per event
-        (≙ processFactuality, RDFGenerator.java:1080-1099: the
-        ks:factuality fact; the reference takes the fact_value layer's
-        max prediction, we derive it from modality/negation syntax):
-        CT+ asserted, CT- negated, PS+ modal-possible, PS- both."""
-        neg = False
-        modal = False
-        sent = self.tokens[head]["sent"] if self.tokens else 0
-        lo = max(0, head - 3)
-        for j in range(lo, min(len(self.tokens), head + 2)):
-            t = self.tokens[j]
-            if t["sent"] != sent or j == head:
-                continue
-            if t["lemma"] in ("not", "never", "no") and abs(j - head) <= 2:
-                neg = True
-            if t["morphofeat"] == "MD" and j < head:
-                modal = True
-        pol = "-" if neg else "+"
-        return ("PS" if modal else "CT") + pol
+        return factuality_value(self.tokens, head)
 
     def t8_opinions(self) -> None:
         """T8 — opinion instances from the pinned polarity lexicon

@@ -210,7 +210,8 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
                 predicates.append({"head": i, "sense": lx.verb_sense(t["lemma"]),
                                    "source": "verbal", "variant": 0,
                                    "copular": t["lemma"] == "be",
-                                   "link": "", "link_conf": 0.0, "roles": []})
+                                   "link": "", "link_conf": 0.0,
+                                   "factuality": "", "roles": []})
             elif t["morphofeat"] in ("NN", "NNS") \
                     and lx.noun_frame(t["lemma"]) is not None:
                 # same premod exception as the annotator: an NMOD
@@ -224,7 +225,8 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
                 predicates.append({"head": i, "sense": lx.noun_frame(t["lemma"])[1],
                                    "source": "nominal", "copular": False,
                                    "variant": 0,
-                                   "link": "", "link_conf": 0.0, "roles": []})
+                                   "link": "", "link_conf": 0.0,
+                                   "factuality": "", "roles": []})
         predicates.sort(key=lambda p: p["head"])
 
     # F13 srlSelfArgFixing — NomBank incorporated-argument repair

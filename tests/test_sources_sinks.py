@@ -701,3 +701,95 @@ def test_naf_timex_linked_opinion_layers(ray_session, tmp_path):
         [(e["etype"] or "MISC", e["start"], e["end"], e["norm"], e["link"])
          for e in row.entities]
     assert [dict(o) for o in back.opinions] == [dict(o) for o in row.opinions]
+
+
+def test_naf_markables_and_factuality_layers(ray_session, tmp_path):
+    """Round-5 interop (VERDICT r4 item 7): the markables and
+    factualities layers of a reference-shaped NAF survive ingest
+    (kaflib Mark / Factuality; ReadWriteManager parse sections), the
+    carried fact_value WINS over the syntactic derivation at extract
+    time, and the S6 writer round-trips both layers."""
+    from pikes_ray.sources.ingest import read_naf_documents
+    from pikes_ray.sources.sinks import write_naf_xml
+    from pikes_ray.stages.extract import extract_batch
+
+    naf = """<?xml version="1.0" encoding="UTF-8"?>
+<NAF xml:lang="en" version="v3">
+ <nafHeader><public publicId="marks"/></nafHeader>
+ <raw>Vexatron acquired Blorpex.</raw>
+ <text>
+  <wf id="w1" offset="0" length="8" sent="1">Vexatron</wf>
+  <wf id="w2" offset="9" length="8" sent="1">acquired</wf>
+  <wf id="w3" offset="18" length="7" sent="1">Blorpex</wf>
+ </text>
+ <terms>
+  <term id="t1" lemma="Vexatron" pos="R" morphofeat="NNP"><span><target id="w1"/></span></term>
+  <term id="t2" lemma="acquire" pos="V" morphofeat="VBD"><span><target id="w2"/></span></term>
+  <term id="t3" lemma="Blorpex" pos="R" morphofeat="NNP"><span><target id="w3"/></span></term>
+ </terms>
+ <deps>
+  <dep from="t2" to="t1" rfunc="SBJ"/>
+  <dep from="t2" to="t3" rfunc="OBJ"/>
+ </deps>
+ <entities>
+  <entity id="e1" type="ORGANIZATION">
+   <references><span><target id="t1"/></span></references>
+  </entity>
+ </entities>
+ <markables>
+  <mark id="m1"><span><target id="t3"/></span>
+   <externalReferences>
+    <externalRef resource="dbpedia" reference="dbr:Blorpex_Corp" confidence="0.88"/>
+   </externalReferences>
+  </mark>
+ </markables>
+ <srl>
+  <predicate id="pr1"><externalRef resource="PropBank" reference="acquire.01"/>
+   <span><target id="t2"/></span>
+   <role id="r1" semRole="A0"><span><target id="t1"/></span></role>
+   <role id="r2" semRole="A1"><span><target id="t3"/></span></role>
+  </predicate>
+ </srl>
+ <factualities>
+  <factuality id="f1"><span><target id="t2"/></span>
+   <factVal value="PS-" resource="factbank" confidence="0.8"/>
+   <factVal value="CT+" resource="other-model" confidence="0.9"/>
+  </factuality>
+ </factualities>
+</NAF>"""
+    p = tmp_path / "marks.naf"
+    p.write_text(naf)
+    ds = read_naf_documents(str(p))
+    df = ds.to_pandas()
+    assert len(df) == 1
+    row = df.iloc[0]
+
+    # markable with a dbpedia ref → a new linked (named) entity over
+    # the term span no entity covered
+    blx = next(e for e in row.entities if e["start"] == 2)
+    assert (blx["link"], round(blx["link_conf"], 2), blx["named"]) == \
+        ("dbr:Blorpex_Corp", 0.88, True)
+    # factbank factVal (not the other-model row) carried onto the
+    # predicate whose head the span covers
+    assert [(pr["head"], pr["sense"], pr["factuality"])
+            for pr in row.predicates] == [(1, "acquire.01", "PS-")]
+
+    # the carried value WINS over the syntactic derivation, which
+    # would say CT+ here (no negation, no modal)
+    tr = ds.map_batches(extract_batch, batch_format="pyarrow").to_pandas()
+    fact = tr[tr["pred"] == "ks:factuality"]
+    assert (fact["obj"].str.contains("PS-")).any()
+    assert not (fact["obj"].str.contains("CT")).any()
+    # the markable link is emitted as sameAs
+    assert ((tr["pred"] == "owl:sameAs")
+            & (tr["obj"] == "dbr:Blorpex_Corp")).any()
+
+    # S6 round trip: write → re-read keeps both layers
+    out = str(tmp_path / "naf_rt2")
+    n = write_naf_xml(ds, out)
+    assert n == 1
+    back = read_naf_documents(out).to_pandas().iloc[0]
+    assert [(pr["head"], pr["factuality"]) for pr in back.predicates] == \
+        [(1, "PS-")]
+    blx2 = next(e for e in back.entities if e["start"] == 2)
+    assert blx2["link"] == "dbr:Blorpex_Corp"
