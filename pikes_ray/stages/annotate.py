@@ -249,7 +249,10 @@ class RuleAnnotator:
             elif low in lx.CLOSED_CLASS:
                 tag, lemma = lx.CLOSED_CLASS[low], low
             elif low in self.verb_forms and not f[0].isupper() \
-                    and low not in lx.ADJECTIVES \
+                    and (low not in lx.ADJECTIVES
+                         or prev == "MD"
+                         or (i > 0 and toks[i - 1].sent == t.sent
+                             and toks[i - 1].form.lower() == "to")) \
                     and prev not in ("DT", "JJ", "PRP$", "CD") \
                     and not self._object_np_sform(toks, i, low) \
                     and not self._plural_subject(toks, i, low, sent_initial):
@@ -257,7 +260,10 @@ class RuleAnnotator:
                 # number ("the report", "annual report", "5 results")
                 # — noun context; the curated adjective list also beats
                 # it ("fortified positions" stays attributive even
-                # though fortify is in the grown verb lexicon)
+                # though fortify is in the grown verb lexicon) EXCEPT
+                # in unambiguous verbal positions — after a modal or an
+                # infinitive "to" ("will lower rates", "to free them")
+                # the verb reading survives (ADVICE r4)
                 lemma, tag = self.verb_forms[low]
             elif low in lx.NUMBER_WORDS or low in lx.ORDINAL_WORDS:
                 tag, lemma = "CD", low
