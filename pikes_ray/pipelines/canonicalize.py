@@ -324,26 +324,67 @@ def dedup_exact(triples, n_parts: int = 64):
     local = triples.map_batches(combiner, batch_format="pyarrow", batch_size=None,
                                 num_cpus=_tail_cpus())
 
+    return _finish_fact_dedup(local, n_parts).union(meta)
+
+
+# rows per coalescing-tree batch: ~200 MB of triple rows — small
+# enough for one task's heap, big enough that moderate fact
+# vocabularies converge to ONE batch and skip the keyed exchange
+_TREE_BATCH_ROWS = 2_000_000
+
+
+def _finish_fact_dedup(local, n_parts: int):
+    """Phase 2+3 of the exact fact dedup, shared by ``dedup_exact`` and
+    ``dedup_exact_streams``: ``local`` is the per-block-combined stream
+    (deduped rows + ``_part`` hash-bucket column).
+
+    **Coalescing tree pass first** (round-5 scaling fix): bundle the
+    many small combiner blocks into ~``_TREE_BATCH_ROWS``-row batches
+    and re-run the associative local merge inside each.  The per-block
+    combiner output GROWS with parallelism (more, smaller annotation
+    blocks collapse less), and Ray's sort-based ``groupby`` exchange
+    was measured costing ~2 s of fixed overhead at 32 CPUs on a few
+    hundred-K rows — the anti-scaling stage behind the flat 16→32
+    wall-clock (BASELINE.md round-5 forensics).  When everything fits
+    one batch (a single materialized block), that batch saw every row,
+    so the result is already globally exact and the keyed exchange is
+    SKIPPED.  Larger fact vocabularies still take the hash-bucket
+    groupby, on tree-compacted input.
+
+    The merge is associative (per-key min (conv_id, turn_idx) via
+    sorted-first + max conf), so re-running it per tree level is
+    exact."""
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return _add_partition(_local_dedup(df.drop(columns=["_part"])),
+                              n_parts)
+
+    tree = local.map_batches(fold, batch_format="pandas",
+                             batch_size=_TREE_BATCH_ROWS,
+                             num_cpus=_tail_cpus()).materialize()
+
+    from pikes_ray.schema import TRIPLES_SCHEMA
+
+    def to_schema(t: pa.Table) -> pa.Table:
+        return t.select(TRIPLES_SCHEMA.names).cast(TRIPLES_SCHEMA)
+
+    if tree.num_blocks() <= 1:
+        # one output block ⇒ one batch saw every row ⇒ already exact
+        return tree.map_batches(to_schema, batch_format="pyarrow",
+                                batch_size=None)
+
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         return _local_dedup(g.drop(columns=["_part"]))
 
-    deduped = local.groupby("_part").map_groups(merge_part, batch_format="pandas")
+    deduped = tree.groupby("_part").map_groups(merge_part,
+                                               batch_format="pandas")
     # back to the canonical Arrow schema (pandas round-trip narrows
-    # large_string) so union sees one schema
-    from pikes_ray.schema import TRIPLES_SCHEMA
-
-    deduped = deduped.map_batches(
-        lambda t: t.select(TRIPLES_SCHEMA.names).cast(TRIPLES_SCHEMA),
-        batch_format="pyarrow", batch_size=None)
-    # materialize the deduped facts BEFORE the union: they are bounded
-    # by the unique corpus-fact vocabulary (tiny next to the bypass
-    # stream), and composing Union with a live all-to-all Sort in one
+    # large_string) so union sees one schema; materialize BEFORE the
+    # union — composing Union with a live all-to-all Sort in one
     # streaming graph stalls the executor under object-store pressure
     # at ~100M-row inputs (observed at sf1.0: idle workers, spinning
-    # scheduler).  With the sort finished first, the union is a pure
-    # streaming concat of a small pinned set and the bypass filter.
-    deduped = deduped.materialize()
-    return deduped.union(meta)
+    # scheduler).
+    return deduped.map_batches(to_schema, batch_format="pyarrow",
+                               batch_size=None).materialize()
 
 
 def dedup_exact_streams(meta, facts, n_parts: int = 64):
@@ -360,18 +401,7 @@ def dedup_exact_streams(meta, facts, n_parts: int = 64):
 
     local = facts.map_batches(combiner, batch_format="pyarrow",
                               batch_size=None, num_cpus=_tail_cpus())
-
-    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
-        return _local_dedup(g.drop(columns=["_part"]))
-
-    deduped = local.groupby("_part").map_groups(merge_part, batch_format="pandas")
-    from pikes_ray.schema import TRIPLES_SCHEMA
-
-    deduped = deduped.map_batches(
-        lambda t: t.select(TRIPLES_SCHEMA.names).cast(TRIPLES_SCHEMA),
-        batch_format="pyarrow", batch_size=None)
-    deduped = deduped.materialize()   # same Union+AllToAll stall avoidance
-    return deduped.union(meta)
+    return _finish_fact_dedup(local, n_parts).union(meta)
 
 
 def smush_dedup_streams(meta, facts, n_parts: int = 64):
