@@ -92,6 +92,8 @@ TBOX_PREDICATES = (
 TBOX_TYPE_OBJECTS = (
     "owl:Class", "rdfs:Class", "rdf:Property", "owl:ObjectProperty",
     "owl:DatatypeProperty", "owl:AnnotationProperty",
+    "owl:SymmetricProperty", "owl:TransitiveProperty",
+    "owl:FunctionalProperty",
 )
 
 
@@ -152,24 +154,23 @@ def predicate_stats(triples: "ray.data.Dataset") -> pd.DataFrame:
 
 
 def _transitive_close(edges: dict[str, set[str]]) -> dict[str, set[str]]:
-    """Driver-side transitive closure of a (small) schema DAG:
-    node → ALL reachable supers.  Bounded by the TBox vocabulary."""
-    closed: dict[str, set[str]] = {}
-
-    def reach(n: str, seen: frozenset) -> set[str]:
-        if n in closed:
-            return closed[n]
-        out: set[str] = set()
-        for s in edges.get(n, ()):
-            if s in seen:
-                continue                      # schema cycle guard
-            out.add(s)
-            out |= reach(s, seen | {n})
-        closed[n] = out
-        return out
-
-    for n in list(edges):
-        reach(n, frozenset())
+    """Driver-side transitive closure of a (small) schema graph:
+    node → ALL reachable supers.  Iterates to fixpoint, so equivalence
+    CYCLES (owl:equivalentClass/Property lowered to two-way sub-edges)
+    close correctly — a memoizing DFS under a cycle guard caches
+    context-dependent partial sets.  Bounded by the TBox vocabulary."""
+    closed = {n: set(v) for n, v in edges.items()}
+    changed = True
+    while changed:
+        changed = False
+        for n, sups in closed.items():
+            add: set[str] = set()
+            for s in sups:
+                add |= closed.get(s, set())
+            add.discard(n)
+            if not add <= sups:
+                sups |= add
+                changed = True
     return closed
 
 
@@ -183,6 +184,13 @@ def rdfs_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     - rdfs9     (s rdf:type C) + C subClassOf D  → (s rdf:type D),
     - rdfs2     (s p o) + p domain C             → (s rdf:type C),
     - rdfs3     (s p o) + p range C              → (o rdf:type C),
+
+    plus the bounded RDFS-plus rules rdfpro's ruleset also covers:
+
+    - owl:inverseOf     (s p o) + p inverseOf q       → (o q s),
+    - owl:SymmetricProperty  (s p o), p symmetric     → (o p s),
+    - owl:equivalentClass    typed-as-either          → typed-as-both,
+    - owl:equivalentProperty (s p o) + p ≡ q          → (s q o),
 
     with the type consequents expanded through the CLOSED subclass
     hierarchy, so ONE streaming pass materializes the fixpoint.
@@ -201,6 +209,8 @@ def rdfs_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     sub_p: dict[str, set[str]] = {}
     dom: dict[str, set[str]] = {}
     rng: dict[str, set[str]] = {}
+    inv: dict[str, set[str]] = {}
+    symmetric: set[str] = set()
     for _, r in tb.iterrows():
         if r["pred"] == "rdfs:subClassOf":
             sub_c.setdefault(r["subj"], set()).add(r["obj"])
@@ -210,8 +220,26 @@ def rdfs_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
             dom.setdefault(r["subj"], set()).add(r["obj"])
         elif r["pred"] == "rdfs:range":
             rng.setdefault(r["subj"], set()).add(r["obj"])
+        elif r["pred"] == "owl:equivalentClass":
+            # mutual subclass: the cycle guard in _transitive_close
+            # makes the two-way edges safe
+            sub_c.setdefault(r["subj"], set()).add(r["obj"])
+            sub_c.setdefault(r["obj"], set()).add(r["subj"])
+        elif r["pred"] == "owl:equivalentProperty":
+            sub_p.setdefault(r["subj"], set()).add(r["obj"])
+            sub_p.setdefault(r["obj"], set()).add(r["subj"])
+        elif r["pred"] == "owl:inverseOf":
+            inv.setdefault(r["subj"], set()).add(r["obj"])
+            inv.setdefault(r["obj"], set()).add(r["subj"])
+        elif r["pred"] == "rdf:type" and r["obj"] == "owl:SymmetricProperty":
+            symmetric.add(r["subj"])
     c_closed = _transitive_close(sub_c)
     p_closed = _transitive_close(sub_p)
+    # pre-close inverse consequents through the subproperty hierarchy
+    # so the single pass reaches the fixpoint
+    inv_out = {p: set().union(*({q} | p_closed.get(q, set())
+                                for q in qs))
+               for p, qs in inv.items()}
 
     def with_supers(cls_set: set[str]) -> set[str]:
         out = set(cls_set)
@@ -224,10 +252,11 @@ def rdfs_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
                 set(sub_c) | {s for v in sub_c.values() for s in v}}
     dom_out = {p: with_supers(cs) for p, cs in dom.items()}
     rng_out = {p: with_supers(cs) for p, cs in rng.items()}
-    schema = ray.put((type_out, p_closed, dom_out, rng_out))
+    schema = ray.put((type_out, p_closed, dom_out, rng_out, inv_out,
+                      frozenset(symmetric)))
 
     def infer(df: pd.DataFrame) -> pd.DataFrame:
-        t_out, p_sup, d_out, r_out = ray.get(schema)
+        t_out, p_sup, d_out, r_out, i_out, sym = ray.get(schema)
         subjs, preds, objs = [], [], []
 
         def emit(s, p, o):
@@ -253,6 +282,21 @@ def rdfs_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
                     if sup != s:
                         emit(s, "rdfs:subPropertyOf", sup)
                 continue
+            if p == "owl:equivalentClass":
+                # materialize the mutual subclass edges (+ transitivity)
+                for a, b in ((s, o), (o, s)):
+                    emit(a, "rdfs:subClassOf", b)
+                    for sup in t_out.get(b, ()):
+                        if sup not in (a, b):
+                            emit(a, "rdfs:subClassOf", sup)
+                continue
+            if p == "owl:equivalentProperty":
+                for a, b in ((s, o), (o, s)):
+                    emit(a, "rdfs:subPropertyOf", b)
+                    for sup in p_sup.get(b, ()):
+                        if sup not in (a, b):
+                            emit(a, "rdfs:subPropertyOf", sup)
+                continue
             for q in p_sup.get(p, ()):
                 emit(s, q, o)
             for c in d_out.get(p, ()):
@@ -260,6 +304,12 @@ def rdfs_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
             if not o.startswith('"'):
                 for c in r_out.get(p, ()):
                     emit(o, "rdf:type", c)
+                for q in i_out.get(p, ()):
+                    emit(o, q, s)
+                if p in sym:
+                    emit(o, p, s)
+                    for q in p_sup.get(p, ()):
+                        emit(o, q, s)
         return pd.DataFrame({"subj": subjs, "pred": preds, "obj": objs})
 
     inferred = triples.map_batches(

@@ -967,3 +967,46 @@ def test_predicate_stats_approx_error_bound(ray_session):
         for c in ("n_subjects", "n_objects"):
             e, a = int(exact.loc[pred, c]), int(approx.loc[pred, c])
             assert abs(a - e) <= max(3, 0.05 * e), (pred, c, e, a)
+
+
+def test_rdfs_plus_rules(ray_session):
+    """RDFS-plus subset of the closure: owl:inverseOf (through the
+    subproperty hierarchy), owl:SymmetricProperty, equivalentClass /
+    equivalentProperty — vs a hand closure."""
+    import ray.data as _rd
+
+    from pikes_ray.ops.rdfproc import rdfs_closure
+
+    rows = [
+        {"subj": "ex:employs", "pred": "owl:inverseOf", "obj": "ex:worksFor"},
+        {"subj": "ex:worksFor", "pred": "rdfs:subPropertyOf",
+         "obj": "ex:affiliatedWith"},
+        {"subj": "ex:knows", "pred": "rdf:type", "obj": "owl:SymmetricProperty"},
+        {"subj": "ex:Firm", "pred": "owl:equivalentClass", "obj": "ex:Company"},
+        {"subj": "ex:hires", "pred": "owl:equivalentProperty", "obj": "ex:employs"},
+        {"subj": "ex:acme", "pred": "ex:employs", "obj": "ex:bob"},
+        {"subj": "ex:alice", "pred": "ex:knows", "obj": "ex:bob"},
+        {"subj": "ex:acme", "pred": "rdf:type", "obj": "ex:Firm"},
+        # literal object: inverse/symmetric must not fire
+        {"subj": "ex:acme", "pred": "ex:employs", "obj": '"contractors"'},
+    ]
+    ds = _rd.from_items(rows).map_batches(lambda df: df,
+                                          batch_format="pandas")
+    got = set(map(tuple, rdfs_closure(ds).to_pandas().values))
+    expected = set(map(tuple, (r.values() for r in rows))) | {
+        # inverse, expanded through worksFor ⊑ affiliatedWith
+        ("ex:bob", "ex:worksFor", "ex:acme"),
+        ("ex:bob", "ex:affiliatedWith", "ex:acme"),
+        # symmetric
+        ("ex:bob", "ex:knows", "ex:alice"),
+        # equivalentClass both ways on the instance + TBox edges
+        ("ex:acme", "rdf:type", "ex:Company"),
+        ("ex:Firm", "rdfs:subClassOf", "ex:Company"),
+        ("ex:Company", "rdfs:subClassOf", "ex:Firm"),
+        # equivalentProperty on the instance edge + mutual sub-edges
+        ("ex:acme", "ex:hires", "ex:bob"),
+        ("ex:acme", "ex:hires", '"contractors"'),
+        ("ex:hires", "rdfs:subPropertyOf", "ex:employs"),
+        ("ex:employs", "rdfs:subPropertyOf", "ex:hires"),
+    }
+    assert got == expected
