@@ -112,8 +112,17 @@ def tbox_extract(triples: "ray.data.Dataset") -> "ray.data.Dataset":
         return out.drop_duplicates()
 
     ds = triples.map_batches(fn, batch_format="pandas")
-    # exact dedup across blocks: groupby over the (small) axiom set
-    return ds.groupby(["subj", "pred", "obj"]).count() \
+    # exact dedup across blocks: coalescing pass first (schema
+    # vocabularies are tiny, so this converges to ONE block and the
+    # sort-based groupby — ~2 s of fixed overhead at 32 CPUs, see
+    # canonicalize._finish_fact_dedup — is skipped; a pathological
+    # multi-block result still takes the keyed exchange)
+    tree = ds.map_batches(lambda df: df.drop_duplicates(),
+                          batch_format="pandas",
+                          batch_size=2_000_000).materialize()
+    if tree.num_blocks() <= 1:
+        return tree
+    return tree.groupby(["subj", "pred", "obj"]).count() \
         .map_batches(lambda df: df[["subj", "pred", "obj"]],
                      batch_format="pandas")
 
