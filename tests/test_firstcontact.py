@@ -37,3 +37,16 @@ def test_gold_files_load_and_match_frozen_texts():
         assert g.nodes, f"firstcontact.{n} has no eval:Node entities"
         # every node must denote a sentence term (term-mapping sanity)
         assert set(g.denoted) == g.nodes
+
+
+def test_firstcontact_regression_floor():
+    """The freeze-then-score window closed with the single round-5
+    scoring run (F1 .760, recorded in BASELINE.md).  From then on this
+    corpus is an ordinary regression gate — the floor guards future
+    rounds against silently degrading the open-vocabulary machinery
+    the first-contact number certified."""
+    from pikes_ray.pipelines.evalpm import evaluate_ours_firstcontact
+
+    r = evaluate_ours_firstcontact(profile="full")
+    f1 = float(r[r["component"] == "triples"]["f1"].iloc[0])
+    assert f1 >= 0.70
