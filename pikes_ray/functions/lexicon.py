@@ -397,6 +397,7 @@ SELF_ARG_PB_NUM = NB_PB_NUM_REMAP  # back-compat alias
 IRREGULAR_LEMMA: dict[str, str] = {
     "met": "meet", "is": "be", "was": "be", "are": "be", "were": "be",
     "been": "be", "be": "be", "have": "have", "am": "be",
+    "become": "become", "overcome": "overcome",
     "rose": "rise", "fell": "fall", "led": "lead",
     "leads": "lead", "sold": "sell", "bought": "buy", "founded": "found",
     "flows": "flow", "flew": "fly", "ran": "run", "said": "say",
@@ -471,6 +472,12 @@ CLOSED_CLASS: dict[str, str] = {
     "than": "IN",
     "abroad": "RB", "very": "RB", "quite": "RB", "not": "RB",
     "just": "RB", "out": "RB",
+    "indeed": "RB", "instead": "RB", "ahead": "RB", "moreover": "RB",
+    "furthermore": "RB", "meanwhile": "RB", "nevertheless": "RB",
+    "nonetheless": "RB", "perhaps": "RB", "however": "RB",
+    "already": "RB", "soon": "RB", "often": "RB", "always": "RB",
+    "sometimes": "RB", "usually": "RB", "together": "RB",
+    "almost": "RB", "nearly": "RB", "again": "RB", "away": "RB",
     "many": "JJ", "several": "JJ", "few": "JJ",
     "some": "DT", "all": "DT", "both": "DT", "each": "DT",
     "every": "DT", "any": "DT", "no": "DT",
@@ -620,15 +627,26 @@ def _eval_pm_texts() -> tuple[frozenset[str], tuple[str, ...]]:
     import re
 
     texts = []
+    missing = []
     for n in range(1, 9):
         path = os.path.join(_EVAL_PM_GOLD_DIR, f"gold.{n}.ttl")
         try:
             raw = open(path).read()
         except OSError:
+            missing.append(path)
             continue
         m = re.search(r'rdfs:label\s+"""(.*?)"""', raw, re.S)
         if m:
             texts.append(" ".join(m.group(1).lower().split()))
+    # all-or-nothing: a PARTIAL read would silently weaken the strict
+    # quarantine and inflate the generalization number (review r5
+    # finding #7).  Zero files = the reference corpus is absent in
+    # this deployment, an explicitly-degraded (documented) mode.
+    if texts and len(texts) != 8:
+        raise RuntimeError(
+            f"ablated_strict quarantine read only {len(texts)}/8 eval-pm "
+            f"gold sentences (missing/unparseable: {missing}) — refusing "
+            "a partially gold-disjoint profile")
     toks: set[str] = set()
     for t in texts:
         toks.update(re.findall(r"[^\W\d_]+(?:[-'_][^\W\d_]+)*", t))

@@ -832,6 +832,7 @@ REVERSE_BLOCKLIST = frozenset({
 })
 
 
+@lru_cache(maxsize=65536)
 def deverbal_analysis(lemma: str) -> tuple[str, str, str] | None:
     """Open-vocabulary NomBank-shaped analysis of an UNKNOWN noun
     lemma: → (nombank id, propbank id or "", kind) via reverse
@@ -856,8 +857,13 @@ def deverbal_analysis(lemma: str) -> tuple[str, str, str] | None:
         return nb_id, pb(low[:-7] + "y", True), "result"   # apply
     if low.endswith("ization") and len(low) >= 9:
         return nb_id, pb(low[:-5] + "e", True), "result"   # organize
+    if low.endswith("eation"):
+        # the -eate verb class needs its 'e' back (creation→create) —
+        # restore_e's vowel-pair guard would confidently keep the bare
+        # stem (review r5 finding #5)
+        return nb_id, pb(low[:-3] + "e", True), "result"
     if low.endswith("tion") or low.endswith("sion"):
-        stem, conf = restore_e(low[:-3])              # creat(e), suggest
+        stem, conf = restore_e(low[:-3])              # suggest(ion)
         return nb_id, pb(stem, conf), "result"
     if low.endswith(("ance", "ence")) and len(low) >= 7:
         stem, conf = restore_e(low[:-4])

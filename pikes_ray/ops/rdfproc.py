@@ -244,11 +244,6 @@ def rdfs_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
             symmetric.add(r["subj"])
     c_closed = _transitive_close(sub_c)
     p_closed = _transitive_close(sub_p)
-    # pre-close inverse consequents through the subproperty hierarchy
-    # so the single pass reaches the fixpoint
-    inv_out = {p: set().union(*({q} | p_closed.get(q, set())
-                                for q in qs))
-               for p, qs in inv.items()}
 
     def with_supers(cls_set: set[str]) -> set[str]:
         out = set(cls_set)
@@ -256,16 +251,54 @@ def rdfs_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
             out |= c_closed.get(c, set())
         return out
 
-    # precompute the full consequent sets so the hot loop is dict hits
+    # precompute the FULL per-predicate consequent tables on the
+    # driver, so one streaming pass really reaches the fixpoint
+    # (review r5 finding #3: domain/range must also fire on the
+    # triples DERIVED via subproperty / inverse / symmetric /
+    # equivalence, and inverses of superproperties count too):
+    #   fwd[p]    = every predicate entailed in the s→o direction
+    #   bwd[p]    = every predicate entailed in the o→s direction
+    #   dom_s[p]  = classes for the subject  (domains of fwd ∪ ranges of bwd)
+    #   rng_o[p]  = classes for the object   (ranges of fwd ∪ domains of bwd)
     type_out = {c: {c} | c_closed.get(c, set()) for c in
                 set(sub_c) | {s for v in sub_c.values() for s in v}}
-    dom_out = {p: with_supers(cs) for p, cs in dom.items()}
-    rng_out = {p: with_supers(cs) for p, cs in rng.items()}
-    schema = ray.put((type_out, p_closed, dom_out, rng_out, inv_out,
-                      frozenset(symmetric)))
+    prop_vocab = (set(sub_p) | {x for v in sub_p.values() for x in v}
+                  | set(dom) | set(rng) | set(inv) | set(symmetric))
+    fwd_out: dict[str, set[str]] = {}
+    bwd_out: dict[str, set[str]] = {}
+    dom_s: dict[str, set[str]] = {}
+    sub_extra: dict[str, set[str]] = {}
+    rng_o: dict[str, set[str]] = {}
+    for p0 in prop_vocab:
+        fwd = {p0} | p_closed.get(p0, set())
+        bwd: set[str] = set()
+        for q in fwd:
+            if q in symmetric:
+                bwd |= {q} | p_closed.get(q, set())
+            for x in inv.get(q, ()):
+                bwd |= {x} | p_closed.get(x, set())
+        ds_ = set()          # subject types from fwd domains (always valid)
+        se_ = set()          # subject types from bwd ranges (need o = resource)
+        ro_ = set()          # object types (only ever emitted for resources)
+        for q in fwd:
+            ds_ |= with_supers(dom.get(q, set()))
+            ro_ |= with_supers(rng.get(q, set()))
+        for q in bwd:
+            se_ |= with_supers(rng.get(q, set()))
+            ro_ |= with_supers(dom.get(q, set()))
+        fwd_out[p0] = fwd - {p0}
+        bwd_out[p0] = bwd
+        if ds_:
+            dom_s[p0] = ds_
+        if se_ - ds_:
+            sub_extra[p0] = se_ - ds_
+        if ro_:
+            rng_o[p0] = ro_
+    schema = ray.put((type_out, p_closed, fwd_out, bwd_out, dom_s,
+                      sub_extra, rng_o))
 
     def infer(df: pd.DataFrame) -> pd.DataFrame:
-        t_out, p_sup, d_out, r_out, i_out, sym = ray.get(schema)
+        t_out, p_sup, f_out, b_out, d_s, s_x, r_o = ray.get(schema)
         subjs, preds, objs = [], [], []
 
         def emit(s, p, o):
@@ -306,19 +339,17 @@ def rdfs_closure(triples: "ray.data.Dataset") -> "ray.data.Dataset":
                         if sup not in (a, b):
                             emit(a, "rdfs:subPropertyOf", sup)
                 continue
-            for q in p_sup.get(p, ()):
+            for q in f_out.get(p, ()):
                 emit(s, q, o)
-            for c in d_out.get(p, ()):
+            for c in d_s.get(p, ()):
                 emit(s, "rdf:type", c)
             if not o.startswith('"'):
-                for c in r_out.get(p, ()):
+                for c in s_x.get(p, ()):
+                    emit(s, "rdf:type", c)
+                for c in r_o.get(p, ()):
                     emit(o, "rdf:type", c)
-                for q in i_out.get(p, ()):
+                for q in b_out.get(p, ()):
                     emit(o, q, s)
-                if p in sym:
-                    emit(o, p, s)
-                    for q in p_sup.get(p, ()):
-                        emit(o, q, s)
         return pd.DataFrame({"subj": subjs, "pred": preds, "obj": objs})
 
     inferred = triples.map_batches(

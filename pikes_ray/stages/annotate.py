@@ -78,6 +78,10 @@ _DET_NEXT = frozenset({
 _ADJ_SUFFIXES = ("ary", "ive", "ous", "ic", "ful", "less")
 _NOUN_SUFFIXES = ("ty", "ness", "ment", "tion", "sion", "ship", "ism",
                   "ence", "ance", "ity")
+# -ed-shaped words that are never participles
+_ED_ADVERBS = frozenset({"indeed", "instead", "ahead", "hundred",
+                         "sacred", "naked", "wicked", "rugged", "wretched"})
+_NOM_PRONOUNS = frozenset({"he", "she", "they", "we", "i", "you", "it"})
 
 
 def _vsense(lemma: str, open_frames: bool) -> str | None:
@@ -378,30 +382,41 @@ class RuleAnnotator:
         # modal → base verb ("could collapse")
         if prev_tag == "MD":
             return "VB", low
-        # be-aux → participle / gerund ("was captured", "may be running")
+        # be-aux → participle / gerund ("was captured", "may be running");
+        # -eed forms and the -ed adverb class (indeed/instead/ahead) are
+        # not participles (review r5 finding #2)
         if prev_lemma == "be":
             if low.endswith("ing") and len(low) >= 6:
                 return "VBG", ing_lemma(low)
-            if low.endswith("ed") and len(low) >= 5:
+            if low.endswith("ed") and len(low) >= 5 \
+                    and not low.endswith("eed") and low not in _ED_ADVERBS:
                 return "VBN", ed_lemma(low)
-        # have-aux perfect ("has become", "had contributed")
+        # have-aux perfect ("had contributed") — -ed participles only;
+        # a bare form after "have" is overwhelmingly a possession
+        # OBJECT ("have time", "have money"), so the old bare-form
+        # branch emitted phantom predicates and aux-skipped the real
+        # have.03 (review r5 finding #1); irregular bare participles
+        # (become) come through IRREGULAR_LEMMA instead
         if prev_lemma == "have" and prev_tag.startswith("VB"):
-            if low.endswith("ed") and len(low) >= 5:
+            if low.endswith("ed") and len(low) >= 5 \
+                    and not low.endswith("eed") and low not in _ED_ADVERBS:
                 return "VBN", ed_lemma(low)
-            if len(low) >= 4 and not low.endswith(_NOUN_SUFFIXES):
-                return "VBN", low
         # to-infinitive with object evidence ("to isolate the group")
         if prev_form == "to" and next_objish():
             return "VB", low
         # relative-pronoun subject ("countries that want to …")
         if prev_tag in ("WDT", "WP") and not low.endswith("s"):
             return "VBP", low
-        # pronoun subject directly before a bare form ("they gather …")
-        if prev_tag == "PRP" and not low.endswith(("s", "ed", "ing")) \
-                and nxt != "of":
+        # NOMINATIVE pronoun subject directly before a bare form
+        # ("they gather …"); object pronouns must not trigger it —
+        # "gave them food" is a double object, not them-as-subject
+        # (review r5 finding #4)
+        if prev_tag == "PRP" and prev_form in _NOM_PRONOUNS \
+                and not low.endswith(("s", "ed", "ing")) and nxt != "of":
             return "VBP", low
         # -ed past outside noun-premodifier context
         if low.endswith("ed") and len(low) >= 5 and not low.endswith("eed") \
+                and low not in _ED_ADVERBS \
                 and prev_tag not in ("DT", "JJ", "PRP$", "CD", "IN"):
             return "VBD", ed_lemma(low)
         # -ing gerund after preposition/conjunction, or participial
@@ -427,9 +442,11 @@ class RuleAnnotator:
         if prev_tag == "CC" and not low.endswith("s") and next_objish():
             return "VB", low
         # bare-infinitive complement of a finite verb ("helped lead
-        # the …", "made clear …")
+        # the …") — a following "to" is NOT object evidence here: in
+        # "have time to respond" the bare noun owns the infinitive
         if prev_tag in ("VBD", "VBZ", "VBP") \
-                and not low.endswith(("s", "ed", "ing")) and next_objish():
+                and not low.endswith(("s", "ed", "ing")) \
+                and nxt != "to" and next_objish():
             return "VB", low
         return None
 

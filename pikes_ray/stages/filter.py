@@ -167,12 +167,20 @@ def filter_document(ann: dict, cfg: FilterConfig) -> dict:
             # mapping ("sanctions" → impose.01), not the homographic
             # verb's roleset (sanction.01) — NAFFilter validates the
             # external ref against the matching resource
-            if p["source"] == "nominal" and lx.noun_frame(lemma) is not None:
-                expected = lx.noun_frame(lemma)[1]
+            # validation uses the TABLE index only (the reference's
+            # NAFFilter validates against its loaded framesets and
+            # leaves unknown lemmas alone); the open-vocab fallback
+            # must NOT widen this — verb_sense() is never None for
+            # alphabetic lemmas in open profiles, which would silently
+            # drop externally-supplied cross-lemma senses carried by
+            # NAF interop documents (review r5 finding #6)
+            nf = lx.NOUN_FRAMES.get(lemma)
+            if p["source"] == "nominal" and nf is not None:
+                expected = nf[1]
             else:
-                expected = lx.verb_sense(lemma)
-                if expected is None and lx.noun_frame(lemma) is not None:
-                    expected = lx.noun_frame(lemma)[1]
+                expected = lx.VERB_FRAMES.get(lemma)
+                if expected is None and nf is not None:
+                    expected = nf[1]
             if expected is None or expected == p["sense"] \
                     or (p["sense"] and "." in p["sense"] and "." in expected
                         and p["sense"].split(".")[0] == expected.split(".")[0]):

@@ -1010,3 +1010,31 @@ def test_rdfs_plus_rules(ray_session):
         ("ex:employs", "rdfs:subPropertyOf", "ex:hires"),
     }
     assert got == expected
+
+
+def test_rdfs_closure_derived_triples_get_domain_range(ray_session):
+    """Review r5 finding #3: domain/range must fire on triples DERIVED
+    through subproperty/inverse chains, not only on asserted ones."""
+    import ray.data as _rd
+
+    from pikes_ray.ops.rdfproc import rdfs_closure
+
+    rows = [
+        {"subj": "ex:worksFor", "pred": "rdfs:subPropertyOf",
+         "obj": "ex:affiliatedWith"},
+        {"subj": "ex:affiliatedWith", "pred": "rdfs:domain",
+         "obj": "ex:Person"},
+        {"subj": "ex:affiliatedWith", "pred": "rdfs:range", "obj": "ex:Org"},
+        {"subj": "ex:employs", "pred": "owl:inverseOf", "obj": "ex:worksFor"},
+        {"subj": "ex:acme", "pred": "ex:employs", "obj": "ex:bob"},
+    ]
+    ds = _rd.from_items(rows).map_batches(lambda df: df,
+                                          batch_format="pandas")
+    got = set(map(tuple, rdfs_closure(ds).to_pandas().values))
+    expected = set(map(tuple, (r.values() for r in rows))) | {
+        ("ex:bob", "ex:worksFor", "ex:acme"),         # inverse
+        ("ex:bob", "ex:affiliatedWith", "ex:acme"),   # + subproperty
+        ("ex:bob", "rdf:type", "ex:Person"),          # domain on DERIVED
+        ("ex:acme", "rdf:type", "ex:Org"),            # range on DERIVED
+    }
+    assert got == expected
