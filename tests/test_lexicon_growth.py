@@ -288,3 +288,18 @@ def test_bare_temporal_np_adjunct():
              for r in expand[0]["roles"]}
     assert ("AM-TMP", "year") in roles
     assert ("A1", "project") in roles
+
+
+def test_inflection_generator_covers_tagger_forms():
+    """Quarantine-soundness guard (review r5 finding #9): every surface
+    the tagger's verb-form generator can map to a lemma must be in the
+    strict quarantine's inflection set for that lemma — otherwise a
+    future edit to one copy of the morphology could let the annotator
+    reach a gold-text surface the mechanical filter never considered."""
+    from pikes_ray.stages.annotate import _build_verb_forms
+
+    with lx.lexicon_profile("full"):
+        forms = _build_verb_forms()
+    bad = [(f, lem) for f, (lem, _tag) in forms.items()
+           if f not in lx._inflections(lem)]
+    assert not bad, f"tagger forms unknown to the quarantine: {bad[:10]}"
