@@ -982,7 +982,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # the transcript cache must exist when the oracle runs — ensure it
+    # the transcript cache must exist when the oracle runs — ensure it.
+    # NOTE: the driver's correctness compare runs at sf=0.01, and the
+    # oracle strings are sf-independent by contract, so the transcript
+    # glob is pinned to the sf0.01 cache — running the t_* compares at
+    # another sf mismatches by construction (every parquet-table query
+    # is sf-portable; only the synthesized-transcript ones are pinned)
     tdir = _transcripts_path("/root/testdata/sf0.01")
     tglob = f"{tdir}/*.parquet"
 
